@@ -1,0 +1,716 @@
+"""Pure-Python text kernel — the single-node oracle AND the UDF payload.
+
+Every function here reimplements (from scratch, behavior-for-behavior) a
+scalar operation of the reference repo ``amite/python_web_scraper_cleaner``
+(read-only at /root/reference). This module deliberately has **zero Spark
+imports**: the same code runs in a plain Python loop (the parity oracle) and
+inside vectorized pandas UDFs (see ``functions/udfs.py``), so byte-identical
+output per row is guaranteed by construction — the invariant required by
+BASELINE.json (``input_hint``: "byte-identical extracted text per url").
+
+Reference parity map (file:line cites into /root/reference):
+
+==================  =====================================================
+kernel fn           reference behavior
+==================  =====================================================
+normalize_text      scraper_cleaner/html_cleaner_core.py:36-52
+normalize_markdown  scraper_cleaner/html_cleaner_core.py:55-58
+extract_text        scraper_cleaner/html_cleaner_core.py:61-99 (the
+                    trafilatura.extract contract; pluggable — see
+                    ``set_extractor``; ref tests monkeypatch the extractor
+                    too, tests/test_html_cleaner.py:46-64)
+clean_html          scraper_cleaner/html_cleaner_core.py:61-99 (full
+                    clean_html_file semantics minus file IO)
+make_flat_filename  scraper_cleaner/html_cleaner_core.py:102-124
+slugify             scripts/trafilatura_scraper.py:126-146
+reflow_text_to_markdown_paragraphs
+                    scripts/trafilatura_scraper.py:148-198
+format_article_markdown
+                    scripts/trafilatura_scraper.py:200-236
+extract_metadata    scripts/trafilatura_scraper.py:56-116 (16-field record)
+snippet             mcp_server/news_server.py:48-53
+tokenize_query      mcp_server/news_server.py:86-101 (incl. stopword set)
+score_content       mcp_server/news_server.py:103-113
+canonicalize_url    engine-required (north_rule); reference compares raw
+                    URL strings only (scripts/news.py:34)
+lang_id, quality_score, token_count, fingerprint64
+                    engine-required training-data ops (no ref analog)
+==================  =====================================================
+"""
+
+from __future__ import annotations
+
+import hashlib
+import html as _htmllib
+import json
+import re
+import string
+from dataclasses import dataclass
+from html.parser import HTMLParser
+from typing import Callable, Iterable, Optional
+
+# ---------------------------------------------------------------------------
+# Normalization (ref: scraper_cleaner/html_cleaner_core.py:36-58)
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(text: str) -> str:
+    """Normalize plain text: CRLF/CR→LF, rstrip each line, collapse runs of
+    blank lines to at most 2, strip the whole text, exactly one trailing \\n.
+
+    Behavior-parity target: html_cleaner_core.py:36-52.
+    """
+    text = text.replace("\r\n", "\n").replace("\r", "\n")
+    lines = [ln.rstrip() for ln in text.split("\n")]
+    cleaned: list[str] = []
+    blank_run = 0
+    for ln in lines:
+        if ln.strip() == "":
+            blank_run += 1
+            if blank_run <= 2:
+                cleaned.append("")
+            continue
+        blank_run = 0
+        cleaned.append(ln)
+    return "\n".join(cleaned).strip() + "\n"
+
+
+def normalize_markdown(md: str) -> str:
+    """CRLF/CR→LF, strip, single trailing newline (html_cleaner_core.py:55-58)."""
+    md = md.replace("\r\n", "\n").replace("\r", "\n")
+    return md.strip() + "\n"
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction (ref contract: html_cleaner_core.py:61-99)
+#
+# The reference delegates to trafilatura.extract(); its own tests monkeypatch
+# that call (tests/test_html_cleaner.py:46-64), so the contract is
+# extraction-function-agnostic. We ship a deterministic stdlib extractor as
+# the default and use trafilatura 2.0.0 opportunistically when importable.
+# ---------------------------------------------------------------------------
+
+# Elements whose entire subtree is boilerplate and must be dropped.
+_DROP_SUBTREE = {
+    "script", "style", "noscript", "template", "svg", "iframe",
+    "nav", "footer", "header", "aside", "form", "button", "select",
+    "option", "label",
+}
+# Block-level elements: entering/leaving one terminates the current line.
+_BLOCK = {
+    "p", "div", "article", "section", "main", "body", "html",
+    "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol", "dl", "dt", "dd",
+    "blockquote", "pre", "figure", "figcaption", "table", "thead", "tbody",
+    "tr", "br", "hr",
+}
+_HEADING_PREFIX = {"h1": "# ", "h2": "## ", "h3": "### ",
+                   "h4": "#### ", "h5": "##### ", "h6": "###### "}
+
+
+class _TextExtractor(HTMLParser):
+    """Boilerplate-stripping text extractor on stdlib html.parser.
+
+    Emits one logical line per block element; table cells are joined with
+    ``" | "`` within a row when ``include_tables``; comments included only
+    when ``include_comments`` (matching the trafilatura kwargs surface used
+    at html_cleaner_core.py:85-91).
+    """
+
+    def __init__(self, *, output_format: str, include_tables: bool,
+                 include_comments: bool) -> None:
+        super().__init__(convert_charrefs=True)
+        self.fmt = output_format
+        self.include_tables = include_tables
+        self.include_comments = include_comments
+        self._drop_depth = 0
+        self._table_depth = 0
+        self._cells: list[str] = []
+        self._in_row = False
+        self._buf: list[str] = []
+        self._lines: list[str] = []
+        self._heading: Optional[str] = None
+
+    # -- line management ----------------------------------------------------
+    def _flush(self) -> None:
+        txt = "".join(self._buf)
+        txt = re.sub(r"[ \t]+", " ", txt).strip()
+        self._buf = []
+        if not txt:
+            return
+        if self._heading and self.fmt == "markdown":
+            txt = self._heading + txt
+        self._lines.append(txt)
+
+    # -- parser callbacks ---------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        if tag in _DROP_SUBTREE:
+            self._drop_depth += 1
+            return
+        if self._drop_depth:
+            return
+        if tag == "table":
+            self._table_depth += 1
+            if not self.include_tables:
+                return
+        if self._table_depth and not self.include_tables:
+            return
+        if tag == "tr":
+            self._in_row = True
+            self._cells = []
+            self._flush()
+        elif tag in ("td", "th"):
+            self._flush()
+        elif tag in _BLOCK:
+            self._flush()
+            self._heading = _HEADING_PREFIX.get(tag)
+
+    def handle_endtag(self, tag):
+        if tag in _DROP_SUBTREE:
+            self._drop_depth = max(0, self._drop_depth - 1)
+            return
+        if self._drop_depth:
+            return
+        if self._table_depth and not self.include_tables:
+            if tag == "table":
+                self._table_depth -= 1
+            return
+        if tag in ("td", "th"):
+            txt = "".join(self._buf)
+            txt = re.sub(r"[ \t]+", " ", txt).strip()
+            self._buf = []
+            if txt:
+                self._cells.append(txt)
+        elif tag == "tr":
+            self._in_row = False
+            if self._cells:
+                self._lines.append(" | ".join(self._cells))
+            self._cells = []
+        elif tag == "table":
+            self._table_depth = max(0, self._table_depth - 1)
+        elif tag in _BLOCK:
+            self._flush()
+            if tag in _HEADING_PREFIX:
+                self._heading = None
+
+    def handle_data(self, data):
+        if self._drop_depth:
+            return
+        if self._table_depth and not self.include_tables:
+            return
+        self._buf.append(data)
+
+    def handle_comment(self, data):
+        if self._drop_depth or not self.include_comments:
+            return
+        txt = data.strip()
+        if txt:
+            self._flush()
+            self._lines.append(txt)
+
+    def result(self) -> str:
+        self._flush()
+        return "\n".join(self._lines)
+
+
+def _stdlib_extract(html_text: str, *, output_format: str = "txt",
+                    include_tables: bool = True, include_comments: bool = False,
+                    with_metadata: bool = False) -> Optional[str]:
+    """Default extractor: deterministic boilerplate strip via html.parser.
+
+    Returns None on empty extraction — same None-contract as
+    trafilatura.extract (html_cleaner_core.py:92 checks falsy).
+    """
+    p = _TextExtractor(output_format=output_format,
+                       include_tables=include_tables,
+                       include_comments=include_comments)
+    try:
+        p.feed(html_text)
+        p.close()
+    except Exception:
+        return None
+    out = p.result()
+    return out if out.strip() else None
+
+
+def _trafilatura_extract_or_none() -> Optional[Callable]:
+    try:  # pragma: no cover - not installed in this sandbox
+        import trafilatura
+
+        def _fn(html_text, *, output_format="txt", include_tables=True,
+                include_comments=False, with_metadata=False):
+            return trafilatura.extract(
+                html_text, output_format=output_format,
+                include_tables=include_tables,
+                include_comments=include_comments,
+                with_metadata=with_metadata)
+
+        return _fn
+    except Exception:
+        return None
+
+
+_EXTRACTOR: Callable = _trafilatura_extract_or_none() or _stdlib_extract
+
+
+def set_extractor(fn: Callable) -> None:
+    """Swap the extraction engine (reference analog: trafilatura is likewise
+    swapped in tests via monkeypatch, tests/test_html_cleaner.py:46-64)."""
+    global _EXTRACTOR
+    _EXTRACTOR = fn
+
+
+def get_extractor() -> Callable:
+    return _EXTRACTOR
+
+
+def extract_text(html_text: str, *, output_format: str = "txt",
+                 include_tables: bool = True,
+                 include_comments: bool = False) -> Optional[str]:
+    """trafilatura.extract-shaped entry (html_cleaner_core.py:85-91)."""
+    return _EXTRACTOR(html_text, output_format=output_format,
+                      include_tables=include_tables,
+                      include_comments=include_comments,
+                      with_metadata=False)
+
+
+def decode_html(raw: bytes) -> str:
+    """UTF-8 decode with replacement chars (html_cleaner_core.py:82)."""
+    return raw.decode("utf-8", errors="replace")
+
+
+@dataclass(frozen=True)
+class CleanOutcome:
+    """Per-row success/failure envelope ≅ CleanResult
+    (html_cleaner_core.py:16-24) minus file paths."""
+    text: Optional[str]
+    ok: bool
+    extracted_chars: int
+    error: Optional[str]
+
+
+def clean_html(raw: bytes | str, *, output_format: str = "txt",
+               include_tables: bool = True,
+               include_comments: bool = False) -> CleanOutcome:
+    """Full clean_html_file semantics minus file IO
+    (html_cleaner_core.py:61-99 + error envelope :248-266):
+    decode → extract → empty check → normalize by format.
+    """
+    try:
+        html_text = decode_html(raw) if isinstance(raw, (bytes, bytearray)) else raw
+        extracted = extract_text(html_text, output_format=output_format,
+                                 include_tables=include_tables,
+                                 include_comments=include_comments)
+        if not extracted:
+            raise ValueError(
+                "Extractor could not extract main text (empty result).")
+        if output_format == "txt":
+            text = normalize_text(extracted)
+        elif output_format == "markdown":
+            text = normalize_markdown(extracted)
+        else:
+            text = extracted
+        return CleanOutcome(text=text, ok=True, extracted_chars=len(text),
+                            error=None)
+    except Exception as e:  # row-level failure keeps the batch going
+        return CleanOutcome(text=None, ok=False, extracted_chars=0,
+                            error=str(e))
+
+
+# ---------------------------------------------------------------------------
+# Metadata extraction (ref: scripts/trafilatura_scraper.py:56-116)
+# ---------------------------------------------------------------------------
+
+METADATA_FIELDS = (
+    "url", "title", "author", "date", "sitename", "hostname", "description",
+    "categories", "tags", "fingerprint", "language", "text", "raw_text",
+    "source", "source_hostname",
+)
+
+_TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title>", re.I | re.S)
+_H1_RE = re.compile(r"<h1[^>]*>(.*?)</h1>", re.I | re.S)
+_META_RE = re.compile(
+    r"<meta\s+[^>]*?(?:name|property)\s*=\s*[\"']([^\"']+)[\"'][^>]*?"
+    r"content\s*=\s*[\"']([^\"']*)[\"'][^>]*?>", re.I | re.S)
+_META_RE_REV = re.compile(
+    r"<meta\s+[^>]*?content\s*=\s*[\"']([^\"']*)[\"'][^>]*?"
+    r"(?:name|property)\s*=\s*[\"']([^\"']+)[\"'][^>]*?>", re.I | re.S)
+_TAG_STRIP_RE = re.compile(r"<[^>]+>")
+
+
+def _meta_map(html_text: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for k, v in _META_RE.findall(html_text):
+        out.setdefault(k.strip().lower(), _htmllib.unescape(v).strip())
+    for v, k in _META_RE_REV.findall(html_text):
+        out.setdefault(k.strip().lower(), _htmllib.unescape(v).strip())
+    return out
+
+
+def extract_metadata(raw: bytes | str, url: Optional[str] = None) -> dict:
+    """Build the 16-field article record of the reference
+    (scripts/trafilatura_scraper.py:99-116), tolerant of missing fields via
+    ``.get()``-equivalent defaults. ``scraped_at`` is NOT stamped here —
+    timestamps are injected by the caller for determinism (SURVEY §2.7 F11).
+    """
+    html_text = decode_html(raw) if isinstance(raw, (bytes, bytearray)) else raw
+    meta = _meta_map(html_text)
+    m = _TITLE_RE.search(html_text)
+    title = _htmllib.unescape(_TAG_STRIP_RE.sub("", m.group(1))).strip() if m else None
+    if not title:
+        h1 = _H1_RE.search(html_text)
+        title = (_htmllib.unescape(_TAG_STRIP_RE.sub("", h1.group(1))).strip()
+                 if h1 else None)
+    host = None
+    if url:
+        host = url_host(url)
+    text = extract_text(html_text, output_format="txt")
+    raw_text = text
+    cats = meta.get("article:section")
+    tags = meta.get("keywords") or meta.get("article:tag")
+    return {
+        "url": url,
+        "title": title or None,
+        "author": meta.get("author") or meta.get("article:author"),
+        "date": meta.get("article:published_time") or meta.get("date"),
+        "sitename": meta.get("og:site_name") or meta.get("sitename"),
+        "hostname": host,
+        "description": meta.get("description") or meta.get("og:description"),
+        "categories": [c.strip() for c in cats.split(",")] if cats else [],
+        "tags": [t.strip() for t in tags.split(",")] if tags else [],
+        "fingerprint": (hashlib.md5(text.encode("utf-8")).hexdigest()
+                        if text else None),
+        "language": meta.get("og:locale") or meta.get("language"),
+        "text": text,
+        "raw_text": raw_text,
+        "source": url,
+        "source_hostname": host,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Slug / filename / markdown assembly
+# ---------------------------------------------------------------------------
+
+
+def slugify(text: Optional[str]) -> str:
+    """URL-friendly slug (scripts/trafilatura_scraper.py:126-146): lowercase,
+    drop non-word chars, whitespace→_, hyphen-runs→_, strip _, cap 100,
+    empty/None→"untitled"."""
+    if not text:
+        return "untitled"
+    slug = text.lower()
+    slug = re.sub(r"[^\w\s-]", "", slug)
+    slug = re.sub(r"[\s]+", "_", slug)
+    slug = re.sub(r"[-]+", "_", slug)
+    slug = slug.strip("_")
+    if len(slug) > 100:
+        slug = slug[:100]
+    return slug or "untitled"
+
+
+def make_flat_filename(relative_path: str, output_format: str) -> str:
+    """Flat collision-safe name (html_cleaner_core.py:102-124):
+    parts joined by ``__``, last extension dropped, ``__`` + first 8 hex of
+    md5(relpath), extension by format."""
+    parts = [p for p in relative_path.split("/") if p]
+    base_name = "__".join(parts)
+    base_name = base_name.rsplit(".", 1)[0] if "." in base_name else base_name
+    hash_suffix = hashlib.md5(relative_path.encode("utf-8")).hexdigest()[:8]
+    ext = ".txt" if output_format == "txt" else ".md"
+    return f"{base_name}__{hash_suffix}{ext}"
+
+
+def reflow_text_to_markdown_paragraphs(
+        text: Optional[str], *, max_sentences_per_paragraph: int = 4,
+        max_chars_per_paragraph: int = 900) -> str:
+    """Reflow line-per-sentence text into Markdown paragraphs
+    (scripts/trafilatura_scraper.py:148-198). Two modes: blank-line-delimited
+    paragraphs joined, else greedy grouping of ≤4 lines / <900 chars."""
+    if not text:
+        return ""
+    text = text.replace("\r\n", "\n").replace("\r", "\n")
+    raw_lines = [ln.strip() for ln in text.split("\n")]
+
+    if any(ln == "" for ln in raw_lines):
+        paragraphs: list[str] = []
+        buf: list[str] = []
+        for ln in raw_lines:
+            if ln == "":
+                if buf:
+                    paragraphs.append(" ".join(buf).strip())
+                    buf = []
+                continue
+            buf.append(ln)
+        if buf:
+            paragraphs.append(" ".join(buf).strip())
+        return "\n\n".join(p for p in paragraphs if p).strip()
+
+    lines = [ln for ln in raw_lines if ln]
+    paragraphs = []
+    buf = []
+    sentence_count = 0
+    char_count = 0
+    for ln in lines:
+        buf.append(ln)
+        sentence_count += 1
+        char_count += len(ln) + 1
+        if (sentence_count >= max_sentences_per_paragraph
+                or char_count >= max_chars_per_paragraph):
+            paragraphs.append(" ".join(buf).strip())
+            buf = []
+            sentence_count = 0
+            char_count = 0
+    if buf:
+        paragraphs.append(" ".join(buf).strip())
+    return "\n\n".join(p for p in paragraphs if p).strip()
+
+
+def format_article_markdown(data: dict, text: Optional[str]) -> str:
+    """Assemble the article Markdown document
+    (scripts/trafilatura_scraper.py:200-236): title header, bold metadata
+    lines, summary section, categories/tags (str-or-list tolerant), '---'
+    rule, reflowed article content. Missing fields are skipped."""
+    markdown_parts: list[str] = []
+    if data.get("title"):
+        markdown_parts.append(f"# {data['title']}\n")
+    if data.get("author"):
+        markdown_parts.append(f"**Author:** {data['author']}")
+    if data.get("date"):
+        markdown_parts.append(f"**Published:** {data['date']}")
+    if data.get("sitename"):
+        markdown_parts.append(f"**Source:** {data['sitename']}")
+    if data.get("description"):
+        markdown_parts.append(f"\n## Summary\n{data['description']}\n")
+    if data.get("categories"):
+        categories = data["categories"]
+        if isinstance(categories, str):
+            categories = [categories]
+        markdown_parts.append(f"**Categories:** {', '.join(categories)}")
+    if data.get("tags"):
+        tags = data["tags"]
+        if isinstance(tags, str):
+            tags = [tags]
+        markdown_parts.append(f"**Tags:** {', '.join(tags)}")
+    formatted_text = reflow_text_to_markdown_paragraphs(text)
+    markdown_parts.append(f"\n---\n\n## Article Content\n\n{formatted_text}")
+    return "\n".join(markdown_parts)
+
+
+# ---------------------------------------------------------------------------
+# Search substrate (ref: mcp_server/news_server.py)
+# ---------------------------------------------------------------------------
+
+# Exact stopword set of the reference (mcp_server/news_server.py:89-92).
+STOP_WORDS = frozenset({
+    "the", "a", "an", "and", "or", "but", "in", "on", "at", "to", "for",
+    "of", "with", "is", "are", "was", "were", "be", "this", "that", "it",
+    "what", "which", "who", "when", "where", "why", "how", "latest", "news",
+    "question", "from", "by", "as",
+})
+
+_PUNCT_TABLE = str.maketrans("", "", string.punctuation)
+
+
+def snippet(content: str, query: str, *, before: int = 50,
+            after: int = 150) -> Optional[str]:
+    """Case-insensitive match snippet (news_server.py:44-53): slice
+    [idx-50, idx+150], newlines→spaces. None when no match."""
+    idx = content.lower().find(query.lower())
+    if idx < 0:
+        return None
+    start = max(0, idx - before)
+    end = min(len(content), idx + after)
+    return content[start:end].replace("\n", " ")
+
+
+def tokenize_query(query: str) -> list[str]:
+    """Stopword-aware tokenization (news_server.py:86-101): lowercase, strip
+    punctuation, whitespace split, drop stopwords; if everything was a
+    stopword fall back to all tokens."""
+    query_clean = query.lower().translate(_PUNCT_TABLE)
+    terms = [t for t in query_clean.split() if t not in STOP_WORDS]
+    if not terms:
+        terms = query_clean.split()
+    return terms
+
+
+def score_content(content: str, query_terms: Iterable[str]) -> int:
+    """Term-frequency relevance score (news_server.py:103-113):
+    sum of substring-occurrence counts over the lowercased content."""
+    lc = content.lower()
+    return sum(lc.count(term) for term in query_terms)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (engine-required; north_rule. Reference compares raw
+# strings only, scripts/news.py:34)
+# ---------------------------------------------------------------------------
+
+_URL_RE = re.compile(r"^(?P<scheme>[a-zA-Z][a-zA-Z0-9+.-]*):(?://(?P<netloc>[^/?#]*))?"
+                     r"(?P<rest>[^#]*)(?:#.*)?$")
+
+
+def url_host(url: str) -> Optional[str]:
+    m = _URL_RE.match(url or "")
+    if not m or m.group("netloc") is None:
+        return None
+    netloc = m.group("netloc")
+    if "@" in netloc:
+        netloc = netloc.rsplit("@", 1)[1]
+    host = netloc.split(":", 1)[0]
+    return host.lower() or None
+
+
+def canonicalize_url(url: str) -> str:
+    """Deterministic canonical form: lowercase scheme+host, strip fragment,
+    drop default ports (80/443), keep path+query verbatim, empty path→'/'."""
+    m = _URL_RE.match(url.strip())
+    if not m:
+        return url.strip()
+    scheme = m.group("scheme").lower()
+    netloc = m.group("netloc")
+    rest = m.group("rest") or ""
+    if netloc is None:
+        return f"{scheme}:{rest}"
+    userinfo = ""
+    hostport = netloc
+    if "@" in netloc:
+        userinfo, hostport = netloc.rsplit("@", 1)
+        userinfo += "@"
+    host = hostport
+    port = ""
+    if ":" in hostport:
+        host, port = hostport.split(":", 1)
+        port = ":" + port
+    host = host.lower()
+    if (scheme == "http" and port == ":80") or (scheme == "https" and port == ":443"):
+        port = ""
+    if not rest:
+        rest = "/"
+    return f"{scheme}://{userinfo}{host}{port}{rest}"
+
+
+# ---------------------------------------------------------------------------
+# Training-data text analysis (engine ops; SURVEY §2 extension set)
+# ---------------------------------------------------------------------------
+
+# Compact marker-word lists per language for the n-gram/stopword heuristic.
+LANG_MARKERS: dict[str, frozenset[str]] = {
+    "en": frozenset({"the", "and", "of", "to", "in", "is", "that", "it",
+                     "for", "with", "was", "on", "are", "this"}),
+    "de": frozenset({"der", "die", "das", "und", "ist", "nicht", "ein",
+                     "eine", "mit", "von", "für", "auf", "dem", "den"}),
+    "fr": frozenset({"le", "la", "les", "et", "de", "des", "un", "une",
+                     "est", "dans", "pour", "que", "qui", "avec"}),
+    "es": frozenset({"el", "la", "los", "las", "y", "de", "que", "en",
+                     "un", "una", "es", "por", "con", "para"}),
+}
+
+
+def lang_id(text: str) -> str:
+    """Deterministic marker-word language heuristic. Returns the language
+    with the highest marker hit-count; ties broken alphabetically; no hits →
+    'und' (undetermined)."""
+    tokens = text.lower().split()
+    best_lang, best_score = "und", 0
+    for lang in sorted(LANG_MARKERS):
+        score = sum(1 for t in tokens if t in LANG_MARKERS[lang])
+        if score > best_score:
+            best_lang, best_score = lang, score
+    return best_lang
+
+
+def token_count(text: str) -> int:
+    """Whitespace token count (ref word-count analog,
+    scripts/trafilatura_scraper.py:387)."""
+    return len(text.split())
+
+
+_BPEISH_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+
+
+def bpe_ish_token_count(text: str) -> int:
+    """BPE-ish token estimate: alpha runs + digit runs + individual symbols."""
+    return len(_BPEISH_RE.findall(text))
+
+
+def quality_score(text: str) -> dict:
+    """Deterministic document-quality features: length, tokens, mean token
+    length, punctuation ratio, stopword ratio, uppercase ratio."""
+    n_chars = len(text)
+    tokens = text.split()
+    n_tokens = len(tokens)
+    n_punct = sum(1 for c in text if c in string.punctuation)
+    n_upper = sum(1 for c in text if c.isupper())
+    n_stop = sum(1 for t in tokens if t.lower().strip(string.punctuation)
+                 in STOP_WORDS)
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": (sum(len(t) for t in tokens) / n_tokens) if n_tokens else 0.0,
+        "punct_ratio": (n_punct / n_chars) if n_chars else 0.0,
+        "upper_ratio": (n_upper / n_chars) if n_chars else 0.0,
+        "stopword_ratio": (n_stop / n_tokens) if n_tokens else 0.0,
+    }
+
+
+_FP_MOD = (1 << 61) - 1
+_FP_BASE = 257
+
+
+def fingerprint64(text: str) -> int:
+    """Deterministic rolling polynomial hash over the normalized token stream
+    (document fingerprint; ref analog: trafilatura's `fingerprint` field,
+    scripts/trafilatura_scraper.py:110)."""
+    h = 0
+    for tok in text.lower().split():
+        for b in tok.encode("utf-8"):
+            h = (h * _FP_BASE + b) % _FP_MOD
+        h = (h * _FP_BASE + 32) % _FP_MOD
+    return h
+
+
+def shingles(text: str, k: int = 3) -> list[str]:
+    """k-token shingles over the lowercased whitespace token stream."""
+    toks = text.lower().split()
+    if len(toks) < k:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+
+
+def simhash32(text: str) -> int:
+    """32-bit SimHash over whitespace tokens. Per-token hash = first 8 hex
+    chars of md5 (stable across platforms and reproducible in ANSI SQL)."""
+    counts = [0] * 32
+    for tok in text.lower().split():
+        hv = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16)
+        for bit in range(32):
+            counts[bit] += 1 if (hv >> bit) & 1 else -1
+    out = 0
+    for bit in range(32):
+        if counts[bit] > 0:
+            out |= 1 << bit
+    return out
+
+
+def minhash_signature(text: str, *, k: int = 3, n_hashes: int = 16) -> list[str]:
+    """MinHash signature: for seed j, min over shingles of
+    md5(j || ':' || shingle) hex. Hex-string min == lexicographic min, which
+    is identical in Spark and DuckDB — the signature is oracle-checkable."""
+    sh = shingles(text, k)
+    if not sh:
+        return ["" for _ in range(n_hashes)]
+    return [min(hashlib.md5(f"{j}:{s}".encode("utf-8")).hexdigest()
+                for s in sh) for j in range(n_hashes)]
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    u = len(a | b)
+    return (len(a & b) / u) if u else 0.0
+
+
+# JSON serialization matching the reference sink (trafilatura_scraper.py:333)
+def dumps_pretty(obj) -> str:
+    return json.dumps(obj, indent=2, ensure_ascii=False)

@@ -1,0 +1,252 @@
+"""M0 kernel tests — ports of the reference's pure-function unit tests.
+
+Assertion sources (reference repo, read-only):
+  normalize_*      tests/test_html_cleaner.py:17-34
+  clean contract   tests/test_html_cleaner.py:38-76
+  slugify          tests/test_scraper_functions.py:11-31
+  markdown fmt     tests/test_scraper_functions.py:41-79
+  flat filename    tests/test_html_cleaner.py:154-186
+  search substrate mcp_server/news_server.py semantics
+"""
+
+import hashlib
+
+import pytest
+
+from python_web_scraper_cleaner_spark.functions import kernel as K
+
+
+# -- normalize_text / normalize_markdown ------------------------------------
+
+def test_normalize_text_basic():
+    text = "a\r\n\r\n\r\nb  \r\n\r\n\r\n\r\nc\r"
+    out = K.normalize_text(text)
+    assert out.startswith("a\n\n\nb\n\n\nc\n")
+    assert "\n\n\n\n" not in out
+    assert out.endswith("\n")
+    assert not out.endswith("\n\n")
+
+
+def test_normalize_text_idempotent():
+    text = "x\n\n\n\n\ny\r\nz   \n"
+    once = K.normalize_text(text)
+    assert K.normalize_text(once) == once
+
+
+def test_normalize_markdown_minimal():
+    assert K.normalize_markdown("# Title\r\n\r\nText\r\n") == "# Title\n\nText\n"
+
+
+# -- clean_html (clean_html_file contract minus IO) -------------------------
+
+def test_clean_html_passes_expected_extractor_args():
+    calls = []
+    orig = K.get_extractor()
+
+    def fake_extract(html, **kwargs):
+        calls.append((html, kwargs))
+        return "# Hello\n"
+
+    K.set_extractor(fake_extract)
+    try:
+        out = K.clean_html(b"<html><body><p>Hello</p></body></html>",
+                           output_format="markdown", include_tables=True,
+                           include_comments=False)
+    finally:
+        K.set_extractor(orig)
+    assert out.ok and out.text == "# Hello\n"
+    assert len(calls) == 1
+    _, kwargs = calls[0]
+    assert kwargs["output_format"] == "markdown"
+    assert kwargs["include_tables"] is True
+    assert kwargs["include_comments"] is False
+    assert kwargs["with_metadata"] is False
+
+
+def test_clean_html_empty_extraction_is_row_error():
+    out = K.clean_html(b"<html><body></body></html>", output_format="txt")
+    assert not out.ok
+    assert out.text is None
+    assert "could not extract" in out.error
+
+
+def test_clean_html_decodes_with_replacement():
+    # invalid utf-8 byte must not raise (ref: errors="replace",
+    # html_cleaner_core.py:82)
+    raw = b"<html><body><p>caf\xe9 ok</p></body></html>"
+    out = K.clean_html(raw, output_format="txt")
+    assert out.ok
+    assert "�" in out.text
+
+
+def test_clean_html_strips_boilerplate_and_unescapes():
+    html = (b"<html><head><style>p{}</style></head><body>"
+            b"<nav>menu</nav><p>Hello &amp; world</p>"
+            b"<script>alert(1)</script><footer>foot</footer></body></html>")
+    out = K.clean_html(html, output_format="txt")
+    assert out.ok
+    assert out.text == "Hello & world\n"
+
+
+def test_clean_html_tables_flag():
+    html = (b"<html><body><p>intro</p><table><tr><td>a</td><td>b</td></tr>"
+            b"</table></body></html>")
+    with_tables = K.clean_html(html, include_tables=True)
+    without = K.clean_html(html, include_tables=False)
+    assert "a | b" in with_tables.text
+    assert "a" not in without.text.replace("intro", "")
+
+
+def test_clean_html_comments_flag():
+    html = b"<html><body><p>x</p><!-- secret --></body></html>"
+    assert "secret" not in K.clean_html(html, include_comments=False).text
+    assert "secret" in K.clean_html(html, include_comments=True).text
+
+
+# -- slugify ----------------------------------------------------------------
+
+def test_slugify_function():
+    assert K.slugify("Hello World!") == "hello_world"
+    assert K.slugify("This is a test article") == "this_is_a_test_article"
+    assert K.slugify("Hello, World! How are you?") == "hello_world_how_are_you"
+    assert K.slugify("Article: The Future of AI") == "article_the_future_of_ai"
+    assert K.slugify("") == "untitled"
+    assert K.slugify(None) == "untitled"
+    assert len(K.slugify("a" * 150)) == 100
+    assert K.slugify("Hello    World") == "hello_world"
+
+
+# -- flat filename ----------------------------------------------------------
+
+def test_make_flat_filename_deterministic_and_collision_safe():
+    a = K.make_flat_filename("news/a.html", "markdown")
+    assert a == K.make_flat_filename("news/a.html", "markdown")
+    assert a.startswith("news__a__") and a.endswith(".md")
+    h = hashlib.md5(b"news/a.html").hexdigest()[:8]
+    assert a == f"news__a__{h}.md"
+    b = K.make_flat_filename("other/a.html", "markdown")
+    assert a != b  # same basename, different dirs → different hash
+    assert K.make_flat_filename("x/y/z.html", "txt").endswith(".txt")
+
+
+# -- reflow + markdown assembly ---------------------------------------------
+
+def test_reflow_blank_line_mode():
+    text = "one\ntwo\n\nthree\nfour\n"
+    assert K.reflow_text_to_markdown_paragraphs(text) == "one two\n\nthree four"
+
+
+def test_reflow_grouping_mode():
+    text = "\n".join(f"s{i}" for i in range(6))
+    out = K.reflow_text_to_markdown_paragraphs(text)
+    assert out == "s0 s1 s2 s3\n\ns4 s5"
+
+
+def test_reflow_char_budget():
+    long_line = "x" * 900
+    out = K.reflow_text_to_markdown_paragraphs(f"{long_line}\nnext")
+    assert out == f"{long_line}\n\nnext"
+
+
+def test_reflow_empty():
+    assert K.reflow_text_to_markdown_paragraphs("") == ""
+    assert K.reflow_text_to_markdown_paragraphs(None) == ""
+
+
+def test_format_article_markdown_full():
+    data = {
+        "title": "Test Article", "author": "John Doe", "date": "2023-01-01",
+        "sitename": "Test News", "description": "This is a test description",
+        "categories": ["Tech", "AI"], "tags": ["testing", "python"],
+        "text": "This is the main content",
+    }
+    md = K.format_article_markdown(data, "This is the main content")
+    for needle in ("# Test Article", "**Author:** John Doe",
+                   "**Published:** 2023-01-01", "**Source:** Test News",
+                   "## Summary", "This is a test description",
+                   "**Categories:** Tech, AI", "**Tags:** testing, python",
+                   "## Article Content", "This is the main content"):
+        assert needle in md
+
+
+def test_format_article_markdown_missing_fields_and_str_categories():
+    md = K.format_article_markdown({"title": "Minimal Article",
+                                    "categories": "Solo"}, "Content only")
+    assert "# Minimal Article" in md
+    assert "**Categories:** Solo" in md
+    assert "**Author:**" not in md
+    assert "## Article Content" in md
+
+
+# -- search substrate -------------------------------------------------------
+
+def test_snippet_window_and_newlines():
+    content = "A" * 100 + "\nneedle\n" + "B" * 200
+    s = K.snippet(content, "NEEDLE")
+    assert "needle" in s
+    assert "\n" not in s
+    assert len(s) <= 200
+    assert K.snippet(content, "missing") is None
+
+
+def test_tokenize_query_stopwords_and_fallback():
+    assert K.tokenize_query("What is the latest news about AI?") == ["about", "ai"]
+    # all-stopword query falls back to the raw tokens (news_server.py:99-101)
+    assert K.tokenize_query("What is the") == ["what", "is", "the"]
+
+
+def test_score_content():
+    terms = ["spark", "engine"]
+    assert K.score_content("Spark spark ENGINE x", terms) == 3
+    assert K.score_content("nothing here", terms) == 0
+
+
+# -- URL canonicalization ---------------------------------------------------
+
+def test_canonicalize_url():
+    assert (K.canonicalize_url("HTTPS://Example.COM:443/Path?q=1#frag")
+            == "https://example.com/Path?q=1")
+    assert (K.canonicalize_url("http://Host.net:80") == "http://host.net/")
+    assert (K.canonicalize_url("http://host.net:8080/a#x")
+            == "http://host.net:8080/a")
+    # path case is preserved, host case is not
+    assert K.canonicalize_url("http://A.B/C") == "http://a.b/C"
+    assert K.url_host("https://User@Ex.com:8443/x") == "ex.com"
+
+
+# -- text-analysis ops ------------------------------------------------------
+
+def test_lang_id_deterministic():
+    assert K.lang_id("der hund ist nicht ein") == "de"
+    assert K.lang_id("the cat is on the mat") == "en"
+    assert K.lang_id("zzz qqq") == "und"
+
+
+def test_token_counts():
+    assert K.token_count("a b  c") == 3
+    assert K.bpe_ish_token_count("hello, world 42") == 4  # hello , world 42
+    assert K.bpe_ish_token_count("it's x2") == 5  # it ' s x 2
+
+
+def test_quality_score_shape():
+    q = K.quality_score("The quick brown fox.")
+    assert q["n_tokens"] == 4
+    assert 0 < q["punct_ratio"] < 0.1
+    assert q["stopword_ratio"] == 0.25
+
+
+def test_fingerprint_and_simhash_stable():
+    assert K.fingerprint64("a b c") == K.fingerprint64("A  B\tC")
+    assert K.simhash32("hello world") == K.simhash32("hello world")
+    # near-identical docs → small hamming distance
+    a, b = K.simhash32("the quick brown fox jumps " * 10), K.simhash32(
+        "the quick brown fox jumped " * 10)
+    assert bin(a ^ b).count("1") <= 12
+
+
+def test_minhash_shingles_jaccard():
+    assert K.shingles("a b c d", 3) == ["a b c", "b c d"]
+    sig1 = K.minhash_signature("the quick brown fox jumps over the lazy dog")
+    sig2 = K.minhash_signature("the quick brown fox jumps over the lazy dog")
+    assert sig1 == sig2 and len(sig1) == 16
+    assert K.jaccard({1, 2}, {2, 3}) == pytest.approx(1 / 3)
