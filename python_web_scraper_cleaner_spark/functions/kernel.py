@@ -92,6 +92,7 @@ def normalize_markdown(md: str) -> str:
 
 # Elements whose entire subtree is boilerplate and must be dropped.
 _DROP_SUBTREE = {
+    "head", "title",
     "script", "style", "noscript", "template", "svg", "iframe",
     "nav", "footer", "header", "aside", "form", "button", "select",
     "option", "label",
@@ -143,6 +144,9 @@ class _TextExtractor(HTMLParser):
 
     # -- parser callbacks ---------------------------------------------------
     def handle_starttag(self, tag, attrs):
+        if tag == "body":
+            # malformed pages may never close <head>; body always ends it
+            self._drop_depth = 0
         if tag in _DROP_SUBTREE:
             self._drop_depth += 1
             return
