@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship crawl slice on sf0.001: synthesize a Common-Crawl-
+                style pages table, run the vectorized HTML→clean-text
+                extraction (byte-identical to the reference cleaner per
+                tests/test_extraction_parity.py), dedup by canonical URL,
+                and roll up the per-host manifest.
+queries()     — one entry per implemented SURVEY.md §2 operator.
+oracle_sql()  — DuckDB twins (identical column names/values) for every
+                SQL-expressible query; pandas-UDF pipelines are rows-only.
 """
 
 from __future__ import annotations
@@ -15,24 +18,31 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: pages → extract → canonicalize → per-host manifest."""
+    from pyspark.sql import functions as F
+
+    from python_web_scraper_cleaner_spark.functions.udfs import with_clean_text
+    from python_web_scraper_cleaner_spark.plans.queries import _canonicalize
+    from python_web_scraper_cleaner_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, 1000)
+    cleaned = with_clean_text(pages, output_format="txt")
+    canon = _canonicalize(cleaned)
+    return (canon.groupBy("host")
+            .agg(F.count("*").alias("n_pages"),
+                 F.sum(F.col("ok").cast("int")).alias("n_ok"),
+                 F.sum("extracted_chars").alias("sum_chars"),
+                 F.min("warc_ts").alias("first_ts"),
+                 F.max("warc_ts").alias("last_ts"))
+            .orderBy("host"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from python_web_scraper_cleaner_spark.plans.queries import registry
+    return {name: fn for name, (fn, _sql) in registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from python_web_scraper_cleaner_spark.plans.queries import registry
+    return {name: sql for name, (_fn, sql) in registry().items()
+            if sql is not None}

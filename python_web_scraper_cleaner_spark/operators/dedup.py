@@ -1,0 +1,243 @@
+"""Deduplication operators for web-scale corpora.
+
+Reference analog: the URL-seen set + skip-if-output-exists incremental logic
+(/root/reference/scripts/news.py:17-34, scraper_cleaner/html_cleaner_core.py
+:169-177) generalized to *content* dedup, the core of a training-data
+pipeline. All operators are pure DataFrame compositions (JVM-side, whole-
+stage-codegen-able) — no Python UDFs anywhere in this module.
+
+Scale notes (100 TB design point):
+- exact dedup: one hash-shuffle on a 32-char digest, AQE-coalesced.
+- MinHash-LSH: tokenize → shingle → n_hashes minhashes → band → bucket join.
+  Only docs sharing a (band, signature) bucket pair up, so candidate
+  generation is linear-ish; the exact Jaccard verify joins only candidates.
+- hot-shingle cap (``max_df``): drops shingles appearing in too many docs
+  before the inverted-index join — the classic guard against quadratic
+  blowup on boilerplate shingles.
+- SimHash: 32-bit signature built with integer expressions over md5 hex
+  (stable across engines → DuckDB-oracle-checkable), banded into 4×8-bit
+  chunks for candidate generation, Hamming-verified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Tokenize / shingle (JVM-side)
+# ---------------------------------------------------------------------------
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of lowercased text (JVM split, no UDF)."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def shingles_col(text: Column, k: int = 3) -> Column:
+    """k-token shingles as an array<string>; shorter docs yield one shingle
+    (kernel.shingles parity)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.when(n <= k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ))
+
+
+def exploded_shingles(df: DataFrame, id_col: str, text_col: str,
+                      k: int = 3, *, distinct: bool = True) -> DataFrame:
+    """(id, shingle) long format — the inverted-index input."""
+    out = df.select(F.col(id_col).alias("id"),
+                    F.explode(shingles_col(F.col(text_col), k)).alias("shingle"))
+    return out.distinct() if distinct else out
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group rows by content fingerprint; representative = min id.
+
+    Returns (fingerprint, rep_id, n_copies). One shuffle on the digest —
+    at 100 TB hash only, never shuffle the text column itself."""
+    return (df
+            .select(F.md5(F.col(text_col)).alias("fingerprint"),
+                    F.col(id_col).alias("id"))
+            .groupBy("fingerprint")
+            .agg(F.min("id").alias("rep_id"),
+                 F.count("*").alias("n_copies")))
+
+
+def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep only the min-id representative per identical text."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_long(sh: DataFrame, n_hashes: int = 16) -> DataFrame:
+    """(id, seed, minhash): minhash = min over shingles of
+    md5(seed || ':' || shingle). Hex-lexicographic min — identical semantics
+    in any engine with md5(), which makes the signature oracle-checkable
+    (kernel.minhash_signature parity)."""
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
+    return (sh.select("id", "shingle", seeds)
+            .select("id", "seed",
+                    F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle")))
+                    .alias("h"))
+            .groupBy("id", "seed")
+            .agg(F.min("h").alias("minhash")))
+
+
+def lsh_candidate_pairs(mh: DataFrame, n_hashes: int = 16,
+                        band_size: int = 4) -> DataFrame:
+    """Band minhashes and bucket-join: docs agreeing on ALL hashes of any
+    band become candidate pairs (id_a < id_b)."""
+    banded = (mh
+              .withColumn("band", (F.col("seed") / band_size).cast("int"))
+              .groupBy("id", "band")
+              .agg(F.concat_ws("|", F.array_sort(
+                  F.collect_list(F.concat_ws("#", "seed", "minhash"))))
+                  .alias("band_key")))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (a.join(b, ["band", "band_key"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+
+
+def jaccard_verify(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs from their distinct shingle sets.
+
+    |A∩B| via shingle join restricted to candidates; |A∪B| = |A|+|B|-∩."""
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    inter = (sh.withColumnRenamed("id", "id_a")
+             .join(sh.withColumnRenamed("id", "id_b"), "shingle")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .join(pairs, ["id_a", "id_b"], "left_semi")
+             .groupBy("id_a", "id_b")
+             .agg(F.count("*").alias("n_inter")))
+    return (inter
+            .join(sizes.withColumnRenamed("id", "id_a")
+                  .withColumnRenamed("n_sh", "n_a"), "id_a")
+            .join(sizes.withColumnRenamed("id", "id_b")
+                  .withColumnRenamed("n_sh", "n_b"), "id_b")
+            .select("id_a", "id_b",
+                    (F.col("n_inter") /
+                     (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+                    .alias("jaccard")))
+
+
+def minhash_lsh_dedup(df: DataFrame, id_col: str, text_col: str, *,
+                      k: int = 3, n_hashes: int = 16, band_size: int = 4,
+                      threshold: float = 0.8) -> DataFrame:
+    """End-to-end near-dup pairs: shingle → minhash → band-bucket join →
+    exact-Jaccard verify ≥ threshold. Returns (id_a, id_b, jaccard)."""
+    sh = exploded_shingles(df, id_col, text_col, k)
+    mh = minhash_long(sh, n_hashes)
+    cand = lsh_candidate_pairs(mh, n_hashes, band_size)
+    return jaccard_verify(sh, cand).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (inverted-index join, no LSH)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, *,
+                        k: int = 3, threshold: float = 0.5,
+                        max_df: int | None = 1000) -> DataFrame:
+    """All-pairs Jaccard ≥ threshold via shared-shingle inverted index.
+
+    ``max_df`` drops boilerplate shingles present in more than max_df docs
+    before the self-join — the standard guard that keeps the join linear-ish
+    at corpus scale."""
+    sh = exploded_shingles(df, id_col, text_col, k)
+    if max_df is not None:
+        hot = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+               .filter(F.col("df") > max_df).select("shingle"))
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    inter = (sh.withColumnRenamed("id", "id_a")
+             .join(sh.withColumnRenamed("id", "id_b"), "shingle")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count("*").alias("n_inter")))
+    return (inter
+            .join(sizes.withColumnRenamed("id", "id_a")
+                  .withColumnRenamed("n_sh", "n_a"), "id_a")
+            .join(sizes.withColumnRenamed("id", "id_b")
+                  .withColumnRenamed("n_sh", "n_b"), "id_b")
+            .select("id_a", "id_b",
+                    (F.col("n_inter") /
+                     (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+                    .alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+# ---------------------------------------------------------------------------
+# SimHash (32-bit, md5-derived — engine-portable integer math)
+# ---------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash): 32-bit SimHash over whitespace tokens with md5-derived
+    per-token hashes — kernel.simhash32 parity, entirely JVM expressions.
+
+    Token hash hv = int(md5(token)[:8], 16) via conv(); bit b of the
+    signature is the sign of sum over tokens of (2*((hv>>b)&1) - 1)."""
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.explode(tokens(F.col(text_col))).alias("tok"))
+            .filter(F.col("tok") != ""))
+    hashed = toks.select(
+        "id",
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10)
+        .cast("long").alias("hv"))
+    bits = hashed.select(
+        "id", "hv",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"))
+    # floor(hv / 2^b) % 2 — pow is exact in double for b ≤ 31, hv < 2^32
+    bitval = F.floor(F.col("hv") / F.pow(F.lit(2.0), F.col("b"))).cast("long") % 2
+    contrib = bits.select("id", "b", (bitval * 2 - 1).alias("c"))
+    return (contrib.groupBy("id", "b").agg(F.sum("c").alias("s"))
+            .withColumn("bit", (F.col("s") > 0).cast("long"))
+            .groupBy("id")
+            .agg(F.sum((F.col("bit") * F.pow(F.lit(2.0), F.col("b"))).cast("long"))
+                 .alias("simhash")))
+
+
+def simhash_near_pairs(sim: DataFrame, *, max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs by 4×8-bit band bucketing, verified by exact Hamming
+    distance (popcount via bit_count on XOR)."""
+    banded = sim.select(
+        "id", "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"))
+    banded = banded.withColumn(
+        "band_val",
+        (F.floor(F.col("simhash") / F.pow(F.lit(2.0), F.col("band") * 8))
+         .cast("long") % 256))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, ["band", "band_val"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("a.simhash").alias("sh_a"),
+                    F.col("b.id").alias("id_b"),
+                    F.col("b.simhash").alias("sh_b"))
+            .distinct())
+    return (cand
+            .withColumn("hamming",
+                        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

@@ -1,0 +1,96 @@
+"""Corpus search substrate — DataFrame rebuilds of the reference's
+MCP news-archive operations (/root/reference/mcp_server/news_server.py).
+
+Every loop in the reference becomes one declarative plan: the per-file
+Python loops (news_server.py:44, :103) are full scans the engine expresses
+as filters/aggregations that Catalyst parallelizes and prunes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.kernel import STOP_WORDS
+
+
+def snippet_col(content: Column, query: str, *, before: int = 50,
+                after: int = 150) -> Column:
+    """Match snippet (news_server.py:48-53): slice [idx-50, idx+150] around
+    the first case-insensitive match, newlines→spaces. NULL when no match.
+
+    1-based SQL indexing: idx1 = locate(); python idx = idx1-1;
+    start(1-based) = max(1, idx1-50); length = min(len, idx-1+150) - start + 1.
+    """
+    idx1 = F.locate(query.lower(), F.lower(content))
+    start = F.greatest(idx1 - before, F.lit(1))
+    end1 = F.least(F.length(content), idx1 - 1 + after)  # inclusive 1-based
+    return F.when(idx1 > 0,
+                  F.regexp_replace(
+                      F.substring(content, start, end1 - start + 1),
+                      "\n", " "))
+
+
+def search_news(df: DataFrame, query: str, *, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Case-insensitive substring search + snippet (news_server.py:40-60,
+    SURVEY P5/F13). Returns (id, snippet)."""
+    return (df
+            .filter(F.lower(F.col(text_col)).contains(query.lower()))
+            .select(F.col(id_col).alias("id"),
+                    snippet_col(F.col(text_col), query).alias("snippet")))
+
+
+def occurrences(content: Column, term: str) -> Column:
+    """Substring occurrence count — the reference's str.count
+    (news_server.py:109), as pure JVM expressions."""
+    lc = F.lower(content)
+    return ((F.length(lc) - F.length(F.replace(lc, F.lit(term.lower()), F.lit(""))))
+            / F.lit(len(term))).cast("long")
+
+
+def meaningful_terms(query: str) -> list[str]:
+    """Stopword-aware query tokenization (news_server.py:86-101) — driver-
+    side, the query string is a literal."""
+    import string as _string
+    clean = query.lower().translate(str.maketrans("", "", _string.punctuation))
+    terms = [t for t in clean.split() if t not in STOP_WORDS]
+    return terms or clean.split()
+
+
+def score_docs(df: DataFrame, query: str, *, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Per-document term-frequency relevance (news_server.py:103-113,
+    SURVEY A5): score = Σ occurrences of each meaningful term."""
+    terms = meaningful_terms(query)
+    score = None
+    for t in terms:
+        c = occurrences(F.col(text_col), t)
+        score = c if score is None else score + c
+    return df.select(F.col(id_col).alias("id"),
+                     (score if score is not None else F.lit(0)).alias("score"))
+
+
+def best_doc(df: DataFrame, query: str, *, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Argmax doc for a query (news_server.py:103-117, SURVEY A6/J5):
+    max score wins, score must be > 0, ties → lowest id (the reference's
+    'first file wins' under its sorted scan order)."""
+    scored = score_docs(df, query, id_col=id_col, text_col=text_col)
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    return (scored.filter(F.col("score") > 0)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", "score"))
+
+
+def latest_k(df: DataFrame, *, k: int = 5, ts_col: str = "ts",
+             id_col: str = "event_id",
+             summary_col: Column | None = None) -> DataFrame:
+    """Latest-k by timestamp desc (news_server.py:62-78, SURVEY O3) with a
+    deterministic id tiebreak; Catalyst executes as TakeOrderedAndProject —
+    no full sort at scale."""
+    out = df.orderBy(F.desc(ts_col), F.desc(id_col)).limit(k)
+    if summary_col is not None:
+        out = out.withColumn("summary", summary_col)
+    return out

@@ -1,0 +1,133 @@
+"""Approximate-nearest-neighbor / similarity search over embedding columns.
+
+Engine extension ops for training-data pipelines (no direct reference
+analog; the reference's closest op is the argmax best-article scorer,
+/root/reference/mcp_server/news_server.py:103-117 — same top-k-by-score
+shape over a corpus).
+
+Scale design:
+- brute-force: broadcast the (small) query set, JVM-side dot products via
+  ``zip_with``/``aggregate`` — one pass over the corpus, no shuffle until
+  the per-query top-k (TakeOrdered-style window).
+- LSH-bucketed: deterministic sign-random-projection buckets; queries only
+  join their own bucket → corpus scan shrinks by ~2^n_planes. The plane
+  weights are ±1 derived from integer arithmetic on (plane, dim), so the
+  same bucketing is reproducible in ANSI SQL (DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(queries: DataFrame, corpus: DataFrame, *, k: int = 3,
+                     round_digits: int | None = 4) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    ``queries``/(``corpus``): (id, vec array<float|double>). The query side
+    is broadcast (it is small by construction); similarity math runs in
+    double. Ties and float noise are tamed by rounding before ranking, with
+    corpus id as the final tiebreak — fully deterministic output
+    (query_id, neighbor_id, cos_sim, rank).
+    """
+    q = queries.select(F.col("id").alias("query_id"),
+                       F.col("vec").cast("array<double>").alias("qv"))
+    c = corpus.select(F.col("id").alias("neighbor_id"),
+                      F.col("vec").cast("array<double>").alias("cv"))
+    sim = (c.join(F.broadcast(q))
+           .select("query_id", "neighbor_id",
+                   cosine(F.col("qv"), F.col("cv")).alias("_cos")))
+    if round_digits is not None:
+        sim = sim.withColumn("cos_sim", F.round(F.col("_cos"), round_digits))
+    else:
+        sim = sim.withColumn("cos_sim", F.col("_cos"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (sim.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rank"))
+
+
+def projection_bucket(vec: Column, *, n_planes: int = 4, dims: int = 64) -> Column:
+    """Deterministic sign-random-projection bucket id in [0, 2^n_planes).
+
+    Plane p weight for dim d (1-based) = +1 if
+    (d*2654435761 + (p+1)*40503) % 97 < 48 else -1 — integer arithmetic
+    reproducible in any SQL engine (and non-degenerate, unlike parity)."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec.cast("array<double>"),
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(dims)),
+                    lambda d: (((d.cast("long") * 2654435761
+                                 + (p + 1) * 40503) % 97 < 48)
+                               .cast("int") * 2 - 1)),
+                lambda x, w: x * w.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v)
+        bucket = bucket + F.when(proj >= 0, F.lit(2 ** p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(queries: DataFrame, corpus: DataFrame, *, k: int = 3,
+             n_planes: int = 4, dims: int = 64,
+             round_digits: int | None = 4) -> DataFrame:
+    """ANN top-k restricted to the query's projection bucket — the scale
+    path: each query scans ~1/2^n_planes of the corpus. Recall is traded
+    for throughput; raise n_planes for bigger corpora or probe neighboring
+    buckets for higher recall."""
+    q = queries.select(F.col("id").alias("query_id"),
+                       F.col("vec").cast("array<double>").alias("qv"),
+                       projection_bucket(F.col("vec"), n_planes=n_planes,
+                                         dims=dims).alias("bucket"))
+    c = corpus.select(F.col("id").alias("neighbor_id"),
+                      F.col("vec").cast("array<double>").alias("cv"),
+                      projection_bucket(F.col("vec"), n_planes=n_planes,
+                                        dims=dims).alias("bucket"))
+    sim = (c.join(F.broadcast(q), "bucket")
+           .select("query_id", "neighbor_id",
+                   cosine(F.col("qv"), F.col("cv")).alias("_cos")))
+    if round_digits is not None:
+        sim = sim.withColumn("cos_sim", F.round(F.col("_cos"), round_digits))
+    else:
+        sim = sim.withColumn("cos_sim", F.col("_cos"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (sim.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rank"))
+
+
+def embedding_near_duplicates(df: DataFrame, *, threshold: float = 0.95,
+                              n_planes: int = 4, dims: int = 64) -> DataFrame:
+    """Embedding-cosine near-dup pairs via bucketed self-join (id_a < id_b).
+
+    The LSH bucket bounds the self-join; exact cosine verifies. At corpus
+    scale add multi-probe or repeated plane sets for recall."""
+    v = df.select(F.col("id"), F.col("vec").cast("array<double>").alias("v"),
+                  projection_bucket(F.col("vec"), n_planes=n_planes,
+                                    dims=dims).alias("bucket"))
+    a, b = v.alias("a"), v.alias("b")
+    return (a.join(b, "bucket")
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.round(cosine(F.col("a.v"), F.col("b.v")), 4)
+                    .alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold)
+            .distinct())

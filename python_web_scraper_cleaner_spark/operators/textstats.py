@@ -1,0 +1,97 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+Engine extensions over the reference's word-count / fingerprint analogs
+(/root/reference/scripts/trafilatura_scraper.py:387 word count,
+:110 trafilatura fingerprint field). Everything here is JVM-side
+expressions (whole-stage codegen); the byte-parity UDF twins for unicode
+corpora live in functions/udfs.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.kernel import LANG_MARKERS, STOP_WORDS
+
+# ASCII punctuation (string.punctuation), regex-escaped as a class.
+PUNCT_CLASS = r"""[!"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]"""
+
+
+def ws_tokens(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace token count (ref word-count analog)."""
+    return F.when(F.trim(text) == "", F.lit(0)).otherwise(
+        F.size(ws_tokens(text))).cast("long")
+
+
+def bpe_ish_count_col(text: Column) -> Column:
+    """BPE-ish token estimate: alpha runs + digit runs + single symbols
+    (kernel.bpe_ish_token_count parity)."""
+    return F.coalesce(
+        F.regexp_count(text, F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")),
+        F.lit(0)).cast("long")
+
+
+def lang_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-word hit counts per language (kernel.LANG_MARKERS), computed
+    as array intersections — one pass, no shuffle until the caller groups."""
+    toks = ws_tokens(F.col(text_col))
+    out = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(w) for w in sorted(LANG_MARKERS[lang])])
+        out = out.withColumn(
+            f"score_{lang}",
+            F.size(F.filter(F.col("toks"), lambda t: F.array_contains(markers, t)))
+            .cast("long"))
+    return out.drop("toks")
+
+
+def lang_id_col(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic language ID: argmax marker count, alphabetical
+    tiebreak, zero hits → 'und' (kernel.lang_id parity)."""
+    scored = lang_scores(df, id_col, text_col)
+    langs = sorted(LANG_MARKERS)
+    pred, best = F.lit("und"), F.lit(0).cast("long")
+    # iterate in alphabetical order with strict > — first (alphabetical) wins ties
+    for lang in langs:
+        s = F.col(f"score_{lang}")
+        pred = F.when(s > best, F.lit(lang)).otherwise(pred)
+        best = F.when(s > best, s).otherwise(best)
+    return scored.select("id", pred.alias("pred_lang"), best.alias("best_score"))
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic quality features (kernel.quality_score semantics):
+    n_chars, n_tokens, mean_token_len, punct_ratio, stopword_ratio."""
+    t = F.col(text_col)
+    toks = ws_tokens(t)
+    n_chars = F.length(t).cast("long")
+    n_tokens = token_count_col(t)
+    n_punct = (F.length(t) - F.length(F.regexp_replace(t, PUNCT_CLASS, ""))).cast("long")
+    stop_arr = F.array(*[F.lit(w) for w in sorted(STOP_WORDS)])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("long")
+    total_tok_len = F.aggregate(toks, F.lit(0).cast("long"),
+                                lambda acc, x: acc + F.length(x))
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(F.when(n_tokens > 0, total_tok_len / n_tokens).otherwise(0.0), 4)
+        .alias("mean_token_len"),
+        F.round(F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0), 4)
+        .alias("punct_ratio"),
+        F.round(F.when(n_tokens > 0, n_stop / n_tokens).otherwise(0.0), 4)
+        .alias("stopword_ratio"),
+    )
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Content fingerprint over the normalized token stream: md5 of the
+    single-space-joined lowercased tokens — whitespace-insensitive like
+    kernel.fingerprint64, engine-portable (md5 everywhere)."""
+    return F.md5(F.concat_ws(" ", ws_tokens(text)))

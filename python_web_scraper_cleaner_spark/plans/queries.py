@@ -1,0 +1,1021 @@
+"""Query registry: every SURVEY.md §2 operator as a (Spark, oracle-SQL) pair.
+
+Each entry returns a DataFrame from (spark, sf_dir) and — where ANSI-SQL-
+expressible — carries a DuckDB oracle producing identical columns and values
+(the driver's correctness gate). Column names are aliased identically on
+both sides; doubles are rounded before ranking/output so floating-point
+noise can't flip hashes; money is folded to exact integer cents via
+floor(x*100+0.5), which is bit-deterministic IEEE math in both engines.
+
+Crawl-specific inputs are derived deterministically from the ``documents``
+table (urls from doc_id/source, duplicate corpus via unioned copies) so the
+Spark side and the oracle side construct byte-identical inputs without any
+external data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import search as S
+from ..operators import similarity as SIM
+from ..operators import textstats as TS
+
+# ---------------------------------------------------------------------------
+# Shared derived inputs (Spark + SQL twins)
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col):
+    """Exact integer cents from a 2-ish-decimal double: floor(x*100+0.5) is
+    identical IEEE math in Spark and DuckDB (unlike round(), which may take
+    different decimal paths)."""
+    return F.floor(col * 100 + F.lit(0.5)).cast("long")
+
+
+_CENTS_SQL = "cast(floor({x}*100 + 0.5) as bigint)"
+
+
+def _doc_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic Common-Crawl-style URLs derived from documents
+    (FIXTURES.md §1 analog, no external data)."""
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://Host"), (d % 7).cast("string"), F.lit(".Example.COM"),
+        F.when(d % 2 == 0, F.lit(":443")).otherwise(F.lit(":8080")),
+        F.lit("/"), F.col("source"), F.lit("/"), d.cast("string"),
+        F.lit(".html"),
+        F.when(d % 5 == 0, F.lit("#ref")).otherwise(F.lit("")))
+    return docs.select("doc_id", "source", url.alias("url"))
+
+
+_DOC_URLS_SQL = """
+select doc_id, source,
+       'https://Host' || cast(doc_id % 7 as varchar) || '.Example.COM'
+       || case when doc_id % 2 = 0 then ':443' else ':8080' end
+       || '/' || source || '/' || cast(doc_id as varchar) || '.html'
+       || case when doc_id % 5 = 0 then '#ref' else '' end as url
+from documents
+"""
+
+
+def _canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Expression-twin of kernel.canonicalize_url (SURVEY F10): lowercase
+    scheme+host, strip fragment, drop default ports, empty path→'/'.
+    Pure JVM regexp ops — whole-stage codegen, no UDF."""
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(
+        u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    path = F.regexp_extract(
+        u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    host = (F.when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+            .when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+            .otherwise(hostport))
+    canon = F.concat(scheme, F.lit("://"), host,
+                     F.when(path == "", F.lit("/")).otherwise(path))
+    return df.withColumn("canonical_url", canon).withColumn("host", host)
+
+
+_CANON_SQL = """
+select *, scheme || '://' || host
+       || case when path = '' then '/' else path end as canonical_url
+from (
+  select *,
+    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) as scheme,
+    case
+      when lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) = 'https'
+        then regexp_replace(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)), ':443$', '')
+      when lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) = 'http'
+        then regexp_replace(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)), ':80$', '')
+      else lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1))
+    end as host,
+    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1) as path
+  from urls
+)
+"""
+
+
+def _dup_corpus(docs: DataFrame) -> DataFrame:
+    """documents ∪ exact re-crawl copies ∪ near-dup copies ∪ whitespace
+    variants — the deterministic dedup test corpus (both sides derive it
+    from the same table)."""
+    base = docs.select("doc_id", "text")
+    d = F.col("doc_id")
+    exact = (base.filter(d % 10 < 3)
+             .select((d + 100000).alias("doc_id"), "text"))
+    near = (base.filter(d % 10 == 3)
+            .select((d + 200000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" extra extra extra"))
+                    .alias("text")))
+    ws = (base.filter(d % 10 == 4)
+          .select((d + 300000).alias("doc_id"),
+                  F.concat(F.col("text"), F.lit("  ")).alias("text")))
+    return base.unionByName(exact).unionByName(near).unionByName(ws)
+
+
+_DUP_CORPUS_SQL = """
+  select doc_id, text from documents
+  union all
+  select doc_id + 100000, text from documents where doc_id % 10 < 3
+  union all
+  select doc_id + 200000, text || ' extra extra extra' from documents where doc_id % 10 = 3
+  union all
+  select doc_id + 300000, text || '  ' from documents where doc_id % 10 = 4
+"""
+
+_STOPWORDS_SQL = ("['the','a','an','and','or','but','in','on','at','to','for',"
+                  "'of','with','is','are','was','were','be','this','that','it',"
+                  "'what','which','who','when','where','why','how','latest',"
+                  "'news','question','from','by','as']")
+
+
+# ---------------------------------------------------------------------------
+# Scan / project / filter
+# ---------------------------------------------------------------------------
+
+
+def q_p1_scan_filter_project(spark, sf_dir):
+    """S1/P1/P7: pushdown-friendly scan: filter + projection + rename."""
+    return (_t(spark, sf_dir, "documents")
+            .filter((F.col("n_chars") > 200) & F.col("lang").isin("en", "de"))
+            .select(F.col("doc_id"), F.col("lang"),
+                    F.col("n_chars").alias("doc_len"))
+            .orderBy("doc_id"))
+
+
+SQL_P1 = """
+select doc_id, lang, n_chars as doc_len from documents
+where n_chars > 200 and lang in ('en','de') order by doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1-A7)
+# ---------------------------------------------------------------------------
+
+
+def q_a1_manifest_counts(spark, sf_dir):
+    """A1/K3: per-source manifest roll-up (ok = extraction non-trivial),
+    the reference's total/ok/failed counters (html_cleaner_core.py:275-276)."""
+    ok = (F.col("n_chars") >= 200).cast("int")
+    return (_t(spark, sf_dir, "documents")
+            .groupBy("source")
+            .agg(F.count("*").alias("total"),
+                 F.sum(ok).alias("n_ok"),
+                 (F.count("*") - F.sum(ok)).alias("n_failed"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 F.max("n_chars").alias("max_chars"))
+            .orderBy("source"))
+
+
+SQL_A1 = """
+select source, count(*) as total,
+       sum(case when n_chars >= 200 then 1 else 0 end) as n_ok,
+       count(*) - sum(case when n_chars >= 200 then 1 else 0 end) as n_failed,
+       sum(n_chars) as sum_chars, max(n_chars) as max_chars
+from documents group by source order by source
+"""
+
+
+def q_a3_token_counts(spark, sf_dir):
+    """A3 + engine token-counting ops: whitespace + BPE-ish counts."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id",
+        TS.token_count_col(F.col("text")).alias("n_tokens"),
+        TS.bpe_ish_count_col(F.col("text")).alias("n_bpe_ish"),
+    ).orderBy("doc_id")
+
+
+SQL_A3 = """
+select doc_id,
+       cast(len(string_split(text, ' ')) as bigint) as n_tokens,
+       cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^ A-Za-z0-9]')) as bigint) as n_bpe_ish
+from documents where doc_id < 200 order by doc_id
+"""
+
+
+def q_a4_cardinalities(spark, sf_dir):
+    """A4: URL-set-cardinality analog: counts + distinct counts."""
+    return (_t(spark, sf_dir, "documents")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("lang").alias("n_langs"),
+                 F.countDistinct("source").alias("n_sources"),
+                 F.countDistinct("text").alias("n_distinct_texts")))
+
+
+SQL_A4 = """
+select count(*) as n_docs, count(distinct lang) as n_langs,
+       count(distinct source) as n_sources,
+       count(distinct text) as n_distinct_texts
+from documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Search substrate (P5/F13, A5, A6/J5, O3)
+# ---------------------------------------------------------------------------
+
+_SEARCH_QUERY = "merge"
+_SCORE_QUERY = "what is the latest spark data query news"
+
+
+def q_p5_search_snippet(spark, sf_dir):
+    return (S.search_news(_t(spark, sf_dir, "documents"), _SEARCH_QUERY)
+            .orderBy("id"))
+
+
+SQL_P5 = f"""
+select doc_id as id,
+       replace(substr(text,
+           greatest(strpos(lower(text), '{_SEARCH_QUERY}') - 50, 1),
+           least(length(text), strpos(lower(text), '{_SEARCH_QUERY}') - 1 + 150)
+             - greatest(strpos(lower(text), '{_SEARCH_QUERY}') - 50, 1) + 1),
+           chr(10), ' ') as snippet
+from documents
+where contains(lower(text), '{_SEARCH_QUERY}')
+order by id
+"""
+
+
+def q_a5_term_scores(spark, sf_dir):
+    """A5/F14: stopword-aware TF scoring; meaningful terms of the query
+    ('spark','data','query' after stopword removal)."""
+    return (S.score_docs(_t(spark, sf_dir, "documents"), _SCORE_QUERY)
+            .filter(F.col("score") > 0).orderBy("id"))
+
+
+def _occ_sql(term):
+    return (f"cast((length(lower(text)) - length(replace(lower(text), "
+            f"'{term}', ''))) / {len(term)} as bigint)")
+
+
+SQL_A5 = f"""
+select doc_id as id,
+       {_occ_sql('spark')} + {_occ_sql('data')} + {_occ_sql('query')} as score
+from documents
+where {_occ_sql('spark')} + {_occ_sql('data')} + {_occ_sql('query')} > 0
+order by id
+"""
+
+
+def q_a6_best_doc(spark, sf_dir):
+    return S.best_doc(_t(spark, sf_dir, "documents"), _SCORE_QUERY)
+
+
+SQL_A6 = f"""
+with scored as (
+  select doc_id as id,
+         {_occ_sql('spark')} + {_occ_sql('data')} + {_occ_sql('query')} as score
+  from documents)
+select id, score from scored where score > 0
+order by score desc, id asc limit 1
+"""
+
+
+def q_o2_ordered_limit(spark, sf_dir):
+    """O1/O2: deterministic order + limit → TakeOrderedAndProject."""
+    return (_t(spark, sf_dir, "documents")
+            .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+            .select("doc_id", "n_chars")
+            .limit(10))
+
+
+SQL_O2 = """
+select doc_id, n_chars from documents
+order by n_chars desc, doc_id asc limit 10
+"""
+
+
+def q_o3_latest_events(spark, sf_dir):
+    """O3: latest-k by timestamp (mtime analog) + summary projection."""
+    ev = _t(spark, sf_dir, "events")
+    return (S.latest_k(ev, k=5, ts_col="ts", id_col="event_id")
+            .select("event_id", "ts", "event_type",
+                    F.substring("props", 1, 100).alias("summary")))
+
+
+SQL_O3 = """
+select event_id, ts, event_type, substr(props, 1, 100) as summary
+from events order by ts desc, event_id desc limit 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (F5, F8, F10, F14)
+# ---------------------------------------------------------------------------
+
+
+def q_f5_slugify(spark, sf_dir):
+    """F5 expression twin (ASCII path; unicode path is the pandas UDF)."""
+    title = F.concat(F.lit("Article "), F.col("doc_id").cast("string"),
+                     F.lit(": "), F.substring("text", 1, 30))
+    slug = F.lower(title)
+    slug = F.regexp_replace(slug, r"[^a-z0-9\s-]", "")
+    slug = F.regexp_replace(slug, r"\s+", "_")
+    slug = F.regexp_replace(slug, r"-+", "_")
+    slug = F.regexp_replace(slug, r"^_+|_+$", "")
+    slug = F.substring(slug, 1, 100)
+    return (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+            .select("doc_id", slug.alias("slug")).orderBy("doc_id"))
+
+
+SQL_F5 = """
+select doc_id,
+  substr(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(lower('Article ' || cast(doc_id as varchar) || ': ' || substr(text,1,30)),
+                         '[^a-z0-9\\s-]', '', 'g'),
+          '\\s+', '_', 'g'),
+        '-+', '_', 'g'),
+      '^_+|_+$', '', 'g'),
+    1, 100) as slug
+from documents where doc_id < 100 order by doc_id
+"""
+
+
+def q_f8_flat_filename(spark, sf_dir):
+    """F8: flat collision-safe filename with md5 suffix
+    (html_cleaner_core.py:102-124 semantics, JVM md5)."""
+    relpath = F.concat(F.col("source"), F.lit("/doc_"),
+                       F.col("doc_id").cast("string"), F.lit(".html"))
+    flat = F.concat(
+        F.col("source"), F.lit("__doc_"), F.col("doc_id").cast("string"),
+        F.lit("__"), F.substring(F.md5(relpath), 1, 8), F.lit(".md"))
+    return (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+            .select("doc_id", flat.alias("flat_name")).orderBy("doc_id"))
+
+
+SQL_F8 = """
+select doc_id,
+       source || '__doc_' || cast(doc_id as varchar) || '__'
+       || substr(md5(source || '/doc_' || cast(doc_id as varchar) || '.html'), 1, 8)
+       || '.md' as flat_name
+from documents where doc_id < 100 order by doc_id
+"""
+
+
+def q_f10_canonical_hosts(spark, sf_dir):
+    """F10: URL canonicalization + per-host rollup (JVM regexp twin of
+    kernel.canonicalize_url)."""
+    urls = _doc_urls(_t(spark, sf_dir, "documents"))
+    canon = _canonicalize(urls)
+    return (canon.groupBy("host")
+            .agg(F.count("*").alias("n_urls"),
+                 F.countDistinct("canonical_url").alias("n_canonical"),
+                 F.min("canonical_url").alias("first_url"))
+            .orderBy("host"))
+
+
+SQL_F10 = f"""
+with urls as ({_DOC_URLS_SQL}),
+canon as ({_CANON_SQL})
+select host, count(*) as n_urls,
+       count(distinct canonical_url) as n_canonical,
+       min(canonical_url) as first_url
+from canon group by host order by host
+"""
+
+
+def q_f14_stopword_tokens(spark, sf_dir):
+    """F14: stopword-aware token stats per doc."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = TS.ws_tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(w) for w in sorted(S.STOP_WORDS)])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        n_stop.cast("long").alias("n_stopwords"),
+        (F.size(toks) - n_stop).cast("long").alias("n_meaningful"),
+    ).orderBy("doc_id")
+
+
+SQL_F14 = f"""
+select doc_id,
+  cast(len(string_split(text,' ')) as bigint) as n_tokens,
+  cast(len(list_filter(string_split(text,' '),
+       t -> list_contains({_STOPWORDS_SQL}, t))) as bigint) as n_stopwords,
+  cast(len(string_split(text,' ')) -
+       len(list_filter(string_split(text,' '),
+       t -> list_contains({_STOPWORDS_SQL}, t))) as bigint) as n_meaningful
+from documents where doc_id < 200 order by doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1, J2, J3)
+# ---------------------------------------------------------------------------
+
+
+def q_j1_urlseen_antijoin(spark, sf_dir):
+    """J1/P2: frontier dedup — candidates (with duplicate discoveries)
+    anti-joined against url_seen (scripts/news.py:17-34 at scale)."""
+    urls = _doc_urls(_t(spark, sf_dir, "documents"))
+    candidates = urls.unionByName(urls.filter(F.col("doc_id") % 3 == 0))
+    seen = urls.filter(F.col("doc_id") % 7 < 2).select("url")
+    canon = _canonicalize(candidates.select("url").distinct())
+    new = canon.join(seen, "url", "left_anti")
+    return (new.groupBy("host").agg(F.count("*").alias("n_new"))
+            .orderBy("host"))
+
+
+SQL_J1 = f"""
+with urls as ({_DOC_URLS_SQL}),
+candidates as (select url from urls union all
+               select url from urls where doc_id % 3 = 0),
+seen as (select url from urls where doc_id % 7 < 2),
+distinct_cand as (select distinct url from candidates),
+newu as (select url from distinct_cand
+         where url not in (select url from seen)),
+canon as ({_CANON_SQL.replace("from urls", "from newu")})
+select host, count(*) as n_new from canon group by host order by host
+"""
+
+
+def q_j2_semi_join(spark, sf_dir):
+    """J2: semi-join — docs that have a label-3 embedding."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("label") == 3)
+    return (docs.join(emb, docs.doc_id == emb.vec_id, "left_semi")
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
+SQL_J2 = """
+select doc_id, lang from documents
+where exists (select 1 from embeddings
+              where vec_id = doc_id and label = 3)
+order by doc_id
+"""
+
+
+def q_j3_robots_broadcast(spark, sf_dir):
+    """J3/O4 substrate: robots rules broadcast-joined to the frontier;
+    disallow prefixes block matching paths (north_rule politeness)."""
+    urls = (_canonicalize(_doc_urls(_t(spark, sf_dir, "documents")))
+            .withColumn("host_key",
+                        F.regexp_replace(F.col("host"), r":[0-9]+$", "")))
+    robots = spark.range(7).select(
+        F.concat(F.lit("host"), F.col("id").cast("string"),
+                 F.lit(".example.com")).alias("host_key"),
+        (F.col("id") * 250).alias("crawl_delay_ms"),
+        F.concat(F.lit("/src"), ((F.col("id") * 3) % 20).cast("string"),
+                 F.lit("/")).alias("disallow_prefix"))
+    path = F.regexp_extract(F.col("canonical_url"), r"^https://[^/]*(/.*)$", 1)
+    joined = (urls.join(F.broadcast(robots), "host_key", "left")
+              .withColumn("blocked",
+                          F.coalesce(path.startswith(F.col("disallow_prefix")),
+                                     F.lit(False))))
+    return (joined.groupBy(F.col("host_key").alias("host"), "crawl_delay_ms")
+            .agg(F.count("*").alias("n_urls"),
+                 F.sum(F.col("blocked").cast("int")).alias("n_blocked"),
+                 F.sum((~F.col("blocked")).cast("int")).alias("n_allowed"))
+            .orderBy("host"))
+
+
+SQL_J3 = f"""
+with urls as ({_DOC_URLS_SQL}),
+canon as ({_CANON_SQL}),
+robots as (select 'host' || cast(i as varchar) || '.example.com' as host_key,
+                  i * 250 as crawl_delay_ms,
+                  '/src' || cast((i*3) % 20 as varchar) || '/' as disallow_prefix
+           from range(7) t(i)),
+hosts as (select *, regexp_replace(host, ':[0-9]+$', '') as host_key from canon),
+joined as (
+  select c.host_key as host, r.crawl_delay_ms,
+         coalesce(starts_with(regexp_extract(c.canonical_url, '^https://[^/]*(/.*)$', 1),
+                              r.disallow_prefix), false) as blocked
+  from hosts c left join robots r using (host_key))
+select host, crawl_delay_ms, count(*) as n_urls,
+       sum(case when blocked then 1 else 0 end) as n_blocked,
+       sum(case when blocked then 0 else 1 end) as n_allowed
+from joined group by host, crawl_delay_ms order by host
+"""
+
+
+def q_o4_perhost_topk(spark, sf_dir):
+    """O4: per-host politeness batch — top-k per host by (priority, url),
+    the frontier round selection (window + row_number ≤ k)."""
+    urls = _canonicalize(_doc_urls(_t(spark, sf_dir, "documents")))
+    pri = (F.col("doc_id") % 10).alias("priority")
+    w = Window.partitionBy("host").orderBy(F.asc("priority"),
+                                           F.asc("canonical_url"))
+    return (urls.select("host", "canonical_url", pri)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("host", "priority", "canonical_url", "rn")
+            .orderBy("host", "rn"))
+
+
+SQL_O4 = f"""
+with urls as ({_DOC_URLS_SQL}),
+canon as ({_CANON_SQL}),
+ranked as (
+  select host, doc_id % 10 as priority, canonical_url,
+         row_number() over (partition by host
+                            order by doc_id % 10 asc, canonical_url asc) as rn
+  from canon)
+select host, priority, canonical_url, rn from ranked
+where rn <= 3 order by host, rn
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style relational (engine generality)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1_pricing(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02"))
+    qty = F.floor(F.col("l_quantity") + 0.5).cast("long")
+    price_c = _cents(F.col("l_extendedprice"))
+    disc_c = F.floor((1 - F.col("l_discount")) * 100 + 0.5).cast("long")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(qty).alias("sum_qty"),
+                 F.sum(price_c).alias("sum_base_cents"),
+                 F.sum(price_c * disc_c).alias("sum_disc_e4"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+SQL_TPCH_Q1 = f"""
+select l_returnflag, l_linestatus,
+       sum(cast(floor(l_quantity + 0.5) as bigint)) as sum_qty,
+       sum({_CENTS_SQL.format(x='l_extendedprice')}) as sum_base_cents,
+       sum({_CENTS_SQL.format(x='l_extendedprice')}
+           * cast(floor((1 - l_discount)*100 + 0.5) as bigint)) as sum_disc_e4,
+       count(*) as count_order
+from lineitem
+where l_shipdate <= timestamp '2000-09-02 00:00:00'
+group by l_returnflag, l_linestatus
+order by l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3_topk(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-03-15"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15"))
+    rev = _cents(F.col("l_extendedprice")) * F.floor(
+        (1 - F.col("l_discount")) * 100 + 0.5).cast("long")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.sum(rev).alias("revenue_e4"))
+            .orderBy(F.desc("revenue_e4"), F.asc("o_orderdate"),
+                     F.asc("o_orderkey"))
+            .limit(10))
+
+
+SQL_TPCH_Q3 = f"""
+select o_orderkey, o_orderdate, o_orderpriority,
+       sum({_CENTS_SQL.format(x='l_extendedprice')}
+           * cast(floor((1 - l_discount)*100 + 0.5) as bigint)) as revenue_e4
+from lineitem
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+where c_mktsegment = 'BUILDING'
+  and o_orderdate < timestamp '1997-03-15 00:00:00'
+  and l_shipdate > timestamp '1997-03-15 00:00:00'
+group by o_orderkey, o_orderdate, o_orderpriority
+order by revenue_e4 desc, o_orderdate asc, o_orderkey asc
+limit 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    corpus = _dup_corpus(_t(spark, sf_dir, "documents"))
+    return (D.exact_dedup_groups(corpus, "doc_id", "text")
+            .filter(F.col("n_copies") > 1)
+            .orderBy("rep_id"))
+
+
+SQL_DEDUP_EXACT = f"""
+with corpus as ({_DUP_CORPUS_SQL})
+select md5(text) as fingerprint, min(doc_id) as rep_id,
+       count(*) as n_copies
+from corpus group by md5(text)
+having count(*) > 1 order by rep_id
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    pairs = D.minhash_lsh_dedup(
+        _dup_corpus(_t(spark, sf_dir, "documents")), "doc_id", "text",
+        k=3, n_hashes=16, band_size=4, threshold=0.7)
+    return (pairs.select("id_a", "id_b",
+                         F.round("jaccard", 4).alias("jaccard"))
+            .orderBy("id_a", "id_b"))
+
+
+SQL_DEDUP_MINHASH = f"""
+with corpus as ({_DUP_CORPUS_SQL}),
+toks as (select doc_id,
+               list_filter(string_split(lower(trim(text)), ' '), t -> t <> '') as l
+        from corpus),
+sh0 as (select doc_id,
+               unnest(case when len(l) <= 3 then [array_to_string(l, ' ')]
+                      else list_transform(range(1, len(l) - 1),
+                                          i -> array_to_string(l[i:i+2], ' '))
+                      end) as shingle
+        from toks),
+sh as (select distinct doc_id as id, shingle from sh0),
+mh as (select id, seed,
+              min(md5(cast(seed as varchar) || ':' || shingle)) as minhash
+       from sh, range(0, 16) t(seed) group by id, seed),
+banded as (select id, seed // 4 as band,
+                  array_to_string(list_sort(list(cast(seed as varchar) || '#' || minhash)), '|') as band_key
+           from mh group by id, seed // 4),
+cand as (select distinct a.id as id_a, b.id as id_b
+         from banded a join banded b
+           on a.band = b.band and a.band_key = b.band_key and a.id < b.id),
+sizes as (select id, count(*) as n_sh from sh group by id),
+inter as (select a.id as id_a, b.id as id_b, count(*) as n_inter
+          from sh a join sh b on a.shingle = b.shingle and a.id < b.id
+          where exists (select 1 from cand c
+                        where c.id_a = a.id and c.id_b = b.id)
+          group by a.id, b.id)
+select i.id_a, i.id_b,
+       round(i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter), 4) as jaccard
+from inter i
+join sizes sa on sa.id = i.id_a
+join sizes sb on sb.id = i.id_b
+where i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.7
+order by id_a, id_b
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    pairs = D.ngram_jaccard_pairs(
+        _dup_corpus(_t(spark, sf_dir, "documents")), "doc_id", "text",
+        k=3, threshold=0.5, max_df=None)
+    return (pairs.select("id_a", "id_b",
+                         F.round("jaccard", 4).alias("jaccard"))
+            .orderBy("id_a", "id_b"))
+
+
+SQL_DEDUP_NGRAM = f"""
+with corpus as ({_DUP_CORPUS_SQL}),
+toks as (select doc_id,
+               list_filter(string_split(lower(trim(text)), ' '), t -> t <> '') as l
+        from corpus),
+sh0 as (select doc_id,
+               unnest(case when len(l) <= 3 then [array_to_string(l, ' ')]
+                      else list_transform(range(1, len(l) - 1),
+                                          i -> array_to_string(l[i:i+2], ' '))
+                      end) as shingle
+        from toks),
+sh as (select distinct doc_id as id, shingle from sh0),
+sizes as (select id, count(*) as n_sh from sh group by id),
+inter as (select a.id as id_a, b.id as id_b, count(*) as n_inter
+          from sh a join sh b on a.shingle = b.shingle and a.id < b.id
+          group by a.id, b.id)
+select i.id_a, i.id_b,
+       round(i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter), 4) as jaccard
+from inter i
+join sizes sa on sa.id = i.id_a
+join sizes sb on sb.id = i.id_b
+where i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
+order by id_a, id_b
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    return D.simhash_df(docs, "doc_id", "text").orderBy("id")
+
+
+_HV_SQL = " + ".join(
+    f"(strpos('0123456789abcdef', substr(h, {i+1}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8))
+
+SQL_DEDUP_SIMHASH = f"""
+with toks as (
+  select doc_id as id, unnest(string_split(text, ' ')) as tok
+  from documents where doc_id < 60),
+hv as (select id, {_HV_SQL} as hv
+       from (select id, md5(tok) as h from toks where tok <> '')),
+bits as (select id, b,
+                cast(floor(hv / pow(2, b)) as bigint) % 2 as bitval
+         from hv, range(0, 32) t(b)),
+contrib as (select id, b, sum(bitval * 2 - 1) as s from bits group by id, b)
+select id, sum(cast((case when s > 0 then 1 else 0 end) * pow(2, b) as bigint)) as simhash
+from contrib group by id order by id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity / ANN
+# ---------------------------------------------------------------------------
+
+_EMB_DIMS = 64
+
+
+def _emb(spark, sf_dir):
+    return (_t(spark, sf_dir, "embeddings")
+            .select(F.col("vec_id").alias("id"),
+                    F.col("embedding").alias("vec")))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return (SIM.brute_force_topk(emb.filter(F.col("id") < 5),
+                                 emb.filter(F.col("id") >= 5), k=3)
+            .orderBy("query_id", "rank"))
+
+
+_COS_SQL = """
+round(
+  list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) /
+  (sqrt(list_sum(list_transform(range(1, 65), i -> q.v[i] * q.v[i]))) *
+   sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i])))), 4)
+"""
+
+SQL_ANN_BRUTE = f"""
+with q as (select vec_id as id, embedding::DOUBLE[] as v from embeddings where vec_id < 5),
+c as (select vec_id as id, embedding::DOUBLE[] as v from embeddings where vec_id >= 5),
+sims as (select q.id as query_id, c.id as neighbor_id, {_COS_SQL} as cos_sim
+         from q, c),
+ranked as (select *, cast(row_number() over (partition by query_id
+               order by cos_sim desc, neighbor_id asc) as int) as rank
+           from sims)
+select query_id, neighbor_id, cos_sim, rank from ranked
+where rank <= 3 order by query_id, rank
+"""
+
+
+def q_ann_lsh_bucketed(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return (SIM.lsh_topk(emb.filter(F.col("id") < 5),
+                         emb.filter(F.col("id") >= 5), k=3, n_planes=4,
+                         dims=_EMB_DIMS)
+            .orderBy("query_id", "rank"))
+
+
+_BUCKET_SQL = " + ".join(
+    f"""(case when list_sum(list_transform(range(1, 65),
+        i -> v[i] * (((i * 2654435761 + {p + 1} * 40503) % 97 < 48)::int * 2 - 1)))
+        >= 0 then {2 ** p} else 0 end)"""
+    for p in range(4))
+
+SQL_ANN_LSH = f"""
+with e as (select vec_id as id, embedding::DOUBLE[] as v from embeddings),
+b as (select id, v, {_BUCKET_SQL} as bucket from e),
+q as (select * from b where id < 5),
+c as (select * from b where id >= 5),
+sims as (select q.id as query_id, c.id as neighbor_id, {_COS_SQL} as cos_sim
+         from q join c using (bucket)),
+ranked as (select *, cast(row_number() over (partition by query_id
+               order by cos_sim desc, neighbor_id asc) as int) as rank
+           from sims)
+select query_id, neighbor_id, cos_sim, rank from ranked
+where rank <= 3 order by query_id, rank
+"""
+
+
+def q_emb_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup: corpus ∪ perturbed copies (+0.01 on dim 1)
+    must pair with their originals at cos ≥ 0.99."""
+    emb = _emb(spark, sf_dir)
+    pert = (emb.filter(F.col("id") % 25 == 0)
+            .select((F.col("id") + 10000).alias("id"),
+                    F.concat(
+                        F.array(F.element_at("vec", 1) + F.lit(0.01).cast("float")),
+                        F.slice("vec", 2, _EMB_DIMS - 1)).alias("vec")))
+    corpus = emb.unionByName(pert)
+    return (SIM.embedding_near_duplicates(corpus, threshold=0.99,
+                                          n_planes=4, dims=_EMB_DIMS)
+            .orderBy("id_a", "id_b"))
+
+
+SQL_EMB_NEAR_DUP = f"""
+with base as (select vec_id as id, embedding as v from embeddings),
+pert as (select id + 10000 as id,
+                list_prepend((v[1]::FLOAT + 0.01::FLOAT), v[2:64]) as v
+         from base where id % 25 = 0),
+e as (select id, v::DOUBLE[] as v from (select * from base union all select * from pert)),
+b as (select id, v, {_BUCKET_SQL} as bucket from e),
+pairs as (select a.id as id_a, b_.id as id_b,
+                 round(list_sum(list_transform(range(1, 65), i -> a.v[i] * b_.v[i])) /
+                       (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i]))) *
+                        sqrt(list_sum(list_transform(range(1, 65), i -> b_.v[i] * b_.v[i])))), 4) as cos_sim
+          from b a join b b_ on a.bucket = b_.bucket and a.id < b_.id)
+select distinct id_a, id_b, cos_sim from pairs
+where cos_sim >= 0.99 order by id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_lang_id(spark, sf_dir):
+    return (TS.lang_id_col(_t(spark, sf_dir, "documents"), "doc_id", "text")
+            .orderBy("id"))
+
+
+def _lang_score_sql(lang, markers):
+    arr = "[" + ",".join(f"'{w}'" for w in sorted(markers)) + "]"
+    return (f"cast(len(list_filter(string_split(text,' '), "
+            f"t -> list_contains({arr}, t))) as bigint)")
+
+
+def _sql_lang_id():
+    from ..functions.kernel import LANG_MARKERS
+    scores = {lang: _lang_score_sql(lang, m)
+              for lang, m in sorted(LANG_MARKERS.items())}
+    cols = ", ".join(f"{expr} as score_{lang}" for lang, expr in scores.items())
+    langs = sorted(scores)
+    m = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    case = ("case when " + m + " <= 0 then 'und' "
+            + " ".join(f"when score_{lang} = {m} then '{lang}'"
+                       for lang in langs[:-1])
+            + f" else '{langs[-1]}' end")
+    return f"""
+with scored as (select doc_id as id, {cols} from documents)
+select id, {case} as pred_lang, {m} as best_score
+from scored order by id
+"""
+
+
+SQL_LANG_ID = None  # resolved lazily (kernel import) in registry build
+
+
+def q_quality_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return TS.quality_features(docs, "doc_id", "text").orderBy("id")
+
+
+SQL_QUALITY = f"""
+select doc_id as id,
+  cast(length(text) as bigint) as n_chars,
+  cast(len(string_split(text,' ')) as bigint) as n_tokens,
+  round(list_sum(list_transform(string_split(text,' '), t -> length(t)))
+        / len(string_split(text,' ')), 4) as mean_token_len,
+  round((length(text) - length(regexp_replace(text,
+        '[!"#$%&''()*+,\\-./:;<=>?@\\[\\\\\\]^_`{{|}}~]', '', 'g'))) * 1.0
+        / length(text), 4) as punct_ratio,
+  round(len(list_filter(string_split(text,' '),
+        t -> list_contains({_STOPWORDS_SQL}, t))) * 1.0
+        / len(string_split(text,' ')), 4) as stopword_ratio
+from documents where doc_id < 200 order by id
+"""
+
+
+def q_fingerprint_groups(spark, sf_dir):
+    """Whitespace-insensitive content fingerprint groups — catches the
+    trailing-whitespace variants exact-md5 misses."""
+    corpus = _dup_corpus(_t(spark, sf_dir, "documents"))
+    return (corpus
+            .select(TS.fingerprint_col(F.col("text")).alias("fingerprint"),
+                    F.col("doc_id"))
+            .groupBy("fingerprint")
+            .agg(F.min("doc_id").alias("rep_id"),
+                 F.count("*").alias("n_copies"))
+            .filter(F.col("n_copies") > 1)
+            .orderBy("rep_id"))
+
+
+SQL_FINGERPRINT = f"""
+with corpus as ({_DUP_CORPUS_SQL})
+select md5(array_to_string(string_split(lower(trim(text)), ' '), ' ')) as fingerprint,
+       min(doc_id) as rep_id, count(*) as n_copies
+from corpus
+group by 1 having count(*) > 1 order by rep_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Events / streaming analogs
+# ---------------------------------------------------------------------------
+
+
+def q_events_hourly(spark, sf_dir):
+    """Tumbling-window aggregation (streaming analog, batch-equivalent)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"),
+                       F.col("event_type"))
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(_cents(F.col("value"))).alias("value_cents"))
+            .orderBy("window_start", "event_type"))
+
+
+SQL_EVENTS_HOURLY = f"""
+select date_trunc('hour', ts) as window_start, event_type,
+       count(*) as n_events,
+       sum({_CENTS_SQL.format(x='value')}) as value_cents
+from events group by 1, 2 order by window_start, event_type
+"""
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions per user (stateful-streaming
+    analog as deterministic batch windows)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    sess = (ev.select("user_id", "event_id", ms.alias("ms"))
+            .withColumn("prev", F.lag("ms").over(w))
+            .withColumn("is_new",
+                        (F.col("prev").isNull() |
+                         ((F.col("ms") - F.col("prev")) > 1800000))
+                        .cast("long")))
+    return (sess.groupBy("user_id")
+            .agg(F.sum("is_new").alias("n_sessions"),
+                 F.count("*").alias("n_events"))
+            .orderBy("user_id"))
+
+
+SQL_SESSIONIZE = """
+with l as (
+  select user_id, event_id, epoch_ms(ts) as ms,
+         lag(epoch_ms(ts)) over (partition by user_id
+                                 order by epoch_ms(ts), event_id) as prev
+  from events)
+select user_id,
+       sum(case when prev is null or ms - prev > 1800000 then 1 else 0 end) as n_sessions,
+       count(*) as n_events
+from l group by user_id order by user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Crawl pipeline (pandas-UDF path — rows-only check, parity via pytest)
+# ---------------------------------------------------------------------------
+
+
+def q_crawl_clean_extract(spark, sf_dir):
+    """S1-S3/F3/A1: synthesize pages → vectorized extraction → manifest agg.
+    Not SQL-expressible (pandas UDF extraction); byte-parity is guaranteed
+    by tests/test_extraction_parity.py instead."""
+    from ..functions.udfs import with_clean_text
+    from ..sources.pages import synthesize_pages
+    pages = synthesize_pages(spark, 2000)
+    cleaned = with_clean_text(pages, output_format="txt")
+    return (cleaned.groupBy("lang")
+            .agg(F.count("*").alias("total"),
+                 F.sum(F.col("ok").cast("int")).alias("n_ok"),
+                 F.sum("extracted_chars").alias("sum_chars"))
+            .orderBy("lang"))
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+
+def registry():
+    """name → (spark_fn, oracle_sql | None)."""
+    return {
+        "p1_scan_filter_project": (q_p1_scan_filter_project, SQL_P1),
+        "a1_manifest_counts": (q_a1_manifest_counts, SQL_A1),
+        "a3_token_counts": (q_a3_token_counts, SQL_A3),
+        "a4_cardinalities": (q_a4_cardinalities, SQL_A4),
+        "p5_search_snippet": (q_p5_search_snippet, SQL_P5),
+        "a5_term_scores": (q_a5_term_scores, SQL_A5),
+        "a6_best_doc": (q_a6_best_doc, SQL_A6),
+        "o2_ordered_limit": (q_o2_ordered_limit, SQL_O2),
+        "o3_latest_events": (q_o3_latest_events, SQL_O3),
+        "f5_slugify": (q_f5_slugify, SQL_F5),
+        "f8_flat_filename": (q_f8_flat_filename, SQL_F8),
+        "f10_canonical_hosts": (q_f10_canonical_hosts, SQL_F10),
+        "f14_stopword_tokens": (q_f14_stopword_tokens, SQL_F14),
+        "j1_urlseen_antijoin": (q_j1_urlseen_antijoin, SQL_J1),
+        "j2_semi_join": (q_j2_semi_join, SQL_J2),
+        "j3_robots_broadcast": (q_j3_robots_broadcast, SQL_J3),
+        "o4_perhost_topk": (q_o4_perhost_topk, SQL_O4),
+        "tpch_q1_pricing": (q_tpch_q1_pricing, SQL_TPCH_Q1),
+        "tpch_q3_topk": (q_tpch_q3_topk, SQL_TPCH_Q3),
+        "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+        "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
+        "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
+        "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+        "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_BRUTE),
+        "ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_LSH),
+        "emb_near_dup": (q_emb_near_dup, SQL_EMB_NEAR_DUP),
+        "lang_id": (q_lang_id, _sql_lang_id()),
+        "quality_features": (q_quality_features, SQL_QUALITY),
+        "fingerprint_groups": (q_fingerprint_groups, SQL_FINGERPRINT),
+        "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+        "events_sessionize": (q_events_sessionize, SQL_SESSIONIZE),
+        "crawl_clean_extract": (q_crawl_clean_extract, None),
+    }

@@ -66,7 +66,8 @@ def _paragraph(doc_id: int, p: int, n_sents: int = 4) -> str:
 def page_record(doc_id: int, *, paragraphs: int = 4) -> dict:
     """Deterministic page row. ``text`` is None — the extraction stage fills
     it; the parity oracle computes the expectation with kernel.clean_html."""
-    tmpl = doc_id % N_TEMPLATES
+    # mixed so template choice decorrelates from the mod-100 host classes
+    tmpl = ((doc_id * 1103515245 + 12345) >> 16) % N_TEMPLATES
     host = f"host{_host_index(doc_id)}.example"
     section = _SECTIONS[3] if doc_id % 20 == 19 else _SECTIONS[doc_id % 3]
     url = f"https://{host}/{section}/{doc_id}.html"

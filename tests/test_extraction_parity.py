@@ -48,7 +48,7 @@ def test_spark_extraction_byte_identical_to_kernel_loop(spark, oracle):
             n_ok += 1
         else:
             assert row["error"] == exp.error
-    # empty-body template (doc_id % 10 == 1) must fail, everything else ok
+    # the empty-body template must fail, everything else extracts ok
     assert n_ok == sum(1 for o in oracle.values() if o.ok)
     assert 0 < n_ok < N
 
