@@ -1,0 +1,128 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Runs (a) the flagship crawl slice — scan a Common-Crawl-style ``pages``
+parquet table → vectorized HTML→text extraction → URL canonicalization →
+per-host manifest — reporting URLs scheduled+extracted/sec (the
+BASELINE.json north-star metric), and (b) every registry query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), each timed with a full
+collect() so Catalyst cannot prune the measured work.
+
+The synthetic pages table is written once (untimed setup — in production
+the input is an existing Iceberg table, FIXTURES.md §1) and cached on disk
+between runs. The Python worker pool is warmed before timing so the
+numbers measure the pipeline, not one-time worker fork+import cost that a
+long-running 100 TB job amortizes to zero.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] (default 32)
+  SPARK_GRAFT_CRAWL_N  synthetic pages-table size (default 100000)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+PAGES_CACHE = "/tmp/spark_graft_bench_pages_{n}"
+
+
+def warm_workers(spark, cores: int) -> None:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    (spark.range(cores * 4, numPartitions=cores * 4)
+     .select(_warm("id").alias("x")).groupBy().sum("x").collect())
+
+
+def ensure_pages_table(spark, n: int) -> str:
+    from python_web_scraper_cleaner_spark.sources.pages import synthesize_pages
+    path = PAGES_CACHE.format(n=n)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        synthesize_pages(spark, n, partitions=64).write.mode(
+            "overwrite").parquet(path)
+    return path
+
+
+def crawl_throughput(spark, n_urls: int) -> dict:
+    """North-star slice: pages scan → extraction → canonical dedup →
+    per-host manifest. Returns urls/sec."""
+    from pyspark.sql import functions as F
+
+    from python_web_scraper_cleaner_spark.functions.udfs import with_clean_text
+    from python_web_scraper_cleaner_spark.plans.queries import _canonicalize
+
+    path = ensure_pages_table(spark, n_urls)
+    t0 = time.time()
+    pages = spark.read.parquet(path)
+    cleaned = with_clean_text(pages, output_format="txt")
+    canon = _canonicalize(cleaned)
+    manifest = (canon.groupBy("host")
+                .agg(F.count("*").alias("n_pages"),
+                     F.sum(F.col("ok").cast("int")).alias("n_ok"),
+                     F.countDistinct("canonical_url").alias("n_unique_urls"),
+                     F.sum("extracted_chars").alias("sum_chars")))
+    rows = manifest.collect()
+    dt = time.time() - t0
+    total = sum(r["n_pages"] for r in rows)
+    n_ok = sum(r["n_ok"] for r in rows)
+    return {"n_urls": total, "n_ok": n_ok, "sec": round(dt, 3),
+            "urls_per_sec": round(total / dt, 1)}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    crawl_n = int(os.environ.get("SPARK_GRAFT_CRAWL_N", "100000"))
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from python_web_scraper_cleaner_spark.plans.queries import registry
+    from python_web_scraper_cleaner_spark.session import (
+        build_session, tune_for_binary_scan)
+
+    spark = build_session(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    tune_for_binary_scan(spark, 8 * 1024 * 1024)
+
+    warm_workers(spark, cores)
+
+    # crawl slice: median of 3 runs (first run may still page in the table)
+    runs = [crawl_throughput(spark, crawl_n) for _ in range(3)]
+    crawl = sorted(runs, key=lambda r: r["sec"])[1]
+
+    queries = {}
+    total = 0.0
+    for name, (fn, _sql) in registry().items():
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            rows = df.collect()
+            dt = time.time() - t0
+            queries[name] = round(dt, 3)
+            total += dt
+        except Exception as e:  # a broken query must not sink the report
+            queries[name] = None
+            print(f"bench error in {name}: {e}", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "registry query wall time (value) + crawl slice urls/sec",
+        "value": round(total + crawl["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "crawl": crawl,
+        "urls_per_sec": crawl["urls_per_sec"],
+        "cpus": cores,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
