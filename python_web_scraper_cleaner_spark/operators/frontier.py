@@ -1,0 +1,94 @@
+"""Frontier operators: distributed priority queue + polite per-host
+scheduling + hot-host salting.
+
+Reference analog: the sequential ``new_urls`` list and sorted-file queue
+(/root/reference/scripts/news.py:34-48, scraper_cleaner/html_cleaner_core
+.py:222-229) — one URL at a time, one process. The engine's frontier is a
+table keyed (host, priority, warc_ts, url); each round selects a per-host
+budget with a window function (SURVEY O4), respecting robots disallow
+rules broadcast to executors (J3) and splitting hot hosts across salted
+sub-groups so a single mega-domain cannot skew one task (north_star:
+"host-key salting and AQE-aware repartitioning handle hot-domain skew").
+
+Determinism: all selection order derives from explicit sort keys, never
+arrival order (SURVEY §7 risk 2) — the same frontier state always yields
+the same round batch, which is what makes kill/resume reproduce the
+reference's crawl ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+FRONTIER_ORDER = ("priority", "warc_ts", "canonical_url")
+
+
+def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """Filter out URLs whose path starts with the host's disallow prefix.
+    robots(host, crawl_delay_ms, disallow_prefixes array<string>) is tiny →
+    broadcast (reference analog: invariant hoisting, api/main.py:47-48)."""
+    path = F.regexp_extract(F.col("canonical_url"),
+                            r"^[a-z][a-z0-9+.-]*://[^/]*(/.*)$", 1)
+    j = frontier.join(F.broadcast(robots), "host", "left")
+    blocked = F.exists(
+        F.coalesce(F.col("disallow_prefixes"), F.array()),
+        lambda p: F.startswith(path, p))
+    return (j.withColumn("crawl_delay_ms",
+                         F.coalesce(F.col("crawl_delay_ms"), F.lit(0)))
+            .filter(~blocked)
+            .drop("disallow_prefixes"))
+
+
+def select_round_batch(frontier: DataFrame, *, per_host_budget: int,
+                       hot_host_threshold: int | None = None,
+                       n_salts: int = 8) -> DataFrame:
+    """Pick this round's fetch batch: deterministic top-k per host.
+
+    Plain path: one window per host. Hot-host path: hosts whose pending
+    count exceeds ``hot_host_threshold`` are salted into ``n_salts``
+    sub-groups keyed (host, salt) — the window shuffle then spreads a
+    mega-host over n_salts reducers instead of one (skew kill). Budget is
+    split evenly across salts (ceil), preserving the per-host total.
+    """
+    if hot_host_threshold is None:
+        w = Window.partitionBy("host").orderBy(
+            *[F.asc(c) for c in FRONTIER_ORDER])
+        return (frontier.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= per_host_budget)
+                .drop("rn"))
+
+    counts = frontier.groupBy("host").agg(F.count("*").alias("_pending"))
+    hot = counts.filter(F.col("_pending") > hot_host_threshold) \
+                .select("host", "_pending")
+    salted = (frontier
+              .join(F.broadcast(hot), "host", "left")
+              .withColumn("_salt",
+                          F.when(F.col("_pending").isNotNull(),
+                                 F.pmod(F.xxhash64("canonical_url"),
+                                        F.lit(n_salts)))
+                          .otherwise(F.lit(0))))
+    per_salt = F.when(F.col("_pending").isNotNull(),
+                      F.ceil(F.lit(per_host_budget) / n_salts)) \
+                .otherwise(F.lit(per_host_budget))
+    w = Window.partitionBy("host", "_salt").orderBy(
+        *[F.asc(c) for c in FRONTIER_ORDER])
+    return (salted.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= per_salt)
+            .drop("rn", "_salt", "_pending"))
+
+
+def politeness_schedule(batch: DataFrame) -> DataFrame:
+    """Assign each selected URL its in-round fetch slot and simulated start
+    offset: slot = rank within host (deterministic FRONTIER_ORDER),
+    offset_ms = (slot-1) * crawl_delay_ms. The fetch stage executes one
+    host per task group (groupBy(host).applyInPandas) so pacing is honored
+    within the task; offsets make the schedule auditable and deterministic.
+    """
+    w = Window.partitionBy("host").orderBy(
+        *[F.asc(c) for c in FRONTIER_ORDER])
+    return (batch.withColumn("fetch_slot", F.row_number().over(w))
+            .withColumn("scheduled_offset_ms",
+                        ((F.col("fetch_slot") - 1)
+                         * F.coalesce(F.col("crawl_delay_ms"), F.lit(0)))
+                        .cast("long")))

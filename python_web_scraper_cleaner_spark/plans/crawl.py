@@ -1,0 +1,240 @@
+"""CrawlEngine — deterministic batch micro-rounds over the frontier.
+
+The Spark-first rebuild of the reference's crawl loop (seed discovery →
+URL dedup → polite sequential fetch → extract → write, /root/reference/
+scripts/news.py + scripts/trafilatura_scraper.py + scraper_cleaner/
+html_cleaner_core.py:run_batch), re-expressed as north_rule demands:
+
+  round r:
+    pending frontier ──bloom prefilter──► exact anti-join vs url_seen (J1)
+      ──robots broadcast filter (J3)──► per-host top-k window (O4, salted)
+      ──politeness schedule──► fetch stage (groupBy(host).applyInPandas —
+      per-host pacing serialized within a task, S3)
+      ──vectorized extraction (F3, byte-identical kernel)──►
+    transactional commits: pages+r, url_seen+r, crawl_log+r, frontier−batch
+
+Every table commit is one TableIO snapshot per round, so a killed job
+resumes at the last committed round and — because every ordering derives
+from explicit sort keys — replays the exact same crawl order and URL-seen
+set (north_rule checkpoint/resume; tests/test_crawl_engine.py proves it).
+
+In this sandbox the fetch stage regenerates the deterministic synthetic
+HTML (sources/pages.page_record) instead of hitting the network — the
+politeness scheduling, grouping, and pacing bookkeeping are the real
+thing (SURVEY S3: "fetch is simulated by reading html from the synthetic
+pages table").
+"""
+
+from __future__ import annotations
+
+import re as _re
+import time
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.udfs import with_clean_text
+from ..operators import bloom as B
+from ..operators import frontier as FR
+from ..sources.pages import page_record
+from ..sources.tableio import TableIO
+
+FRONTIER_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), nullable=False),
+    T.StructField("canonical_url", T.StringType(), nullable=False),
+    T.StructField("url_hash", T.LongType(), nullable=False),
+    T.StructField("host", T.StringType(), nullable=False),
+    T.StructField("priority", T.IntegerType(), nullable=False),
+    T.StructField("warc_ts", T.TimestampType(), nullable=False),
+])
+
+SEEN_SCHEMA = T.StructType([
+    T.StructField("url_hash", T.LongType(), nullable=False),
+    T.StructField("canonical_url", T.StringType(), nullable=False),
+    T.StructField("first_seen_round", T.IntegerType(), nullable=False),
+])
+
+ROBOTS_SCHEMA = T.StructType([
+    T.StructField("host", T.StringType(), nullable=False),
+    T.StructField("crawl_delay_ms", T.LongType(), nullable=False),
+    T.StructField("disallow_prefixes", T.ArrayType(T.StringType()),
+                  nullable=False),
+])
+
+_FETCH_EXTRA = [
+    T.StructField("fetch_slot", T.IntegerType(), nullable=False),
+    T.StructField("scheduled_offset_ms", T.LongType(), nullable=False),
+    T.StructField("html", T.BinaryType()),
+    T.StructField("fetch_ok", T.BooleanType(), nullable=False),
+]
+
+_DOCID_RE = _re.compile(r"/(\d+)\.html$")
+
+
+def canonicalize_seeds(seeds: DataFrame) -> DataFrame:
+    """seeds(url, priority, discovered_ts) → FRONTIER_SCHEMA rows, one per
+    canonical url (min priority / earliest ts win — deterministic)."""
+    from .queries import _canonicalize
+    canon = _canonicalize(seeds)
+    return (canon
+            .groupBy("canonical_url", "host")
+            .agg(F.min("url").alias("url"),
+                 F.min("priority").cast("int").alias("priority"),
+                 F.min("discovered_ts").alias("warc_ts"))
+            .withColumn("url_hash", F.xxhash64("canonical_url"))
+            .select(*[f.name for f in FRONTIER_SCHEMA]))
+
+
+def simulated_fetch(batch: DataFrame) -> DataFrame:
+    """Fetch stage: groupBy(host).applyInPandas so one task owns one host and
+    its pacing (SURVEY O4/S3). Rows are processed in fetch_slot order —
+    exactly the committed politeness schedule. HTML comes from the
+    deterministic corpus generator; a missing doc_id models a fetch error
+    (the reference's download-failure row, trafilatura_scraper.py:48-54)."""
+    out_schema = T.StructType(
+        [f for f in batch.schema.fields
+         if f.name not in ("fetch_slot", "scheduled_offset_ms")]
+        + _FETCH_EXTRA)
+    cols = [f.name for f in out_schema.fields]
+
+    def fetch_host(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("fetch_slot").reset_index(drop=True)
+        htmls, oks = [], []
+        for url in pdf["url"]:
+            m = _DOCID_RE.search(url)
+            if m:
+                htmls.append(page_record(int(m.group(1)))["html"])
+                oks.append(True)
+            else:
+                htmls.append(None)
+                oks.append(False)
+        pdf["html"] = htmls
+        pdf["fetch_ok"] = pd.array(oks, dtype=bool)
+        return pdf[cols]
+
+    return batch.groupBy("host").applyInPandas(fetch_host, schema=out_schema)
+
+
+class CrawlEngine:
+    """Round-driven crawl over TableIO tables: frontier, url_seen, robots,
+    pages, crawl_log."""
+
+    def __init__(self, spark: SparkSession, root: str, *,
+                 per_host_budget: int = 5,
+                 n_bloom_buckets: int = 16,
+                 hot_host_threshold: int | None = None,
+                 n_salts: int = 8) -> None:
+        self.spark = spark
+        self.io = TableIO(spark, root)
+        self.per_host_budget = per_host_budget
+        self.n_bloom_buckets = n_bloom_buckets
+        self.hot_host_threshold = hot_host_threshold
+        self.n_salts = n_salts
+
+    # -- lifecycle ------------------------------------------------------------
+    def bootstrap(self, seeds: DataFrame, robots: DataFrame) -> None:
+        frontier = canonicalize_seeds(seeds)
+        self.io.overwrite(frontier, "frontier", round_id=-1)
+        self.io.overwrite(robots, "robots", round_id=-1)
+
+    def last_round(self) -> int:
+        r = self.io.latest_round("crawl_log")
+        return -1 if r is None else r
+
+    # -- one round -------------------------------------------------------------
+    def run_round(self, round_id: int) -> dict:
+        io = self.io
+        pending = io.read("frontier")
+        seen = io.read_or_empty("url_seen", SEEN_SCHEMA)
+        robots = io.read("robots")
+
+        # J1: bloom prefilter + exact anti-join against url_seen
+        if io.exists("url_seen"):
+            bloom = B.build_bloom(seen.select("url_hash"),
+                                  n_buckets=self.n_bloom_buckets,
+                                  expected_per_bucket=max(
+                                      64, seen.count() // self.n_bloom_buckets))
+            fresh = B.bloom_dedup(pending, seen, bloom,
+                                  n_buckets=self.n_bloom_buckets)
+        else:
+            fresh = pending
+
+        # J3 + O4: robots filter, per-host budget, politeness schedule
+        allowed = FR.apply_robots(fresh, robots)
+        batch = FR.select_round_batch(
+            allowed, per_host_budget=self.per_host_budget,
+            hot_host_threshold=self.hot_host_threshold,
+            n_salts=self.n_salts)
+        sched = FR.politeness_schedule(batch)
+
+        # S3 + F3: fetch (grouped per host) then vectorized extraction
+        fetched = simulated_fetch(sched)
+        cleaned = with_clean_text(fetched, output_format="txt")
+        pages = (cleaned
+                 .withColumn("round", F.lit(round_id))
+                 .withColumn("partition_id", F.spark_partition_id())
+                 .select("url", "canonical_url", "url_hash", "host",
+                         "priority", "warc_ts", "round", "partition_id",
+                         "fetch_slot", "scheduled_offset_ms", "fetch_ok",
+                         "text", "ok", "extracted_chars", "error"))
+        # one shuffle-free pass feeds three commits: cache the round result
+        pages.persist()
+        try:
+            n_fetched = pages.count()
+
+            io.append_round(pages, "pages", round_id)
+
+            new_seen = (pages.select(
+                "url_hash", "canonical_url",
+                F.lit(round_id).cast("int").alias("first_seen_round")))
+            io.append_round(new_seen, "url_seen", round_id)
+
+            # K3: per-partition lineage/metrics (manifest analog)
+            log = (pages.groupBy("round", "partition_id")
+                   .agg(F.count("*").alias("n_urls"),
+                        F.sum(F.col("ok").cast("int")).alias("n_ok"),
+                        F.sum((~F.col("ok")).cast("int")).alias("n_err"),
+                        F.sum("extracted_chars").alias("extracted_chars"))
+                   .withColumn("wall_ts", F.lit(time.time()).cast("double")))
+            io.append_round(log, "crawl_log", round_id)
+
+            # frontier advance: committed batch leaves the pending set
+            remaining = pending.join(pages.select("canonical_url"),
+                                     "canonical_url", "left_anti")
+            io.overwrite(remaining, "frontier", round_id)
+
+            stats = {"round": round_id, "n_fetched": n_fetched,
+                     "n_remaining": remaining.count()}
+        finally:
+            pages.unpersist()
+        return stats
+
+    def run(self, *, max_rounds: int = 100) -> list[dict]:
+        """Run rounds until the frontier drains (resumable: starts after the
+        last committed round)."""
+        stats = []
+        r = self.last_round() + 1
+        for round_id in range(r, r + max_rounds):
+            s = self.run_round(round_id)
+            stats.append(s)
+            if s["n_fetched"] == 0:
+                break
+        return stats
+
+    # -- audit ------------------------------------------------------------------
+    def crawl_order(self) -> list[tuple]:
+        """The committed crawl order: (round, host, fetch_slot, url) — the
+        engine's deterministic analog of the reference's sequential log."""
+        pages = self.io.read("pages")
+        rows = (pages.select("round", "host", "fetch_slot", "canonical_url")
+                .orderBy("round", "host", "fetch_slot", "canonical_url")
+                .collect())
+        return [(r["round"], r["host"], r["fetch_slot"], r["canonical_url"])
+                for r in rows]
+
+    def seen_set(self) -> set:
+        return {r["canonical_url"]
+                for r in self.io.read("url_seen").collect()}

@@ -1,0 +1,125 @@
+"""TableIO — transactional table layer with snapshot/rollback semantics.
+
+The production design targets Iceberg tables (BASELINE.json north_star);
+this sandbox has no Iceberg runtime jar, so TableIO provides the same
+contract over parquet + atomic JSON manifests (SURVEY §4.2 item 4, §7 risk
+5): a snapshot lists exactly the committed data directories, the LATEST
+pointer is advanced with an atomic rename, and readers only ever see fully
+committed snapshots. A killed job therefore resumes from the last committed
+round with an identical view — the checkpoint/resume guarantee the
+north_rule requires.
+
+Layout per table:
+    <root>/<name>/data/<round_tag>-<uuid>/part-*.parquet
+    <root>/<name>/snap-00001.json   {"snapshot": 1, "round": 0, "dirs": [...]}
+    <root>/<name>/LATEST            "00001"
+
+When an Iceberg catalog is available, swap TableIO for the real thing —
+the engine only uses this narrow interface (read / append_round / rollback
+/ latest_round).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableIO:
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- internals ----------------------------------------------------------
+    def _tdir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _snapshots(self, name: str) -> list[str]:
+        td = self._tdir(name)
+        if not os.path.isdir(td):
+            return []
+        return sorted(f for f in os.listdir(td)
+                      if f.startswith("snap-") and f.endswith(".json"))
+
+    def _latest_snapshot(self, name: str) -> dict | None:
+        td = self._tdir(name)
+        ptr = os.path.join(td, "LATEST")
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            snap_id = f.read().strip()
+        with open(os.path.join(td, f"snap-{snap_id}.json")) as f:
+            return json.load(f)
+
+    def _commit(self, name: str, manifest: dict) -> None:
+        """Write snapshot JSON then atomically advance LATEST (os.replace
+        is atomic on POSIX — the reader sees the old or the new snapshot,
+        never a torn state)."""
+        td = self._tdir(name)
+        os.makedirs(td, exist_ok=True)
+        prev = self._latest_snapshot(name)
+        snap_num = (prev["snapshot"] + 1) if prev else 1
+        snap_id = f"{snap_num:05d}"
+        manifest = dict(manifest, snapshot=snap_num)
+        with open(os.path.join(td, f"snap-{snap_id}.json"), "w") as f:
+            json.dump(manifest, f, indent=1)
+        tmp = os.path.join(td, f".LATEST.tmp.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(snap_id)
+        os.replace(tmp, os.path.join(td, "LATEST"))
+
+    # -- public API ----------------------------------------------------------
+    def exists(self, name: str) -> bool:
+        return self._latest_snapshot(name) is not None
+
+    def latest_round(self, name: str) -> int | None:
+        snap = self._latest_snapshot(name)
+        return None if snap is None else snap.get("round")
+
+    def append_round(self, df: DataFrame, name: str, round_id: int) -> None:
+        """Append df as one transactional commit tagged with round_id.
+        Data lands in a fresh uuid dir first; the snapshot referencing it is
+        written only after the parquet write fully succeeds."""
+        ddir = os.path.join(self._tdir(name), "data",
+                            f"r{round_id:06d}-{uuid.uuid4().hex[:8]}")
+        df.write.mode("overwrite").parquet(ddir)
+        prev = self._latest_snapshot(name)
+        dirs = list(prev["dirs"]) if prev else []
+        dirs.append(os.path.relpath(ddir, self._tdir(name)))
+        self._commit(name, {"round": round_id, "dirs": dirs})
+
+    def overwrite(self, df: DataFrame, name: str, round_id: int) -> None:
+        """Replace table contents in one commit (old data dirs are simply
+        no longer referenced — time travel to them stays possible)."""
+        ddir = os.path.join(self._tdir(name), "data",
+                            f"r{round_id:06d}-{uuid.uuid4().hex[:8]}")
+        df.write.mode("overwrite").parquet(ddir)
+        self._commit(name, {"round": round_id,
+                            "dirs": [os.path.relpath(ddir, self._tdir(name))]})
+
+    def read(self, name: str) -> DataFrame:
+        snap = self._latest_snapshot(name)
+        if snap is None or not snap["dirs"]:
+            raise FileNotFoundError(f"table {name} has no committed snapshot")
+        paths = [os.path.join(self._tdir(name), d) for d in snap["dirs"]]
+        return self.spark.read.parquet(*paths)
+
+    def read_or_empty(self, name: str, schema) -> DataFrame:
+        snap = self._latest_snapshot(name)
+        if snap is None or not snap["dirs"]:
+            return self.spark.createDataFrame([], schema)
+        return self.read(name)
+
+    def rollback(self, name: str, snapshot: int) -> None:
+        td = self._tdir(name)
+        snap_id = f"{snapshot:05d}"
+        if not os.path.exists(os.path.join(td, f"snap-{snap_id}.json")):
+            raise FileNotFoundError(f"snapshot {snapshot} of {name}")
+        tmp = os.path.join(td, f".LATEST.tmp.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(snap_id)
+        os.replace(tmp, os.path.join(td, "LATEST"))

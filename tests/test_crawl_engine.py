@@ -1,0 +1,144 @@
+"""Crawl-engine integration tests: determinism, politeness, robots, dedup,
+and the north_rule kill/resume guarantee (identical crawl ordering +
+URL-seen set from the last committed checkpoint).
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_web_scraper_cleaner_spark.plans.crawl import (
+    CrawlEngine, ROBOTS_SCHEMA)
+from python_web_scraper_cleaner_spark.sources.pages import pages_local
+
+N_SEEDS = 200
+BUDGET = 25
+
+
+def make_seeds(spark, n=N_SEEDS):
+    """Seed list from the synthetic corpus urls + ~10% duplicate discoveries
+    (FIXTURES.md §3)."""
+    recs = pages_local(n)
+    rows = [(r["url"], i % 10, r["warc_ts"]) for i, r in enumerate(recs)]
+    rows += [(r["url"], 5, r["warc_ts"]) for r in recs[::10]]  # dupes
+    return spark.createDataFrame(
+        rows, "url string, priority int, discovered_ts timestamp")
+
+
+def make_robots(spark):
+    """One rule row per synthetic host: deterministic delay, '/private'
+    disallowed everywhere (pages puts ~5% of urls under /private)."""
+    hosts = [f"host{h}.example" for h in range(48)]
+    rows = [(h, (i * 250) % 2000, ["/private"])
+            for i, h in enumerate(hosts)]
+    return spark.createDataFrame(rows, ROBOTS_SCHEMA)
+
+
+@pytest.fixture()
+def engine_root(tmp_path):
+    return str(tmp_path / "crawl")
+
+
+def drain(engine, spark):
+    engine.bootstrap(make_seeds(spark), make_robots(spark))
+    return engine.run(max_rounds=30)
+
+
+def test_engine_drains_and_respects_invariants(spark, engine_root):
+    eng = CrawlEngine(spark, engine_root, per_host_budget=BUDGET)
+    stats = drain(eng, spark)
+    assert stats[-1]["n_fetched"] == 0 or stats[-1]["n_remaining"] == 0
+
+    pages = eng.io.read("pages")
+    total = pages.count()
+    # every non-duplicate, non-disallowed seed fetched exactly once
+    assert pages.groupBy("canonical_url").count().filter("count > 1").count() == 0
+    # /private never fetched (robots)
+    assert pages.filter(F.col("canonical_url").contains("/private/")).count() == 0
+    # per (round, host) never exceeds the politeness budget
+    over = (pages.groupBy("round", "host").count()
+            .filter(F.col("count") > BUDGET).count())
+    assert over == 0
+    # politeness schedule: fetch_slot is 1..k dense per (round, host)
+    slots = (pages.groupBy("round", "host")
+             .agg(F.max("fetch_slot").alias("mx"), F.count("*").alias("n"),
+                  F.min("fetch_slot").alias("mn"))
+             .filter((F.col("mx") != F.col("n")) | (F.col("mn") != 1)).count())
+    assert slots == 0
+    # extraction ran: most rows ok with real text
+    n_ok = pages.filter("ok").count()
+    assert n_ok > total * 0.8
+    # seen set matches fetched set
+    assert eng.seen_set() == {
+        r["canonical_url"] for r in pages.select("canonical_url").collect()}
+
+
+def test_kill_resume_reproduces_crawl_order(spark, engine_root, tmp_path):
+    # full uninterrupted run
+    full = CrawlEngine(spark, str(tmp_path / "full"), per_host_budget=BUDGET)
+    drain(full, spark)
+
+    # interrupted run: 1 round, then a NEW engine object resumes (the old
+    # one is discarded — everything must come from committed snapshots)
+    part = CrawlEngine(spark, engine_root, per_host_budget=BUDGET)
+    part.bootstrap(make_seeds(spark), make_robots(spark))
+    part.run_round(0)
+    del part
+    resumed = CrawlEngine(spark, engine_root, per_host_budget=BUDGET)
+    assert resumed.last_round() == 0
+    resumed.run(max_rounds=30)
+
+    assert resumed.crawl_order() == full.crawl_order()
+    assert resumed.seen_set() == full.seen_set()
+
+
+def test_repeat_run_is_deterministic(spark, tmp_path):
+    a = CrawlEngine(spark, str(tmp_path / "a"), per_host_budget=BUDGET)
+    b = CrawlEngine(spark, str(tmp_path / "b"), per_host_budget=BUDGET)
+    drain(a, spark)
+    drain(b, spark)
+    assert a.crawl_order() == b.crawl_order()
+
+
+def test_salted_engine_same_coverage(spark, tmp_path):
+    """Hot-host salting changes batch composition but not the final crawl
+    coverage: once drained, both engines fetched the same URL set."""
+    plain = CrawlEngine(spark, str(tmp_path / "p"), per_host_budget=BUDGET)
+    salted = CrawlEngine(spark, str(tmp_path / "s"), per_host_budget=BUDGET,
+                         hot_host_threshold=20, n_salts=4)
+    drain(plain, spark)
+    drain(salted, spark)
+    assert plain.seen_set() == salted.seen_set()
+    # salted run is deterministic too
+    salted2 = CrawlEngine(spark, str(tmp_path / "s2"), per_host_budget=BUDGET,
+                          hot_host_threshold=20, n_salts=4)
+    drain(salted2, spark)
+    assert salted.crawl_order() == salted2.crawl_order()
+
+
+def test_reseeding_already_crawled_urls_is_noop(spark, tmp_path):
+    """J1: a second bootstrap wave containing already-crawled URLs fetches
+    only the genuinely new ones (scripts/news.py:34 semantics)."""
+    eng = CrawlEngine(spark, str(tmp_path / "c"), per_host_budget=BUDGET)
+    drain(eng, spark)
+    n_before = eng.io.read("pages").count()
+
+    # second wave: old 200 urls + 100 new ones
+    recs = pages_local(300)
+    rows = [(r["url"], 3, r["warc_ts"]) for r in recs]
+    seeds2 = spark.createDataFrame(
+        rows, "url string, priority int, discovered_ts timestamp")
+    from python_web_scraper_cleaner_spark.plans.crawl import canonicalize_seeds
+    eng.io.overwrite(canonicalize_seeds(seeds2), "frontier",
+                     eng.last_round())
+    eng.run(max_rounds=30)
+
+    pages = eng.io.read("pages")
+    assert pages.groupBy("canonical_url").count().filter("count > 1").count() == 0
+    n_after = pages.count()
+    assert n_after > n_before
+    new_urls = {r["canonical_url"] for r in pages.filter(
+        F.col("round") > 0).select("canonical_url").collect()}
+    # none of the new fetches re-crawled a seen url — guaranteed by dedup
+    assert n_after - n_before <= 100
