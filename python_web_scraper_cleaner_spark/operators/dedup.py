@@ -84,6 +84,88 @@ def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFram
 # ---------------------------------------------------------------------------
 
 
+def minhash_signature_col(text: Column, k: int = 3,
+                          n_hashes: int = 16) -> Column:
+    """array<string> of n_hashes minhashes computed entirely as array
+    expressions — zero shuffle, zero explode: per seed j,
+    min over distinct shingles of md5(j || ':' || shingle).
+
+    Same value as minhash_long/kernel.minhash_signature; this is the scale
+    path (the explode+groupBy variant shuffles |docs|×|shingles|×n_hashes
+    rows, this one shuffles nothing)."""
+    sh = F.array_distinct(shingles_col(text, k))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda j: F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat_ws(":", j, s)))))
+
+
+def minhash_wide(sh: DataFrame, n_hashes: int = 16) -> DataFrame:
+    """(id, mh0..mhN): one hash-aggregate pass over the exploded shingles.
+
+    The n_hashes md5 computations run in a codegen'd projection and the
+    min() aggregates combine map-side, so the shuffle carries only
+    |docs| × n_hashes short strings per partition — the scale path (the
+    nested higher-order-function variant evaluates md5 outside whole-stage
+    codegen and measures ~2-3× slower)."""
+    cols = [F.min(F.md5(F.concat_ws(":", F.lit(j), F.col("shingle"))))
+            .alias(f"mh{j}") for j in range(n_hashes)]
+    return sh.groupBy("id").agg(*cols)
+
+
+def banded_signatures(df: DataFrame, id_col: str, text_col: str, *,
+                      k: int = 3, n_hashes: int = 16,
+                      band_size: int = 4) -> DataFrame:
+    """(id, band, band_key): LSH banding over the wide signature. band_key
+    format matches the oracle SQL: sorted 'seed#minhash' strings joined by
+    '|'."""
+    n_bands = n_hashes // band_size
+    sh = exploded_shingles(df, id_col, text_col, k)
+    wide = minhash_wide(sh, n_hashes)
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", F.array_sort(F.array(*[
+                F.concat_ws("#", F.lit(s), F.col(f"mh{s}"))
+                for s in range(b * band_size, (b + 1) * band_size)])))
+            .alias("band_key"))
+        for b in range(n_bands)])
+    return (wide.select("id", F.explode(bands).alias("bk"))
+            .select("id", F.col("bk.band").alias("band"),
+                    F.col("bk.band_key").alias("band_key")))
+
+
+def candidate_pairs_from_bands(banded: DataFrame) -> DataFrame:
+    a, b = banded.alias("a"), banded.alias("b")
+    return (a.join(b, ["band", "band_key"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+
+
+def jaccard_for_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard for given candidate pairs only: the pair list drives
+    the shingle joins (candidates × shingles, not corpus × corpus)."""
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
+    sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (pairs.join(sh_a, "id_a")
+             .join(sh_b, ["id_b", "shingle"])
+             .groupBy("id_a", "id_b")
+             .agg(F.count("*").alias("n_inter")))
+    return (pairs
+            .join(inter, ["id_a", "id_b"], "left")
+            .join(sizes.withColumnRenamed("id", "id_a")
+                  .withColumnRenamed("n_sh", "n_a"), "id_a")
+            .join(sizes.withColumnRenamed("id", "id_b")
+                  .withColumnRenamed("n_sh", "n_b"), "id_b")
+            .select("id_a", "id_b",
+                    (F.coalesce(F.col("n_inter"), F.lit(0)) /
+                     (F.col("n_a") + F.col("n_b")
+                      - F.coalesce(F.col("n_inter"), F.lit(0))))
+                    .alias("jaccard")))
+
+
 def minhash_long(sh: DataFrame, n_hashes: int = 16) -> DataFrame:
     """(id, seed, minhash): minhash = min over shingles of
     md5(seed || ':' || shingle). Hex-lexicographic min — identical semantics
@@ -141,12 +223,19 @@ def jaccard_verify(sh: DataFrame, pairs: DataFrame) -> DataFrame:
 def minhash_lsh_dedup(df: DataFrame, id_col: str, text_col: str, *,
                       k: int = 3, n_hashes: int = 16, band_size: int = 4,
                       threshold: float = 0.8) -> DataFrame:
-    """End-to-end near-dup pairs: shingle → minhash → band-bucket join →
-    exact-Jaccard verify ≥ threshold. Returns (id_a, id_b, jaccard)."""
+    """End-to-end near-dup pairs: array-expression minhash signature →
+    band-bucket join → candidate-driven exact-Jaccard verify ≥ threshold.
+    Returns (id_a, id_b, jaccard).
+
+    Scale shape: the only shuffles are the band self-join (rows = docs ×
+    n_bands) and the verify joins (rows = candidates × shingles) — the
+    signature computation itself is shuffle-free."""
+    banded = banded_signatures(df, id_col, text_col, k=k,
+                               n_hashes=n_hashes, band_size=band_size)
+    cand = candidate_pairs_from_bands(banded)
     sh = exploded_shingles(df, id_col, text_col, k)
-    mh = minhash_long(sh, n_hashes)
-    cand = lsh_candidate_pairs(mh, n_hashes, band_size)
-    return jaccard_verify(sh, cand).filter(F.col("jaccard") >= threshold)
+    return (jaccard_for_pairs(sh, cand)
+            .filter(F.col("jaccard") >= threshold))
 
 
 # ---------------------------------------------------------------------------
