@@ -1,0 +1,143 @@
+"""Scaling-efficiency evidence for the north rule (N vs 4N executors).
+
+No real cluster exists in this sandbox, so the same crawl-slice job (pages
+scan → vectorized extraction → URL canonicalization → per-host manifest)
+runs at two local parallelism levels and we report throughput at both plus
+the scaling efficiency  eff = (T_N / T_4N) / 4.
+
+Level choice: this box reports 32 CPUs but measured hardware parallel
+capacity saturates well below that (multiprocessing md5: 8→32 procs gives
+only ~3.5×; JVM compute ~1.9× — SMT + memory bandwidth). The honest N→4N
+pair with real cores is therefore local[2] vs local[8]; the 8→32 pair is
+also reported with its hardware ceiling alongside so the engine's share of
+the loss is visible.
+
+Each level runs in a fresh subprocess (own JVM), warms the Python worker
+pool, then takes the median of 3 timed runs. Results → stdout JSON and
+BENCH_SCALING.json.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CORPUS = "/tmp/spark_graft_scaling_pages"
+N_PAGES = 400_000
+
+_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from python_web_scraper_cleaner_spark.session import build_session
+from python_web_scraper_cleaner_spark.functions.udfs import with_clean_text
+from python_web_scraper_cleaner_spark.plans.queries import _canonicalize
+from pyspark.sql import functions as F
+
+cores = %(cores)d
+spark = build_session(master=f"local[{cores}]",
+    extra_conf={"spark.sql.files.maxPartitionBytes": str(8*1024*1024)})
+spark.sparkContext.setLogLevel("ERROR")
+
+@pandas_udf("long")
+def _warm(s: pd.Series) -> pd.Series:
+    return s
+spark.range(cores*4, numPartitions=cores*4).select(_warm("id").alias("x")).groupBy().sum("x").collect()
+
+times = []
+for _ in range(3):
+    t0 = time.time()
+    pages = spark.read.parquet(%(corpus)r)
+    cleaned = with_clean_text(pages, output_format="txt")
+    canon = _canonicalize(cleaned)
+    manifest = (canon.groupBy("host")
+                .agg(F.count("*").alias("n_pages"),
+                     F.sum(F.col("ok").cast("int")).alias("n_ok"),
+                     F.countDistinct("canonical_url").alias("n_unique"),
+                     F.sum("extracted_chars").alias("sum_chars")))
+    rows = manifest.collect()
+    times.append(time.time() - t0)
+n = sum(r["n_pages"] for r in rows)
+t = sorted(times)[1]
+print(json.dumps({"cores": cores, "sec": round(t, 3),
+                  "urls_per_sec": round(n / t, 1), "n_urls": n,
+                  "all_runs_sec": [round(x, 3) for x in times]}))
+spark.stop()
+"""
+
+
+def _burn(seconds: float) -> int:
+    import hashlib
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < seconds:
+        hashlib.md5(b"x" * 1000).hexdigest()
+        x += 1
+    return x
+
+
+def hw_baseline(n_procs: int, seconds: float = 2.0) -> float:
+    """Pure-CPU multiprocessing throughput (md5/s) — the hardware ceiling
+    any engine on this box is bounded by."""
+    with mp.Pool(n_procs) as p:
+        return sum(p.map(_burn, [seconds] * n_procs)) / seconds
+
+
+def ensure_corpus() -> None:
+    if os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
+        return
+    sys.path.insert(0, REPO)
+    from python_web_scraper_cleaner_spark.session import build_session
+    from python_web_scraper_cleaner_spark.sources.pages import synthesize_pages
+    spark = build_session()
+    spark.sparkContext.setLogLevel("ERROR")
+    synthesize_pages(spark, N_PAGES, partitions=128).write.mode(
+        "overwrite").parquet(CORPUS)
+    spark.stop()
+
+
+def run_level(cores: int) -> dict:
+    code = _CHILD % {"repo": REPO, "cores": cores, "corpus": CORPUS}
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=1200)
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    ensure_corpus()
+    levels = {c: run_level(c) for c in (2, 8, 32)}
+
+    def eff(a, b):
+        factor = levels[b]["cores"] / levels[a]["cores"]
+        speedup = levels[b]["urls_per_sec"] / levels[a]["urls_per_sec"]
+        return round(speedup, 3), round(speedup / factor, 3)
+
+    s28, e28 = eff(2, 8)
+    s832, e832 = eff(8, 32)
+    hw8, hw32 = hw_baseline(8), hw_baseline(32)
+    hw_speedup = round(hw32 / hw8, 3)
+
+    result = {
+        "job": "crawl slice: pages scan -> extract -> canonicalize -> manifest",
+        "n_pages": N_PAGES,
+        "levels": levels,
+        "N_to_4N": {"N": 2, "4N": 8, "speedup": s28, "efficiency": e28},
+        "secondary_8_to_32": {"speedup": s832, "efficiency": e832,
+                              "hw_ceiling_speedup": hw_speedup,
+                              "hw_ceiling_efficiency": round(hw_speedup / 4, 3),
+                              "note": "box saturates beyond ~8-16 real cores"},
+    }
+    print(json.dumps(result, indent=1))
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+        json.dump(result, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
