@@ -905,6 +905,185 @@ group by 1 having count(*) > 1 order by rep_id
 
 
 # ---------------------------------------------------------------------------
+# Multimodal (binary media columns — engine extension, SURVEY §2 addendum)
+# ---------------------------------------------------------------------------
+
+_MEDIA_N = 300
+
+_MEDIA_SQL = f"""
+select doc_id as id,
+       case when doc_id % 3 = 0 then 'image'
+            when doc_id % 3 = 1 then 'audio' else 'video' end as kind,
+       md5(text) as h,
+       cast(doc_id % 97 + 16 as int) as w,
+       cast(doc_id % 53 + 16 as int) as ht,
+       cast(doc_id % 3 * 4000 + 8000 as int) as rate,
+       cast(doc_id % 7 + 1 as int) as nrep,
+       cast(doc_id % 5 + 4 as int) as nf
+from documents where doc_id < {_MEDIA_N}
+"""
+
+
+def _media(spark, sf_dir):
+    from ..sources.media import synthesize_media
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < _MEDIA_N)
+    return synthesize_media(docs)
+
+
+def q_mm_media_features(spark, sf_dir):
+    """Multimodal feature extraction: binary envelope → typed metadata +
+    payload checksum via mapInPandas (operators/multimodal.py). The blob
+    never survives past the UDF — only narrow feature columns shuffle."""
+    from ..operators.multimodal import media_features
+    return media_features(_media(spark, sf_dir)).orderBy("id")
+
+
+SQL_MM_FEATURES = f"""
+with m as ({_MEDIA_SQL})
+select id, kind,
+  cast(case kind when 'image' then 13 + 64
+                 when 'audio' then 8 + nrep*32
+                 else 11 + nf*16 end as bigint) as n_bytes,
+  case when kind = 'image' then w end as width,
+  case when kind = 'image' then ht end as height,
+  case when kind = 'image' then cast(w as bigint) * ht end as n_pixels,
+  case when kind = 'audio' then rate end as sample_rate,
+  case when kind = 'audio' then cast(nrep*32 as bigint) end as n_samples,
+  case when kind = 'audio' then cast(nrep*32*1000 // rate as bigint) end as duration_ms,
+  case when kind = 'video' then nf end as n_frames,
+  case kind when 'image' then md5(repeat(h, 2))
+            when 'audio' then md5(substr(repeat(h, 7), 1, nrep*32))
+            else md5(substr(repeat(h, 8), 1, nf*16)) end as checksum
+from m order by id
+"""
+
+
+def q_mm_video_frames(spark, sf_dir):
+    """Frame sampling: every 3rd frame of each video blob, exploded inside
+    the Arrow batch (no shuffle, blob never crosses a stage boundary)."""
+    from ..operators.multimodal import sample_video_frames
+    return (sample_video_frames(_media(spark, sf_dir), stride=3)
+            .orderBy("id", "frame_idx"))
+
+
+SQL_MM_FRAMES = f"""
+with m as ({_MEDIA_SQL}),
+v as (select id, nf, substr(repeat(h, 8), 1, nf*16) as payload
+      from m where kind = 'video'),
+idx as (select id, payload, unnest(range(0, nf, 3)) as fi from v)
+select id, cast(fi as int) as frame_idx,
+       md5(substr(payload, fi*16 + 1, 16)) as frame_md5
+from idx order by id, frame_idx
+"""
+
+
+def q_mm_resize_plan(spark, sf_dir):
+    """Image resize plan: aspect-preserving target dims, longest side ≤ 64
+    (the pixel resample itself is the stubbed codec step)."""
+    from ..operators.multimodal import media_features, resize_plan
+    return (resize_plan(media_features(_media(spark, sf_dir)), max_side=64)
+            .orderBy("id"))
+
+
+SQL_MM_RESIZE = f"""
+with m as ({_MEDIA_SQL})
+select id, w as width, ht as height,
+  cast(greatest(floor(w * least(1.0, 64.0 / greatest(w, ht))), 1) as int) as target_w,
+  cast(greatest(floor(ht * least(1.0, 64.0 / greatest(w, ht))), 1) as int) as target_h
+from m where kind = 'image' order by id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set ops / remaining scalar coverage (SURVEY §2.6, F2, O5)
+# ---------------------------------------------------------------------------
+
+
+def q_setop_recrawl_diff(spark, sf_dir):
+    """§2.6 set ops: found − seen per crawl round (exceptAll), plus the
+    union cardinality — the reference's new_urls = found - existing
+    (scripts/news.py:34) as true bag semantics."""
+    urls = _doc_urls(_t(spark, sf_dir, "documents"))
+    round1 = urls.filter(F.col("doc_id") % 2 == 0).select("url")
+    round2 = urls.filter(F.col("doc_id") % 3 == 0).select("url")
+    new = round2.exceptAll(round1)
+    both = round1.unionByName(round2)
+    return (new.agg(F.count("*").alias("n_new"))
+            .crossJoin(both.agg(F.count("*").alias("n_union_all"),
+                                F.countDistinct("url").alias("n_distinct"))))
+
+
+SQL_SETOP = f"""
+with urls as ({_DOC_URLS_SQL}),
+r1 as (select url from urls where doc_id % 2 = 0),
+r2 as (select url from urls where doc_id % 3 = 0),
+newu as (select url from r2 except all select url from r1),
+u as (select url from r1 union all select url from r2)
+select (select count(*) from newu) as n_new,
+       (select count(*) from u) as n_union_all,
+       (select count(distinct url) from u) as n_distinct
+"""
+
+
+def q_f2_normalize_markdown(spark, sf_dir):
+    """F2 expression twin (html_cleaner_core.py:55-58): CRLF/CR→LF, strip,
+    exactly one trailing newline — pure JVM regexp chain over a corpus with
+    injected CRLF/trailing-blank variants."""
+    d = F.col("doc_id")
+    dirty = (F.when(d % 4 == 0,
+                    F.regexp_replace(F.col("text"), " ", "\r\n"))
+             .when(d % 4 == 1, F.concat(F.col("text"), F.lit("\r\n\r\n  ")))
+             .when(d % 4 == 2, F.concat(F.lit("\r  "), F.col("text"), F.lit("\r")))
+             .otherwise(F.col("text")))
+    lf = F.regexp_replace(F.regexp_replace(dirty, "\r\n", "\n"), "\r", "\n")
+    norm = F.concat(F.regexp_replace(lf, r"^[ \t\n]+|[ \t\n]+$", ""),
+                    F.lit("\n"))
+    return (_t(spark, sf_dir, "documents").filter(d < 200)
+            .select("doc_id", F.md5(norm).alias("norm_md5"),
+                    F.length(norm).cast("long").alias("n_chars"))
+            .orderBy("doc_id"))
+
+
+SQL_F2 = """
+with dirty as (
+  select doc_id,
+    case when doc_id % 4 = 0 then replace(text, ' ', chr(13) || chr(10))
+         when doc_id % 4 = 1 then text || chr(13) || chr(10) || chr(13) || chr(10) || '  '
+         when doc_id % 4 = 2 then chr(13) || '  ' || text || chr(13)
+         else text end as t
+  from documents where doc_id < 200),
+norm as (
+  select doc_id,
+    regexp_replace(replace(replace(t, chr(13) || chr(10), chr(10)),
+                           chr(13), chr(10)),
+                   '^[ \t\n]+|[ \t\n]+$', '', 'g') || chr(10) as n
+  from dirty)
+select doc_id, md5(n) as norm_md5, cast(length(n) as bigint) as n_chars
+from norm order by doc_id
+"""
+
+
+def q_o5_truncate(spark, sf_dir):
+    """O5: clip content to a budget + short preview (news_server.py:166-168,
+    trafilatura_scraper.py:392)."""
+    return (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+            .select("doc_id",
+                    F.substring("text", 1, 500).alias("prompt_text"),
+                    F.substring("text", 1, 100).alias("preview"),
+                    F.length(F.substring("text", 1, 500)).cast("long")
+                    .alias("n_clipped"))
+            .orderBy("doc_id"))
+
+
+SQL_O5 = """
+select doc_id, substr(text, 1, 500) as prompt_text,
+       substr(text, 1, 100) as preview,
+       cast(length(substr(text, 1, 500)) as bigint) as n_clipped
+from documents where doc_id < 200 order by doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Events / streaming analogs
 # ---------------------------------------------------------------------------
 
@@ -1015,6 +1194,12 @@ def registry():
         "lang_id": (q_lang_id, _sql_lang_id()),
         "quality_features": (q_quality_features, SQL_QUALITY),
         "fingerprint_groups": (q_fingerprint_groups, SQL_FINGERPRINT),
+        "mm_media_features": (q_mm_media_features, SQL_MM_FEATURES),
+        "mm_video_frames": (q_mm_video_frames, SQL_MM_FRAMES),
+        "mm_resize_plan": (q_mm_resize_plan, SQL_MM_RESIZE),
+        "setop_recrawl_diff": (q_setop_recrawl_diff, SQL_SETOP),
+        "f2_normalize_markdown": (q_f2_normalize_markdown, SQL_F2),
+        "o5_truncate": (q_o5_truncate, SQL_O5),
         "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
         "events_sessionize": (q_events_sessionize, SQL_SESSIONIZE),
         "crawl_clean_extract": (q_crawl_clean_extract, None),

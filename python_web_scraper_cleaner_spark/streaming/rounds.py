@@ -1,0 +1,132 @@
+"""Continuous-mode crawl rounds: Structured Streaming over the pages table.
+
+The reference repo has no streaming (scripts/news.py is a manually re-run
+poll — SURVEY §2.8); the engine's primary incremental mode is deterministic
+batch micro-rounds (plans/crawl.py). This module is the *continuous*
+alternative: a file-source stream over the ``pages`` table directory,
+watermarked event-time windows for the crawl-log rollup, and a stateful
+URL-seen dedup via ``applyInPandasWithState`` — the streaming twin of the
+bloom/anti-join path (operators/bloom.py, plans/queries.py J1).
+
+Scale notes (100 TB): the file source scales by listing only new files per
+micro-batch (Iceberg/Delta streaming sources replace it on a real
+deployment); state for URL-seen shards by ``url_hash % n_buckets`` so each
+state row holds one bounded numpy-backed hash set, and the shuffle key is
+the bucket id — hot hosts cannot skew state because bucketing is uniform
+in the hash domain.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..sources.pages import PAGES_SCHEMA
+
+URL_EVENTS_SCHEMA = "url string, url_hash long, warc_ts timestamp"
+
+N_STATE_BUCKETS = 64
+
+
+def read_pages_stream(spark: SparkSession, input_dir: str, *,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over a pages parquet directory (one file ≈ one
+    crawl round's output). Schema is declared — streaming sources cannot
+    infer — and matches BASELINE.json input_hint."""
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def windowed_crawl_log(pages: DataFrame, *, window: str = "1 hour",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window crawl-log rollup (K3 as a stream):
+    per (window, lang) page counts + byte volume. Late rows beyond the
+    watermark are dropped exactly like a production crawl-log would."""
+    return (pages
+            .withWatermark("warc_ts", watermark)
+            .groupBy(F.window("warc_ts", window).alias("win"), "lang")
+            .agg(F.count("*").alias("n_pages"),
+                 F.sum(F.length("html")).alias("html_bytes"))
+            .select(F.col("win.start").alias("window_start"),
+                    "lang", "n_pages", "html_bytes"))
+
+
+def _dedup_state_fn(
+        key: Tuple[int], pdfs: Iterator["Any"], state: GroupState
+) -> Iterator["Any"]:
+    """Per-bucket stateful dedup: state holds the sorted array of url
+    hashes seen so far in this bucket; emit only first-seen rows.
+    Vectorized membership via numpy searchsorted — no per-row Python sets.
+    """
+    import numpy as np
+    import pandas as pd
+
+    seen = (np.array(state.get[0], dtype="int64")
+            if state.exists else np.empty(0, dtype="int64"))
+    out = []
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        # dedup within the batch first (keep earliest by warc_ts, url)
+        pdf = (pdf.sort_values(["warc_ts", "url"])
+               .drop_duplicates("url_hash", keep="first"))
+        h = pdf["url_hash"].to_numpy(dtype="int64")
+        idx = np.searchsorted(seen, h)
+        idx_clip = np.clip(idx, 0, max(len(seen) - 1, 0))
+        is_seen = (len(seen) > 0) & (seen[idx_clip] == h) if len(seen) else (
+            np.zeros(len(h), dtype=bool))
+        fresh = pdf[~is_seen]
+        if not fresh.empty:
+            seen = np.unique(np.concatenate(
+                [seen, fresh["url_hash"].to_numpy(dtype="int64")]))
+            out.append(fresh[["url", "url_hash", "warc_ts"]])
+    state.update((seen.tolist(),))
+    if out:
+        yield pd.concat(out)
+
+
+def streaming_url_seen_dedup(urls: DataFrame) -> DataFrame:
+    """First-seen URL stream: the streaming twin of the J1 anti-join.
+
+    Input: streaming DataFrame with (url, warc_ts). Output: rows the
+    engine has never seen across all micro-batches, with state persisted
+    in the checkpoint (kill/restart keeps the seen-set — north_rule
+    resume semantics).
+    """
+    hashed = urls.select(
+        "url", F.xxhash64("url").alias("url_hash"), "warc_ts")
+    bucket = (F.pmod(F.col("url_hash"), F.lit(N_STATE_BUCKETS))
+              .alias("bucket"))
+    return (hashed.select(bucket, "url", "url_hash", "warc_ts")
+            .groupBy("bucket")
+            .applyInPandasWithState(
+                _dedup_state_fn,
+                outputStructType=URL_EVENTS_SCHEMA,
+                stateStructType="seen array<long>",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def run_stream_to_table(stream_df: DataFrame, checkpoint_dir: str,
+                        out_path: str, *, output_mode: str = "append",
+                        available_now: bool = True):
+    """Drain the stream with an availableNow trigger into a parquet sink
+    via foreachBatch (the TableIO-compatible append pattern). Returns the
+    finished StreamingQuery."""
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_path)
+
+    writer = (stream_df.writeStream
+              .outputMode(output_mode)
+              .option("checkpointLocation", checkpoint_dir)
+              .foreachBatch(sink))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    q.awaitTermination()
+    return q

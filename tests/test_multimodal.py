@@ -1,0 +1,104 @@
+"""Multimodal plumbing tests: binary envelopes, mapInPandas feature
+extraction, frame sampling, resize planning, stubbed codec boundary.
+
+The oracle here is a plain-Python loop over the *same collected blobs* —
+independent of the SQL twin in plans/queries.py (which the driver harness
+checks against DuckDB).
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_web_scraper_cleaner_spark.operators import multimodal as MM
+from python_web_scraper_cleaner_spark.sources.media import (
+    AUD_HEADER_LEN, IMG_HEADER_LEN, VID_HEADER_LEN, synthesize_media)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .filter(F.col("doc_id") < 120))
+    df = synthesize_media(docs).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def _py_features(media_id: int, kind: str, blob: bytes) -> dict:
+    s = blob.decode("ascii")
+    out = {"id": media_id, "kind": kind, "n_bytes": len(blob),
+           "width": None, "height": None, "n_pixels": None,
+           "sample_rate": None, "n_samples": None, "duration_ms": None,
+           "n_frames": None}
+    if kind == "image":
+        out["width"], out["height"] = int(s[3:7]), int(s[7:11])
+        out["n_pixels"] = out["width"] * out["height"]
+        hdr = IMG_HEADER_LEN
+    elif kind == "audio":
+        out["sample_rate"] = int(s[3:8])
+        hdr = AUD_HEADER_LEN
+        out["n_samples"] = len(s) - hdr
+        out["duration_ms"] = out["n_samples"] * 1000 // out["sample_rate"]
+    else:
+        out["n_frames"] = int(s[3:7])
+        hdr = VID_HEADER_LEN
+    out["checksum"] = hashlib.md5(s[hdr:].encode("ascii")).hexdigest()
+    return out
+
+
+def test_media_features_match_python_oracle(media):
+    blobs = {r.media_id: (r.kind, bytes(r.media)) for r in media.collect()}
+    got = {r.id: r.asDict() for r in MM.media_features(media).collect()}
+    assert set(got) == set(blobs)
+    for mid, (kind, blob) in blobs.items():
+        assert got[mid] == _py_features(mid, kind, blob), mid
+
+
+def test_frame_sampling_reconstructs_payload(media):
+    blobs = {r.media_id: bytes(r.media).decode("ascii")
+             for r in media.filter(F.col("kind") == "video").collect()}
+    rows = MM.sample_video_frames(media, stride=3).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.id, []).append((r.frame_idx, r.frame_md5))
+    assert set(by_id) == set(blobs)
+    for mid, s in blobs.items():
+        nf = int(s[3:7])
+        fsize = int(s[7:11])
+        payload = s[VID_HEADER_LEN:]
+        expected = [
+            (i, hashlib.md5(
+                payload[i * fsize:(i + 1) * fsize].encode()).hexdigest())
+            for i in range(0, nf, 3)]
+        assert sorted(by_id[mid]) == expected, mid
+
+
+def test_resize_plan_clamps_longest_side(media):
+    plan = MM.resize_plan(MM.media_features(media), max_side=64).collect()
+    assert plan  # images exist
+    for r in plan:
+        assert max(r.target_w, r.target_h) <= 64
+        assert r.target_w >= 1 and r.target_h >= 1
+        if max(r.width, r.height) <= 64:  # no upscaling
+            assert (r.target_w, r.target_h) == (r.width, r.height)
+        else:  # aspect preserved within integer floor
+            scale = 64 / max(r.width, r.height)
+            assert r.target_w == max(int(r.width * scale), 1)
+            assert r.target_h == max(int(r.height * scale), 1)
+
+
+def test_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        MM.decode_media(b"IMG00160016C3" + b"a" * 64, "image")
+
+
+def test_blob_stays_out_of_feature_plan(media):
+    """The media binary column must be consumed by the UDF stage, not
+    carried in the output schema (100 TB rule: drop blobs early)."""
+    feats = MM.media_features(media)
+    assert "media" not in feats.columns
+    assert dict(feats.dtypes)["checksum"] == "string"
