@@ -1138,6 +1138,51 @@ from l group by user_id order by user_id
 
 
 # ---------------------------------------------------------------------------
+# Streaming (Structured Streaming URL-seen dedup — SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+
+def q_stream_urlseen(spark, sf_dir):
+    """Stateful streaming dedup (applyInPandasWithState): two crawl-round
+    files drain through an availableNow file-source stream; state carries
+    the URL-seen set across micro-batches. Rows are emission-order-
+    independent (same url ⇒ same warc_ts in both rounds), so the final
+    table is SQL-expressible: distinct first-seen URLs.
+    """
+    import tempfile
+
+    from ..streaming.rounds import run_stream_to_table, streaming_url_seen_dedup
+
+    urls = (_doc_urls(_t(spark, sf_dir, "documents"))
+            .filter(F.col("doc_id") < 400)
+            .withColumn("warc_ts",
+                        F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+                        + F.make_interval(secs=F.col("doc_id"))))
+    base = tempfile.mkdtemp(prefix="spark_graft_stream_")
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    (urls.filter(F.col("doc_id") % 2 == 0).select("url", "warc_ts")
+     .coalesce(1).write.mode("append").parquet(in_dir))
+    (urls.filter(F.col("doc_id") % 3 == 0).select("url", "warc_ts")
+     .coalesce(1).write.mode("append").parquet(in_dir))
+    stream = streaming_url_seen_dedup(
+        spark.readStream.schema("url string, warc_ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    run_stream_to_table(stream, ckpt, out_dir)
+    return (spark.read.parquet(out_dir)
+            .select("url", "warc_ts").orderBy("url"))
+
+
+SQL_STREAM_URLSEEN = f"""
+with urls as ({_DOC_URLS_SQL})
+select distinct url,
+       timestamp '2026-01-01 00:00:00' + to_seconds(doc_id) as warc_ts
+from urls
+where doc_id < 400 and (doc_id % 2 = 0 or doc_id % 3 = 0)
+order by url
+"""
+
+
+# ---------------------------------------------------------------------------
 # Crawl pipeline (pandas-UDF path — rows-only check, parity via pytest)
 # ---------------------------------------------------------------------------
 
@@ -1202,5 +1247,6 @@ def registry():
         "o5_truncate": (q_o5_truncate, SQL_O5),
         "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
         "events_sessionize": (q_events_sessionize, SQL_SESSIONIZE),
+        "stream_urlseen_dedup": (q_stream_urlseen, SQL_STREAM_URLSEEN),
         "crawl_clean_extract": (q_crawl_clean_extract, None),
     }
