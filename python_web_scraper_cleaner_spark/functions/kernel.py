@@ -718,3 +718,96 @@ def jaccard(a: set, b: set) -> float:
 # JSON serialization matching the reference sink (trafilatura_scraper.py:333)
 def dumps_pretty(obj) -> str:
     return json.dumps(obj, indent=2, ensure_ascii=False)
+
+
+# ---------------------------------------------------------------------------
+# robots.txt parsing (north_rule: "robots.txt rules broadcast to executors";
+# the reference has no robots handling — it hardcodes polite headers and a
+# 30s timeout, scripts/trafilatura_scraper.py:27-32,43)
+# ---------------------------------------------------------------------------
+
+
+def parse_robots_txt(text: Optional[str], user_agent: str = "*") -> dict:
+    """Minimal deterministic robots.txt parser (RFC 9309 subset).
+
+    Returns {"disallow_prefixes": list[str], "allow_prefixes": list[str],
+    "crawl_delay_ms": int}. Groups are user-agent sections; the most
+    specific matching agent token wins (exact > substring > "*"); within
+    the winning group, rules accumulate. Unparseable/empty input → allow
+    everything, zero delay (the reference's behavior of not checking at
+    all). Pure function — usable in a pandas UDF and as the oracle.
+    """
+    result = {"disallow_prefixes": [], "allow_prefixes": [],
+              "crawl_delay_ms": 0}
+    if not text:
+        return result
+    ua = user_agent.lower()
+
+    groups: list[tuple[list[str], dict]] = []
+    cur_agents: list[str] = []
+    cur_rules: Optional[dict] = None
+    for raw_line in text.splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if cur_rules is not None and cur_rules["_used"]:
+                groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], None
+            if cur_rules is None:
+                cur_rules = {"disallow": [], "allow": [], "delay": None,
+                             "_used": False}
+                cur_agents = []
+            cur_agents.append(value.lower())
+        elif field in ("disallow", "allow", "crawl-delay"):
+            if cur_rules is None:
+                continue  # rule before any user-agent line: ignore
+            cur_rules["_used"] = True
+            if field == "disallow":
+                if value:
+                    cur_rules["disallow"].append(value)
+            elif field == "allow":
+                if value:
+                    cur_rules["allow"].append(value)
+            else:
+                try:
+                    cur_rules["delay"] = float(value)
+                except ValueError:
+                    pass
+    if cur_rules is not None:
+        groups.append((cur_agents, cur_rules))
+
+    def specificity(agents: list[str]) -> int:
+        best = -1
+        for a in agents:
+            if a == ua:
+                best = max(best, 2)
+            elif a != "*" and (a in ua or ua in a):
+                best = max(best, 1)
+            elif a == "*":
+                best = max(best, 0)
+        return best
+
+    best_spec = max((specificity(a) for a, _ in groups), default=-1)
+    if best_spec < 0:
+        return result
+    for agents, rules in groups:
+        if specificity(agents) == best_spec:
+            result["disallow_prefixes"].extend(rules["disallow"])
+            result["allow_prefixes"].extend(rules["allow"])
+            if rules["delay"] is not None:
+                result["crawl_delay_ms"] = int(rules["delay"] * 1000)
+    return result
+
+
+def robots_allows(path: str, rules: dict) -> bool:
+    """Longest-match allow/disallow decision (RFC 9309 §2.2.2): the most
+    specific matching prefix wins; ties go to Allow; no match → allowed."""
+    best_allow = max((len(p) for p in rules.get("allow_prefixes", ())
+                      if path.startswith(p)), default=-1)
+    best_dis = max((len(p) for p in rules.get("disallow_prefixes", ())
+                    if path.startswith(p)), default=-1)
+    return best_allow >= best_dis

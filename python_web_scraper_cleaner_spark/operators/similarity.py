@@ -47,8 +47,10 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, *, k: int = 3,
     """
     q = queries.select(F.col("id").alias("query_id"),
                        F.col("vec").cast("array<double>").alias("qv"))
-    c = corpus.select(F.col("id").alias("neighbor_id"),
-                      F.col("vec").cast("array<double>").alias("cv"))
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    c = (corpus.repartition(par, F.col("id"))
+         .select(F.col("id").alias("neighbor_id"),
+                 F.col("vec").cast("array<double>").alias("cv")))
     sim = (c.join(F.broadcast(q))
            .select("query_id", "neighbor_id",
                    cosine(F.col("qv"), F.col("cv")).alias("_cos")))
@@ -96,10 +98,12 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, *, k: int = 3,
                        F.col("vec").cast("array<double>").alias("qv"),
                        projection_bucket(F.col("vec"), n_planes=n_planes,
                                          dims=dims).alias("bucket"))
-    c = corpus.select(F.col("id").alias("neighbor_id"),
-                      F.col("vec").cast("array<double>").alias("cv"),
-                      projection_bucket(F.col("vec"), n_planes=n_planes,
-                                        dims=dims).alias("bucket"))
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    c = (corpus.repartition(par, F.col("id"))
+         .select(F.col("id").alias("neighbor_id"),
+                 F.col("vec").cast("array<double>").alias("cv"),
+                 projection_bucket(F.col("vec"), n_planes=n_planes,
+                                   dims=dims).alias("bucket")))
     sim = (c.join(F.broadcast(q), "bucket")
            .select("query_id", "neighbor_id",
                    cosine(F.col("qv"), F.col("cv")).alias("_cos")))
@@ -119,12 +123,22 @@ def embedding_near_duplicates(df: DataFrame, *, threshold: float = 0.95,
     """Embedding-cosine near-dup pairs via bucketed self-join (id_a < id_b).
 
     The LSH bucket bounds the self-join; exact cosine verifies. At corpus
-    scale add multi-probe or repeated plane sets for recall."""
-    v = df.select(F.col("id"), F.col("vec").cast("array<double>").alias("v"),
-                  projection_bucket(F.col("vec"), n_planes=n_planes,
-                                    dims=dims).alias("bucket"))
+    scale add multi-probe or repeated plane sets for recall.
+
+    Join shape: bucket has only 2^n_planes distinct values, so a shuffle
+    join would cap parallelism at 2^n_planes reduce tasks — broadcast one
+    side instead, keeping parallelism = input partitions (the input is
+    repartitioned to full width first; a small parquet scan arrives with
+    too few partitions for the pair-verify CPU). The bucketed frame is
+    persisted so projection_bucket runs once, not once per join side."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    v = (df.repartition(par, F.col("id"))
+         .select(F.col("id"), F.col("vec").cast("array<double>").alias("v"),
+                 projection_bucket(F.col("vec"), n_planes=n_planes,
+                                   dims=dims).alias("bucket"))
+         .persist())
     a, b = v.alias("a"), v.alias("b")
-    return (a.join(b, "bucket")
+    return (a.join(F.broadcast(b), "bucket")
             .filter(F.col("a.id") < F.col("b.id"))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                     F.round(cosine(F.col("a.v"), F.col("b.v")), 4)

@@ -39,9 +39,13 @@ def bpe_ish_count_col(text: Column) -> Column:
 
 def lang_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Marker-word hit counts per language (kernel.LANG_MARKERS), computed
-    as array intersections — one pass, no shuffle until the caller groups."""
+    as array intersections — one pass, no shuffle until the caller groups.
+    Input is repartitioned to full width: the per-row higher-order-function
+    work dominates and a small parquet scan arrives with few partitions."""
+    par = df.sparkSession.sparkContext.defaultParallelism
     toks = ws_tokens(F.col(text_col))
-    out = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    out = (df.repartition(par, F.col(id_col))
+           .select(F.col(id_col).alias("id"), toks.alias("toks")))
     for lang in sorted(LANG_MARKERS):
         markers = F.array(*[F.lit(w) for w in sorted(LANG_MARKERS[lang])])
         out = out.withColumn(

@@ -142,3 +142,48 @@ def test_reseeding_already_crawled_urls_is_noop(spark, tmp_path):
         F.col("round") > 0).select("canonical_url").collect()}
     # none of the new fetches re-crawled a seen url — guaranteed by dedup
     assert n_after - n_before <= 100
+
+
+def test_parse_robots_table_and_apply(spark):
+    """robots.txt text → parsed rules table (pandas UDF) → broadcast
+    longest-match filtering, end to end."""
+    from pyspark.sql import functions as F
+
+    from python_web_scraper_cleaner_spark.operators.frontier import (
+        apply_robots, parse_robots_table)
+
+    txts = [
+        ("hosta.example",
+         "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n"
+         "Crawl-delay: 2\n"),
+        ("hostb.example", "User-agent: *\nDisallow: /\n"),
+        ("hostc.example", ""),  # no rules → everything allowed
+    ]
+    robots = parse_robots_table(
+        spark.createDataFrame(txts, "host string, robots_txt string"))
+    got = {r.host: r.asDict() for r in robots.collect()}
+    assert got["hosta.example"]["disallow_prefixes"] == ["/private/"]
+    assert got["hosta.example"]["crawl_delay_ms"] == 2000
+    assert got["hostb.example"]["disallow_prefixes"] == ["/"]
+    assert got["hostc.example"]["disallow_prefixes"] == []
+
+    urls = [
+        ("hosta.example", "https://hosta.example/private/x"),      # blocked
+        ("hosta.example", "https://hosta.example/private/ok/x"),   # allowed
+        ("hosta.example", "https://hosta.example/pub"),            # allowed
+        ("hostb.example", "https://hostb.example/anything"),       # blocked
+        ("hostc.example", "https://hostc.example/x"),              # allowed
+        ("hostd.example", "https://hostd.example/x"),              # no rules
+    ]
+    frontier = spark.createDataFrame(urls, "host string, canonical_url string")
+    kept = sorted(r.canonical_url for r in
+                  apply_robots(frontier, robots).collect())
+    assert kept == ["https://hosta.example/private/ok/x",
+                    "https://hosta.example/pub",
+                    "https://hostc.example/x",
+                    "https://hostd.example/x"]
+    # crawl_delay_ms joined in for politeness pacing
+    delays = {r.canonical_url: r.crawl_delay_ms
+              for r in apply_robots(frontier, robots).collect()}
+    assert delays["https://hosta.example/pub"] == 2000
+    assert delays["https://hostd.example/x"] == 0

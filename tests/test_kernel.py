@@ -250,3 +250,58 @@ def test_minhash_shingles_jaccard():
     sig2 = K.minhash_signature("the quick brown fox jumps over the lazy dog")
     assert sig1 == sig2 and len(sig1) == 16
     assert K.jaccard({1, 2}, {2, 3}) == pytest.approx(1 / 3)
+
+
+# ---------------------------------------------------------------------------
+# robots.txt parsing (engine extension — north_rule politeness)
+# ---------------------------------------------------------------------------
+
+SAMPLE_ROBOTS = """
+# comments ignored
+User-agent: *
+Disallow: /private/
+Allow: /private/ok/
+Crawl-delay: 1.5
+
+User-agent: badbot
+Disallow: /
+"""
+
+
+def test_parse_robots_wildcard_group():
+    from python_web_scraper_cleaner_spark.functions.kernel import (
+        parse_robots_txt)
+    r = parse_robots_txt(SAMPLE_ROBOTS, "*")
+    assert r == {"disallow_prefixes": ["/private/"],
+                 "allow_prefixes": ["/private/ok/"],
+                 "crawl_delay_ms": 1500}
+
+
+def test_parse_robots_specific_agent_wins():
+    from python_web_scraper_cleaner_spark.functions.kernel import (
+        parse_robots_txt)
+    r = parse_robots_txt(SAMPLE_ROBOTS, "badbot")
+    assert r["disallow_prefixes"] == ["/"]
+    assert r["crawl_delay_ms"] == 0
+
+
+def test_parse_robots_empty_and_garbage():
+    from python_web_scraper_cleaner_spark.functions.kernel import (
+        parse_robots_txt)
+    empty = {"disallow_prefixes": [], "allow_prefixes": [],
+             "crawl_delay_ms": 0}
+    assert parse_robots_txt(None) == empty
+    assert parse_robots_txt("") == empty
+    assert parse_robots_txt("no colons here\n\x00\xff") == empty
+    # rule lines before any user-agent group are ignored
+    assert parse_robots_txt("Disallow: /\n") == empty
+
+
+def test_robots_allows_longest_match():
+    from python_web_scraper_cleaner_spark.functions.kernel import (
+        parse_robots_txt, robots_allows)
+    r = parse_robots_txt(SAMPLE_ROBOTS, "*")
+    assert not robots_allows("/private/x", r)
+    assert robots_allows("/private/ok/x", r)     # longer Allow wins
+    assert robots_allows("/public", r)
+    assert robots_allows("/", r)
