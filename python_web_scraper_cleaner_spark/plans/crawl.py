@@ -135,7 +135,17 @@ class CrawlEngine:
         self.n_salts = n_salts
 
     # -- lifecycle ------------------------------------------------------------
-    def bootstrap(self, seeds: DataFrame, robots: DataFrame) -> None:
+    def bootstrap(self, seeds: DataFrame, robots: DataFrame | None = None,
+                  *, robots_txt: DataFrame | None = None) -> None:
+        """Seed the frontier and robots tables. ``robots`` is a pre-parsed
+        rules table (host, crawl_delay_ms, disallow_prefixes[,
+        allow_prefixes]); alternatively pass ``robots_txt`` as raw
+        (host, robots_txt) rows and the RFC-9309-subset parser builds the
+        rules (operators/frontier.parse_robots_table)."""
+        if robots is None:
+            if robots_txt is None:
+                raise ValueError("pass robots or robots_txt")
+            robots = FR.parse_robots_table(robots_txt)
         frontier = canonicalize_seeds(seeds)
         self.io.overwrite(frontier, "frontier", round_id=-1)
         self.io.overwrite(robots, "robots", round_id=-1)

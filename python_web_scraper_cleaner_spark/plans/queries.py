@@ -596,6 +596,82 @@ limit 10
 """
 
 
+def q_tpch_q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5 shape: revenue per nation where supplier and customer share
+    the nation — five-table join; region/nation/supplier dims broadcast,
+    the lineitem↔orders join shuffles on orderkey only."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01")))
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    rev = _cents(F.col("l_extendedprice")) * F.floor(
+        (1 - F.col("l_discount")) * 100 + 0.5).cast("long")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(cust, (orders.o_custkey == cust.c_custkey)
+                  & (cust.c_nationkey == supp.s_nationkey))
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.sum(rev).alias("revenue_e4"),
+                 F.count("*").alias("n_items"))
+            .orderBy(F.desc("revenue_e4"), F.asc("n_name")))
+
+
+SQL_TPCH_Q5 = f"""
+select n_name,
+       sum({_CENTS_SQL.format(x='l_extendedprice')}
+           * cast(floor((1 - l_discount)*100 + 0.5) as bigint)) as revenue_e4,
+       count(*) as n_items
+from lineitem
+join orders on l_orderkey = o_orderkey
+join supplier on l_suppkey = s_suppkey
+join customer on o_custkey = c_custkey and c_nationkey = s_nationkey
+join nation on c_nationkey = n_nationkey
+join region on n_regionkey = r_regionkey
+where r_name = 'ASIA'
+  and o_orderdate >= timestamp '1996-01-01 00:00:00'
+  and o_orderdate < timestamp '1997-01-01 00:00:00'
+group by n_name
+order by revenue_e4 desc, n_name asc
+"""
+
+
+def q_window_top_orders_per_cust(spark, sf_dir):
+    """Window top-k per group: each customer's 2 most expensive orders
+    (generic windowed ranking — the same WindowGroupLimit shape as the
+    frontier's per-host selection, on relational data)."""
+    orders = _t(spark, sf_dir, "orders")
+    # the rank is per-customer, so pre-filtering customers is equivalent
+    # and pushes the predicate into the scan
+    return (orders.filter(F.col("o_custkey") < 300)
+            .select("o_custkey", "o_orderkey",
+                    _cents(F.col("o_totalprice")).alias("price_cents"))
+            .withColumn("rn", F.row_number().over(
+                Window.partitionBy("o_custkey").orderBy(
+                    F.desc("price_cents"), F.asc("o_orderkey"))))
+            .filter(F.col("rn") <= 2)
+            .orderBy("o_custkey", "rn"))
+
+
+SQL_WINDOW_TOPO = f"""
+with ranked as (
+  select o_custkey, o_orderkey,
+         {_CENTS_SQL.format(x='o_totalprice')} as price_cents,
+         row_number() over (partition by o_custkey
+                            order by {_CENTS_SQL.format(x='o_totalprice')} desc,
+                                     o_orderkey asc) as rn
+  from orders)
+select o_custkey, o_orderkey, price_cents, cast(rn as int) as rn
+from ranked where rn <= 2 and o_custkey < 300
+order by o_custkey, rn
+"""
+
+
 # ---------------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------------
@@ -1238,6 +1314,8 @@ def registry():
         "o4_perhost_topk": (q_o4_perhost_topk, SQL_O4),
         "tpch_q1_pricing": (q_tpch_q1_pricing, SQL_TPCH_Q1),
         "tpch_q3_topk": (q_tpch_q3_topk, SQL_TPCH_Q3),
+        "tpch_q5_local_supplier": (q_tpch_q5_local_supplier, SQL_TPCH_Q5),
+        "window_top_orders": (q_window_top_orders_per_cust, SQL_WINDOW_TOPO),
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
         "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),

@@ -187,3 +187,29 @@ def test_parse_robots_table_and_apply(spark):
               for r in apply_robots(frontier, robots).collect()}
     assert delays["https://hosta.example/pub"] == 2000
     assert delays["https://hostd.example/x"] == 0
+
+
+def test_bootstrap_from_raw_robots_txt(spark, engine_root):
+    """End-to-end: raw robots.txt text → parsed rules → crawl rounds respect
+    them (same invariants as the pre-parsed-rules path)."""
+    txts = [(f"host{h}.example",
+             "User-agent: *\nDisallow: /private\n"
+             f"Crawl-delay: {(h % 3) * 0.25}\n")
+            for h in range(48)]
+    robots_txt = spark.createDataFrame(
+        txts, "host string, robots_txt string")
+    eng = CrawlEngine(spark, engine_root, per_host_budget=BUDGET)
+    eng.bootstrap(make_seeds(spark), robots_txt=robots_txt)
+    eng.run(max_rounds=30)
+    pages = eng.io.read("pages")
+    assert pages.count() > 0
+    assert pages.filter(F.col("canonical_url").contains("/private/")).count() == 0
+    # crawl_delay flowed through parsing into the schedule
+    sched = pages.filter("fetch_slot > 1").filter("scheduled_offset_ms > 0")
+    assert sched.count() > 0
+
+
+def test_bootstrap_requires_some_robots(spark, engine_root):
+    eng = CrawlEngine(spark, engine_root)
+    with pytest.raises(ValueError):
+        eng.bootstrap(make_seeds(spark))

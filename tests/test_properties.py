@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis) for the pure-Python kernel — the
+functions shipped inside every pandas UDF. Invariants, not examples:
+whatever bytes arrive from a 100 TB crawl, these must hold.
+"""
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from python_web_scraper_cleaner_spark.functions import kernel as K
+
+text_st = st.text(max_size=400)
+messy_text_st = st.text(
+    alphabet=st.characters(codec="utf-8"), max_size=400)
+
+
+@settings(max_examples=200, deadline=None)
+@given(messy_text_st)
+def test_normalize_text_invariants(s):
+    out = K.normalize_text(s)
+    assert K.normalize_text(out) == out                 # idempotent
+    assert "\r" not in out
+    if out != "\n":
+        assert out.endswith("\n") and not out.endswith("\n\n")
+    assert "\n\n\n\n" not in out                        # blank runs ≤ 2
+    for line in out.split("\n"):
+        assert line == line.rstrip()                    # no trailing ws
+
+
+@settings(max_examples=200, deadline=None)
+@given(messy_text_st)
+def test_normalize_markdown_invariants(s):
+    out = K.normalize_markdown(s)
+    assert K.normalize_markdown(out) == out
+    assert "\r" not in out
+    assert out.endswith("\n")
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.one_of(st.none(), messy_text_st))
+def test_slugify_invariants(s):
+    slug = K.slugify(s)
+    assert 0 < len(slug) <= 100
+    assert " " not in slug and "-" not in slug
+    assert slug == slug.lower() or not slug.isascii()   # ascii part lowered
+    assert not slug.startswith("_") and not slug.endswith("_")
+    assert K.slugify(slug) in (slug, "untitled")        # near-idempotent
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+               min_size=1, max_size=120))
+def test_canonicalize_url_idempotent(s):
+    url = "https://Example.COM:443/" + s
+    canon = K.canonicalize_url(url)
+    assert K.canonicalize_url(canon) == canon
+    host = re.match(r"^[a-z][a-z0-9+.-]*://([^/?#]*)", canon)
+    assert host and host.group(1) == host.group(1).lower()
+
+
+@settings(max_examples=300, deadline=None)
+@given(messy_text_st)
+def test_parse_robots_never_raises(s):
+    rules = K.parse_robots_txt(s)
+    assert set(rules) == {"disallow_prefixes", "allow_prefixes",
+                          "crawl_delay_ms"}
+    assert rules["crawl_delay_ms"] >= 0
+    # decision function total over arbitrary paths
+    assert K.robots_allows("/", rules) in (True, False)
+
+
+@settings(max_examples=100, deadline=None)
+@given(messy_text_st)
+def test_reflow_preserves_nonspace_content(s):
+    out = K.reflow_text_to_markdown_paragraphs(s)
+    strip = lambda t: re.sub(r"\s+", "", t)
+    assert strip(out) == strip(s)
+
+
+@settings(max_examples=100, deadline=None)
+@given(text_st)
+def test_fingerprint_and_simhash_deterministic(s):
+    assert K.fingerprint64(s) == K.fingerprint64(s)
+    assert 0 <= K.simhash32(s) < 2 ** 32
+    assert K.lang_id(s) in set(K.LANG_MARKERS) | {"und"}
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=200), st.integers(min_value=1, max_value=5))
+def test_shingles_cover_tokens(s, k):
+    sh = K.shingles(s, k)
+    toks = s.lower().strip().split()
+    if toks:
+        assert len(sh) >= 1
+        # every token appears in at least one shingle
+        joined = " ".join(sh)
+        for t in toks:
+            assert t in joined
