@@ -108,6 +108,10 @@ def main() -> None:
         except Exception as e:  # a broken query must not sink the report
             queries[name] = None
             print(f"bench error in {name}: {e}", file=sys.stderr)
+        finally:
+            # queries are independent; persisted intermediates from one
+            # must not squeeze executor memory for the next
+            spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {

@@ -7,7 +7,8 @@ byte-identical to the plain-Python loop by construction.
 
 UDFs exist only where a built-in Spark expression cannot reproduce the
 reference semantics byte-for-byte (SURVEY §7 risk 1: Python ``\\w`` vs Java
-regex). Everything countable/joinable stays JVM-side in ``functions/exprs.py``.
+regex). Everything countable/joinable stays JVM-side — the expression twins
+live in plans/queries.py (F5/F8/F10/F13/F14) and operators/textstats.py.
 """
 
 from __future__ import annotations
@@ -118,6 +119,17 @@ def slugify_udf(s: pd.Series) -> pd.Series:
 @pandas_udf(T.StringType())
 def reflow_markdown_udf(s: pd.Series) -> pd.Series:
     return s.map(K.reflow_text_to_markdown_paragraphs)
+
+
+@pandas_udf(T.StringType())
+def assemble_markdown_udf(meta_json: pd.Series, text: pd.Series) -> pd.Series:
+    """F7: full article-markdown assembly (trafilatura_scraper.py:200-236)
+    from the 15-field metadata struct (as JSON) + extracted text."""
+    import json
+
+    return pd.Series([
+        K.format_article_markdown(json.loads(m) if m else {}, t)
+        for m, t in zip(meta_json, text)])
 
 
 @pandas_udf(T.StringType())

@@ -145,12 +145,22 @@ def candidate_pairs_from_bands(banded: DataFrame) -> DataFrame:
 
 def jaccard_for_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact Jaccard for given candidate pairs only: the pair list drives
-    the shingle joins (candidates × shingles, not corpus × corpus)."""
+    the shingle joins (candidates × shingles, not corpus × corpus).
+
+    The intersection join runs on xxhash64(shingle) — 8-byte shuffle keys
+    instead of ~25-byte strings; distinct shingles colliding at 64 bits is
+    negligible at any realistic corpus size. Only shingles of ids that
+    appear in some candidate pair enter the join (semi-join prefilter)."""
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
-    sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
+    cand_ids = (pairs.select(F.col("id_a").alias("id"))
+                .unionByName(pairs.select(F.col("id_b").alias("id")))
+                .distinct())
+    sh_c = (sh.join(cand_ids, "id", "left_semi")
+            .select("id", F.xxhash64("shingle").alias("sh_h")))
+    sh_a = sh_c.select(F.col("id").alias("id_a"), "sh_h")
+    sh_b = sh_c.select(F.col("id").alias("id_b"), "sh_h")
     inter = (pairs.join(sh_a, "id_a")
-             .join(sh_b, ["id_b", "shingle"])
+             .join(sh_b, ["id_b", "sh_h"])
              .groupBy("id_a", "id_b")
              .agg(F.count("*").alias("n_inter")))
     return (pairs

@@ -145,3 +145,50 @@ def embedding_near_duplicates(df: DataFrame, *, threshold: float = 0.95,
                     .alias("cos_sim"))
             .filter(F.col("cos_sim") >= threshold)
             .distinct())
+
+
+def ivf_assign(df: DataFrame, centroids: DataFrame, *,
+               id_col: str = "id", vec_col: str = "v") -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine (rounded to 4
+    decimals for cross-engine argmax determinism, centroid id as tiebreak).
+    Centroids broadcast; one window per vector id."""
+    joined = (df.crossJoin(F.broadcast(
+        centroids.select(F.col("cid"), F.col("cvec"))))
+        .withColumn("_sim", F.round(cosine(F.col(vec_col), F.col("cvec")), 4)))
+    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cid"))
+    return (joined.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_sim", "cvec"))
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, *, k: int = 3,
+             centroid_mod: int = 25,
+             round_digits: int = 4) -> DataFrame:
+    """IVF-style ANN: deterministic coarse quantizer (centroids = corpus
+    vectors whose id % centroid_mod == 0 — the reproducible stand-in for a
+    k-means codebook), nprobe=1. Queries only scan their own centroid's
+    inverted list, so the per-query work drops by ~n_centroids× — the
+    IVF scale path next to the LSH one (lsh_topk).
+
+    At production scale: replace the centroid rule with trained k-means
+    centroids, raise nprobe for recall; the join shape is unchanged."""
+    cent = corpus.select(F.col("id").alias("cid"),
+                         F.col("vec").cast("array<double>").alias("cvec")) \
+                 .filter(F.col("cid") % centroid_mod == 0)
+    c = (corpus.repartition(
+            corpus.sparkSession.sparkContext.defaultParallelism, F.col("id"))
+         .select(F.col("id").alias("neighbor_id"),
+                 F.col("vec").cast("array<double>").alias("cv")))
+    c_assigned = ivf_assign(c, cent, id_col="neighbor_id", vec_col="cv")
+    q = queries.select(F.col("id").alias("query_id"),
+                       F.col("vec").cast("array<double>").alias("qv"))
+    q_assigned = ivf_assign(q, cent, id_col="query_id", vec_col="qv")
+    sim = (c_assigned.join(F.broadcast(q_assigned), "cid")
+           .withColumn("cos_sim",
+                       F.round(cosine(F.col("qv"), F.col("cv")),
+                               round_digits)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (sim.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rank"))

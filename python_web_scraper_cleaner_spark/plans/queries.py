@@ -442,6 +442,43 @@ select host, count(*) as n_new from canon group by host order by host
 """
 
 
+def q_j1_bloom_prefilter(spark, sf_dir):
+    """J1 at scale: the partitioned-bloom pre-filter + exact anti-join
+    confirm (operators/bloom.py). Must produce exactly the plain anti-join
+    result — bloom false positives are cleaned by the exact join, false
+    negatives are impossible by construction — so the oracle is the exact
+    SQL. Hashes are xxhash64(canonical_url); distinct canonical URLs
+    colliding at 64 bits is negligible at any realistic corpus size."""
+    from ..operators import bloom as B
+
+    urls = _doc_urls(_t(spark, sf_dir, "documents"))
+    candidates = urls.unionByName(urls.filter(F.col("doc_id") % 3 == 0))
+    cand = (_canonicalize(candidates).select("canonical_url", "host")
+            .distinct()
+            .withColumn("url_hash", F.xxhash64("canonical_url")))
+    seen = (_canonicalize(urls.filter(F.col("doc_id") % 7 < 2))
+            .select("canonical_url")
+            .withColumn("url_hash", F.xxhash64("canonical_url")))
+    bloom = B.build_bloom(seen.select("url_hash"), n_buckets=8,
+                          expected_per_bucket=256)
+    new = B.bloom_dedup(cand, seen, bloom, n_buckets=8)
+    return (new.groupBy("host").agg(F.count("*").alias("n_new"))
+            .orderBy("host"))
+
+
+SQL_J1_BLOOM = f"""
+with urls as ({_DOC_URLS_SQL}),
+canon_all as ({_CANON_SQL}),
+cand as (select distinct canonical_url, host from canon_all
+         union
+         select distinct canonical_url, host from canon_all where doc_id % 3 = 0),
+seen as (select distinct canonical_url from canon_all where doc_id % 7 < 2),
+newu as (select canonical_url, host from cand
+         where canonical_url not in (select canonical_url from seen))
+select host, count(*) as n_new from newu group by host order by host
+"""
+
+
 def q_j2_semi_join(spark, sf_dir):
     """J2: semi-join — docs that have a label-3 embedding."""
     docs = _t(spark, sf_dir, "documents")
@@ -867,6 +904,50 @@ where rank <= 3 order by query_id, rank
 """
 
 
+def _cos_sql(a, b):
+    return f"""
+round(
+  list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i])) /
+  (sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i] * {a}[i]))) *
+   sqrt(list_sum(list_transform(range(1, 65), i -> {b}[i] * {b}[i])))), 4)
+"""
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF-style ANN (nprobe=1): deterministic coarse quantizer, queries
+    scan only their centroid's inverted list (operators/similarity.ivf_topk
+    — the second scale path next to LSH bucketing)."""
+    emb = _emb(spark, sf_dir)
+    return (SIM.ivf_topk(emb.filter(F.col("id") < 5),
+                         emb.filter(F.col("id") >= 5), k=3, centroid_mod=25)
+            .orderBy("query_id", "rank"))
+
+
+SQL_ANN_IVF = f"""
+with q0 as (select vec_id as id, embedding::DOUBLE[] as v from embeddings where vec_id < 5),
+c0 as (select vec_id as id, embedding::DOUBLE[] as v from embeddings where vec_id >= 5),
+cent as (select id as cid, v as cv from c0 where id % 25 = 0),
+ca as (select id, v, cid from (
+    select c0.id, c0.v, cent.cid,
+           row_number() over (partition by c0.id
+               order by {_cos_sql('c0.v', 'cent.cv')} desc, cent.cid asc) as rn
+    from c0, cent) t where rn = 1),
+qa as (select id, v, cid from (
+    select q0.id, q0.v, cent.cid,
+           row_number() over (partition by q0.id
+               order by {_cos_sql('q0.v', 'cent.cv')} desc, cent.cid asc) as rn
+    from q0, cent) t where rn = 1),
+sims as (select qa.id as query_id, ca.id as neighbor_id,
+                {_cos_sql('qa.v', 'ca.v')} as cos_sim
+         from qa join ca using (cid)),
+ranked as (select *, cast(row_number() over (partition by query_id
+               order by cos_sim desc, neighbor_id asc) as int) as rank
+           from sims)
+select query_id, neighbor_id, cos_sim, rank from ranked
+where rank <= 3 order by query_id, rank
+"""
+
+
 def q_emb_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup: corpus ∪ perturbed copies (+0.01 on dim 1)
     must pair with their originals at cos ≥ 0.99."""
@@ -1272,6 +1353,43 @@ order by url
 # ---------------------------------------------------------------------------
 
 
+def q_f6_reflow_markdown(spark, sf_dir):
+    """F6/A8: order-sensitive paragraph reflow (trafilatura_scraper.py:
+    148-198) as a scalar pandas UDF — not SQL-expressible (stateful
+    per-string fold); byte-parity vs the kernel loop is proven by
+    tests/test_kernel.py; the driver records a rows-only check."""
+    from ..functions.udfs import reflow_markdown_udf
+    return (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+            .withColumn("_r", reflow_markdown_udf(F.col("text")))
+            .select("doc_id",
+                    F.md5(F.col("_r")).alias("reflow_md5"),
+                    F.length(F.col("_r")).cast("long").alias("n_chars"))
+            .orderBy("doc_id"))
+
+
+def q_f4_f7_article_pipeline(spark, sf_dir):
+    """F4+F7+F5: metadata extraction → slugify → markdown assembly over the
+    synthetic pages corpus — the `trif` single-URL path (SURVEY §3.2) as a
+    batch. Pandas-UDF chain; rows-only check (byte-parity carried by
+    tests/test_kernel.py and tests/test_extraction_parity.py)."""
+    from ..functions.udfs import (assemble_markdown_udf, extract_metadata_udf,
+                                  slugify_udf)
+    from ..sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, 500)
+    meta = pages.withColumn("meta",
+                            extract_metadata_udf(F.col("html"), F.col("url")))
+    return (meta
+            .withColumn("slug", slugify_udf(F.col("meta.title")))
+            .withColumn("md", assemble_markdown_udf(F.to_json(F.col("meta")),
+                                                    F.col("meta.text")))
+            .select(F.col("url"), "slug",
+                    F.md5("md").alias("md_md5"),
+                    F.length("md").cast("long").alias("md_chars"),
+                    F.col("meta.language").alias("language"))
+            .orderBy("url"))
+
+
 def q_crawl_clean_extract(spark, sf_dir):
     """S1-S3/F3/A1: synthesize pages → vectorized extraction → manifest agg.
     Not SQL-expressible (pandas UDF extraction); byte-parity is guaranteed
@@ -1309,6 +1427,7 @@ def registry():
         "f10_canonical_hosts": (q_f10_canonical_hosts, SQL_F10),
         "f14_stopword_tokens": (q_f14_stopword_tokens, SQL_F14),
         "j1_urlseen_antijoin": (q_j1_urlseen_antijoin, SQL_J1),
+        "j1_bloom_prefilter": (q_j1_bloom_prefilter, SQL_J1_BLOOM),
         "j2_semi_join": (q_j2_semi_join, SQL_J2),
         "j3_robots_broadcast": (q_j3_robots_broadcast, SQL_J3),
         "o4_perhost_topk": (q_o4_perhost_topk, SQL_O4),
@@ -1322,6 +1441,7 @@ def registry():
         "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
         "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_BRUTE),
         "ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_LSH),
+        "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
         "emb_near_dup": (q_emb_near_dup, SQL_EMB_NEAR_DUP),
         "lang_id": (q_lang_id, _sql_lang_id()),
         "quality_features": (q_quality_features, SQL_QUALITY),
@@ -1335,5 +1455,7 @@ def registry():
         "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
         "events_sessionize": (q_events_sessionize, SQL_SESSIONIZE),
         "stream_urlseen_dedup": (q_stream_urlseen, SQL_STREAM_URLSEEN),
+        "f6_reflow_markdown": (q_f6_reflow_markdown, None),
+        "f4_f7_article_pipeline": (q_f4_f7_article_pipeline, None),
         "crawl_clean_extract": (q_crawl_clean_extract, None),
     }

@@ -213,3 +213,31 @@ def test_bootstrap_requires_some_robots(spark, engine_root):
     eng = CrawlEngine(spark, engine_root)
     with pytest.raises(ValueError):
         eng.bootstrap(make_seeds(spark))
+
+
+def test_ivf_topk_consistent_with_brute_force(spark):
+    """IVF (nprobe=1) results are a subset of the brute-force candidate
+    space with correctly ordered ranks; exact agreement holds whenever the
+    true top-k shares the query's centroid cell."""
+    from python_web_scraper_cleaner_spark.operators.similarity import (
+        brute_force_topk, ivf_topk)
+
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .select(F.col("vec_id").alias("id"),
+                   F.col("embedding").alias("vec")))
+    q = emb.filter("id < 5")
+    c = emb.filter("id >= 5")
+    ivf = ivf_topk(q, c, k=3, centroid_mod=25).collect()
+    assert ivf, "ivf returned nothing"
+    by_q = {}
+    for r in ivf:
+        by_q.setdefault(r.query_id, []).append(r)
+    brute = {(r.query_id, r.neighbor_id): r.cos_sim
+             for r in brute_force_topk(q, c, k=1000).collect()}
+    for qid, rows in by_q.items():
+        ranks = [r.rank for r in sorted(rows, key=lambda r: r.rank)]
+        assert ranks == list(range(1, len(rows) + 1))
+        sims = [r.cos_sim for r in sorted(rows, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
+        for r in rows:  # every reported sim agrees with the exact value
+            assert abs(brute[(qid, r.neighbor_id)] - r.cos_sim) < 1e-9
