@@ -74,6 +74,34 @@ _FETCH_EXTRA = [
 _DOCID_RE = _re.compile(r"/(\d+)\.html$")
 
 
+def synthesize_seeds(spark: SparkSession, n: int) -> DataFrame:
+    """Deterministic seed list matching sources/pages.page_record's URL
+    scheme, built with pure expressions (no Python loop — the 100k+ seed
+    path for benchmarks). Same Zipf-ish host skew: host0 ≈ 30% of URLs."""
+    ids = spark.range(n)
+    r = (F.col("id") * 2654435761) % 100
+    hostidx = (F.when(r < 30, 0).when(r < 42, 1).when(r < 54, 2)
+               .otherwise(3 + (r - 54) % 45))
+    section = F.when(F.col("id") % 20 == 19, F.lit("private")).otherwise(
+        F.element_at(F.array(F.lit("news"), F.lit("tech"), F.lit("sports")),
+                     (F.col("id") % 3 + 1).cast("int")))
+    url = F.concat(F.lit("https://host"), hostidx.cast("string"),
+                   F.lit(".example/"), section, F.lit("/"),
+                   F.col("id").cast("string"), F.lit(".html"))
+    return ids.select(url.alias("url"),
+                      (F.col("id") % 10).cast("int").alias("priority"),
+                      F.to_timestamp(F.lit("2026-01-01"))
+                      .alias("discovered_ts"))
+
+
+def default_robots(spark: SparkSession, n_hosts: int = 48) -> DataFrame:
+    """Deterministic per-host rules for the synthetic hosts: staggered
+    crawl delays, '/private' disallowed everywhere."""
+    rows = [(f"host{h}.example", (h * 250) % 1000, ["/private"])
+            for h in range(n_hosts)]
+    return spark.createDataFrame(rows, ROBOTS_SCHEMA)
+
+
 def canonicalize_seeds(seeds: DataFrame) -> DataFrame:
     """seeds(url, priority, discovered_ts) → FRONTIER_SCHEMA rows, one per
     canonical url (min priority / earliest ts win — deterministic)."""
