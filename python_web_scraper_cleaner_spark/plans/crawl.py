@@ -208,16 +208,22 @@ class CrawlEngine:
             n_salts=self.n_salts)
         sched = FR.politeness_schedule(batch)
 
-        # S3 + F3: fetch (grouped per host) then vectorized extraction
+        # S3 + F3: fetch (grouped per host) then vectorized extraction +
+        # deterministic language tagging (input_hint: extraction fills
+        # text AND lang; failed extractions tag 'und')
+        from ..functions.udfs import lang_id_udf
         fetched = simulated_fetch(sched)
         cleaned = with_clean_text(fetched, output_format="txt")
         pages = (cleaned
+                 .withColumn("lang",
+                             F.when(F.col("ok"), lang_id_udf(F.col("text")))
+                             .otherwise(F.lit("und")))
                  .withColumn("round", F.lit(round_id))
                  .withColumn("partition_id", F.spark_partition_id())
                  .select("url", "canonical_url", "url_hash", "host",
                          "priority", "warc_ts", "round", "partition_id",
                          "fetch_slot", "scheduled_offset_ms", "fetch_ok",
-                         "text", "ok", "extracted_chars", "error"))
+                         "text", "lang", "ok", "extracted_chars", "error"))
         # one shuffle-free pass feeds three commits: cache the round result
         pages.persist()
         try:

@@ -678,6 +678,31 @@ order by revenue_e4 desc, n_name asc
 """
 
 
+def q_sql_api_segment_revenue(spark, sf_dir):
+    """SQL surface: the same engine through spark.sql() over temp views —
+    Catalyst parses/plans the text exactly like the DataFrame API (the
+    registry's other entries); one entry proves the SQL front door."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql("""
+        select c_mktsegment,
+               count(*) as n_orders,
+               sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)) as revenue_cents,
+               count(distinct o_custkey) as n_buyers
+        from v_orders join v_customer on o_custkey = c_custkey
+        group by c_mktsegment
+        order by c_mktsegment""")
+
+
+SQL_SQL_API = """
+select c_mktsegment, count(*) as n_orders,
+       sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)) as revenue_cents,
+       count(distinct o_custkey) as n_buyers
+from orders join customer on o_custkey = c_custkey
+group by c_mktsegment order by c_mktsegment
+"""
+
+
 def q_window_top_orders_per_cust(spark, sf_dir):
     """Window top-k per group: each customer's 2 most expensive orders
     (generic windowed ranking — the same WindowGroupLimit shape as the
@@ -1435,6 +1460,7 @@ def registry():
         "tpch_q3_topk": (q_tpch_q3_topk, SQL_TPCH_Q3),
         "tpch_q5_local_supplier": (q_tpch_q5_local_supplier, SQL_TPCH_Q5),
         "window_top_orders": (q_window_top_orders_per_cust, SQL_WINDOW_TOPO),
+        "sql_api_segment_revenue": (q_sql_api_segment_revenue, SQL_SQL_API),
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
         "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),

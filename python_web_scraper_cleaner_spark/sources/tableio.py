@@ -114,6 +114,30 @@ class TableIO:
             return self.spark.createDataFrame([], schema)
         return self.read(name)
 
+    def read_at(self, name: str, snapshot: int) -> DataFrame:
+        """Time-travel read: the table exactly as of a committed snapshot
+        (Iceberg VERSION AS OF analog). Old data dirs are never deleted, so
+        every snapshot stays readable until an explicit GC."""
+        td = self._tdir(name)
+        path = os.path.join(td, f"snap-{snapshot:05d}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"snapshot {snapshot} of {name}")
+        with open(path) as f:
+            snap = json.load(f)
+        if not snap["dirs"]:
+            raise FileNotFoundError(f"snapshot {snapshot} of {name} is empty")
+        return self.spark.read.parquet(
+            *[os.path.join(td, d) for d in snap["dirs"]])
+
+    def snapshots(self, name: str) -> list[dict]:
+        """All committed snapshot manifests, oldest first."""
+        td = self._tdir(name)
+        out = []
+        for f in self._snapshots(name):
+            with open(os.path.join(td, f)) as fh:
+                out.append(json.load(fh))
+        return out
+
     def rollback(self, name: str, snapshot: int) -> None:
         td = self._tdir(name)
         snap_id = f"{snapshot:05d}"

@@ -241,3 +241,25 @@ def test_ivf_topk_consistent_with_brute_force(spark):
         assert sims == sorted(sims, reverse=True)
         for r in rows:  # every reported sim agrees with the exact value
             assert abs(brute[(qid, r.neighbor_id)] - r.cos_sim) < 1e-9
+
+
+def test_round_tags_language_and_time_travel(spark, engine_root):
+    """input_hint: extraction fills text AND lang; TableIO snapshots stay
+    readable after later commits (time travel)."""
+    eng = CrawlEngine(spark, engine_root, per_host_budget=BUDGET)
+    drain(eng, spark)
+    pages = eng.io.read("pages")
+    langs = {r.lang for r in pages.select("lang").distinct().collect()}
+    assert langs and langs <= {"en", "de", "fr", "es", "und"}
+    assert pages.filter("ok and lang = 'und'").count() < pages.count()
+
+    # time travel: snapshot 1 of pages = round 0 only
+    snaps = eng.io.snapshots("pages")
+    assert len(snaps) >= 2, "expected multiple committed rounds"
+    first = eng.io.read_at("pages", snaps[0]["snapshot"])
+    assert first.select("round").distinct().count() == 1
+    latest = eng.io.read("pages")
+    assert first.count() < latest.count()
+    # rollback + re-read equals the time-travel view
+    eng.io.rollback("pages", snaps[0]["snapshot"])
+    assert eng.io.read("pages").count() == first.count()
