@@ -479,6 +479,28 @@ select host, count(*) as n_new from newu group by host order by host
 """
 
 
+def q_j1_cuckoo_prefilter(spark, sf_dir):
+    """J1 via the cuckoo tier (operators/cuckoo.py — deletable URL-seen):
+    same contract as the bloom path, same exact-SQL oracle. The filter is a
+    pre-filter only; the exact anti-join confirms, so the result equals the
+    plain anti-join regardless of filter false positives."""
+    from ..operators import cuckoo as CK
+
+    urls = _doc_urls(_t(spark, sf_dir, "documents"))
+    candidates = urls.unionByName(urls.filter(F.col("doc_id") % 3 == 0))
+    cand = (_canonicalize(candidates).select("canonical_url", "host")
+            .distinct()
+            .withColumn("url_hash", F.xxhash64("canonical_url")))
+    seen = (_canonicalize(urls.filter(F.col("doc_id") % 7 < 2))
+            .select("canonical_url")
+            .withColumn("url_hash", F.xxhash64("canonical_url")))
+    ck = CK.build_cuckoo(seen.select("url_hash"), n_buckets=8,
+                         expected_per_bucket=256)
+    new = CK.cuckoo_dedup(cand, seen, ck, n_buckets=8)
+    return (new.groupBy("host").agg(F.count("*").alias("n_new"))
+            .orderBy("host"))
+
+
 def q_j2_semi_join(spark, sf_dir):
     """J2: semi-join — docs that have a label-3 embedding."""
     docs = _t(spark, sf_dir, "documents")
@@ -1453,6 +1475,7 @@ def registry():
         "f14_stopword_tokens": (q_f14_stopword_tokens, SQL_F14),
         "j1_urlseen_antijoin": (q_j1_urlseen_antijoin, SQL_J1),
         "j1_bloom_prefilter": (q_j1_bloom_prefilter, SQL_J1_BLOOM),
+        "j1_cuckoo_prefilter": (q_j1_cuckoo_prefilter, SQL_J1_BLOOM),
         "j2_semi_join": (q_j2_semi_join, SQL_J2),
         "j3_robots_broadcast": (q_j3_robots_broadcast, SQL_J3),
         "o4_perhost_topk": (q_o4_perhost_topk, SQL_O4),
