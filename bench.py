@@ -136,7 +136,11 @@ def main() -> None:
             # must not squeeze executor memory for the next
             spark.catalog.clearCache()
 
-    full_round = full_round_throughput(spark, crawl_n // 2)
+    try:
+        full_round = full_round_throughput(spark, crawl_n // 2)
+    except Exception as e:  # secondary metric must not sink the report
+        full_round = {"error": str(e)[:200]}
+        print(f"bench error in full_round: {e}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {

@@ -43,6 +43,7 @@ from __future__ import annotations
 import hashlib
 import html as _htmllib
 import json
+import math
 import re
 import string
 from dataclasses import dataclass
@@ -774,9 +775,13 @@ def parse_robots_txt(text: Optional[str], user_agent: str = "*") -> dict:
                     cur_rules["allow"].append(value)
             else:
                 try:
-                    cur_rules["delay"] = float(value)
+                    d = float(value)
                 except ValueError:
-                    pass
+                    d = None
+                # real-world robots files contain 'nan', 'inf', negatives —
+                # int(nan*1000) raises, negatives break the pacing invariant
+                if d is not None and math.isfinite(d) and 0 <= d <= 86400:
+                    cur_rules["delay"] = d
     if cur_rules is not None:
         groups.append((cur_agents, cur_rules))
 

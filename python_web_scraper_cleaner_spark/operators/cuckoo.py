@@ -48,9 +48,12 @@ MAX_KICKS = 500
 
 
 def _fingerprint(h: np.ndarray) -> np.ndarray:
-    """16-bit nonzero fingerprint from the high hash bits."""
-    f = ((h.astype(np.uint64) >> np.uint64(40)) & np.uint64(0xFFFE))
-    return (f | np.uint64(1)).astype(np.uint16)
+    """16-bit nonzero fingerprint from the high hash bits (0 marks an empty
+    slot, so hash-value 0 maps to 1 — full ~16 bits of entropy, not a
+    parity mask that would halve the space and double FPR)."""
+    f = ((h.astype(np.uint64) >> np.uint64(40)) & np.uint64(0xFFFF))
+    f = np.where(f == 0, np.uint64(1), f)
+    return f.astype(np.uint16)
 
 
 def _i1(h: np.ndarray, m: int) -> np.ndarray:
@@ -87,10 +90,10 @@ def _insert_all(table: np.ndarray, h: np.ndarray, m: int,
 
     for k in range(len(h)):
         fv, iv = int(f[k]), int(i1[k])
-        if fv in table[iv] or fv in table[int(_alt(
-                np.array([iv]), np.array([fv], dtype=np.uint16), m)[0])]:
-            # duplicate fingerprint in either bucket — counts as present
-            continue
+        # NOTE: duplicate fingerprints are stored as extra copies, NOT
+        # deduplicated — delete_from_table removes one copy per call, so
+        # two distinct keys sharing (fingerprint, bucket-pair) must hold
+        # two slots or deleting one would false-negative the other.
         if try_place(fv, iv):
             continue
         iv2 = int(_alt(np.array([iv]), np.array([fv], dtype=np.uint16), m)[0])
@@ -213,12 +216,18 @@ def cuckoo_dedup(candidates: DataFrame, seen: DataFrame, cuckoo: DataFrame,
     negative that would leak a seen URL through as "definitely new". If
     any bucket reports n_failed > 0 the prefilter is unsound, so fall back
     to the plain exact anti-join for the whole batch (correct, just
-    without the prefilter saving)."""
-    overfull = (cuckoo.agg(F.sum("n_failed").alias("nf")).collect()[0]["nf"]
-                or 0)
-    if overfull > 0:
+    without the prefilter saving).
+
+    The filter is materialized ONCE (collect + re-parallelize — it is
+    per-bucket-tiny and broadcast downstream anyway): the cuckoo build is
+    insertion-order-dependent, so letting the probe recompute the lineage
+    could produce a *different* table than the one the gate inspected,
+    silently reopening the false-negative hole."""
+    rows = cuckoo.collect()
+    if sum(r["n_failed"] for r in rows) > 0:
         return candidates.join(seen.select(hash_col), hash_col, "left_anti")
-    probed = cuckoo_probe(candidates, cuckoo, hash_col, n_buckets=n_buckets)
+    snap = candidates.sparkSession.createDataFrame(rows, CUCKOO_SCHEMA)
+    probed = cuckoo_probe(candidates, snap, hash_col, n_buckets=n_buckets)
     definitely_new = probed.filter(~F.col("maybe_seen")).drop(
         "maybe_seen", "bucket")
     suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen", "bucket")

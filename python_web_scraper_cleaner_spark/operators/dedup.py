@@ -113,15 +113,13 @@ def minhash_wide(sh: DataFrame, n_hashes: int = 16) -> DataFrame:
     return sh.groupBy("id").agg(*cols)
 
 
-def banded_signatures(df: DataFrame, id_col: str, text_col: str, *,
-                      k: int = 3, n_hashes: int = 16,
-                      band_size: int = 4) -> DataFrame:
-    """(id, band, band_key): LSH banding over the wide signature. band_key
-    format matches the oracle SQL: sorted 'seed#minhash' strings joined by
-    '|'."""
+def _band_explode(wide: DataFrame, n_hashes: int, band_size: int) -> DataFrame:
+    """(id, band, band_key) from the wide signature frame. band_key format
+    matches the oracle SQL: sorted 'seed#minhash' strings joined by '|'.
+    Single source of truth — both the standalone banded_signatures and
+    minhash_lsh_dedup go through here so the key format cannot diverge
+    from the SQL oracle."""
     n_bands = n_hashes // band_size
-    sh = exploded_shingles(df, id_col, text_col, k)
-    wide = minhash_wide(sh, n_hashes)
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -133,6 +131,14 @@ def banded_signatures(df: DataFrame, id_col: str, text_col: str, *,
     return (wide.select("id", F.explode(bands).alias("bk"))
             .select("id", F.col("bk.band").alias("band"),
                     F.col("bk.band_key").alias("band_key")))
+
+
+def banded_signatures(df: DataFrame, id_col: str, text_col: str, *,
+                      k: int = 3, n_hashes: int = 16,
+                      band_size: int = 4) -> DataFrame:
+    """(id, band, band_key): LSH banding over the wide signature."""
+    sh = exploded_shingles(df, id_col, text_col, k)
+    return _band_explode(minhash_wide(sh, n_hashes), n_hashes, band_size)
 
 
 def candidate_pairs_from_bands(banded: DataFrame) -> DataFrame:
@@ -244,23 +250,13 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str, text_col: str, *,
     and shingling+hashing (the dominant CPU) must fan out across all cores
     (measured 29s → single-digit s at sf0.1 on local[32]); the exploded
     shingle frame is shared by the signature and verify stages."""
+    from ..caching import bounded_persist
+
     par = df.sparkSession.sparkContext.defaultParallelism
     df = df.repartition(par, F.col(id_col))
-    sh = exploded_shingles(df, id_col, text_col, k)
-    sh = sh.persist()
-    wide = minhash_wide(sh, n_hashes)
-    n_bands = n_hashes // band_size
-    bands = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws("|", F.array_sort(F.array(*[
-                F.concat_ws("#", F.lit(s), F.col(f"mh{s}"))
-                for s in range(b * band_size, (b + 1) * band_size)])))
-            .alias("band_key"))
-        for b in range(n_bands)])
-    banded = (wide.select("id", F.explode(bands).alias("bk"))
-              .select("id", F.col("bk.band").alias("band"),
-                      F.col("bk.band_key").alias("band_key")))
+    sh = bounded_persist(exploded_shingles(df, id_col, text_col, k),
+                         tag="minhash_shingles")
+    banded = _band_explode(minhash_wide(sh, n_hashes), n_hashes, band_size)
     cand = candidate_pairs_from_bands(banded)
     return (jaccard_for_pairs(sh, cand)
             .filter(F.col("jaccard") >= threshold))

@@ -119,26 +119,47 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, *, k: int = 3,
 
 
 def embedding_near_duplicates(df: DataFrame, *, threshold: float = 0.95,
-                              n_planes: int = 4, dims: int = 64) -> DataFrame:
+                              n_planes: int = 4, dims: int = 64,
+                              broadcast_limit: int = 2_000_000) -> DataFrame:
     """Embedding-cosine near-dup pairs via bucketed self-join (id_a < id_b).
 
     The LSH bucket bounds the self-join; exact cosine verifies. At corpus
     scale add multi-probe or repeated plane sets for recall.
 
-    Join shape: bucket has only 2^n_planes distinct values, so a shuffle
-    join would cap parallelism at 2^n_planes reduce tasks — broadcast one
-    side instead, keeping parallelism = input partitions (the input is
-    repartitioned to full width first; a small parquet scan arrives with
-    too few partitions for the pair-verify CPU). The bucketed frame is
-    persisted so projection_bucket runs once, not once per join side."""
+    Join shape: bucket has only 2^n_planes distinct values, so a plain
+    shuffle join caps parallelism at 2^n_planes reduce tasks. For corpora
+    that fit the broadcast budget (≤ ``broadcast_limit`` rows) the fix is
+    broadcasting one side — parallelism stays at input partitions. Beyond
+    that, broadcasting the whole corpus would OOM the executors, so the
+    join is salted instead: side a gets salt = xxhash64(id) % S, side b is
+    replicated S ways, join key = (bucket, salt) → parallelism =
+    2^n_planes × S with bounded memory. The bucketed frame is persisted
+    (bounded — see caching.bounded_persist) so projection_bucket runs
+    once, not once per join side."""
+    from ..caching import bounded_persist
+
     par = df.sparkSession.sparkContext.defaultParallelism
-    v = (df.repartition(par, F.col("id"))
-         .select(F.col("id"), F.col("vec").cast("array<double>").alias("v"),
-                 projection_bucket(F.col("vec"), n_planes=n_planes,
-                                   dims=dims).alias("bucket"))
-         .persist())
-    a, b = v.alias("a"), v.alias("b")
-    return (a.join(F.broadcast(b), "bucket")
+    v = bounded_persist(
+        df.repartition(par, F.col("id"))
+        .select(F.col("id"), F.col("vec").cast("array<double>").alias("v"),
+                projection_bucket(F.col("vec"), n_planes=n_planes,
+                                  dims=dims).alias("bucket")),
+        tag="emb_near_dup")
+    if v.count() <= broadcast_limit:
+        a, b = v.alias("a"), v.alias("b")
+        joined = a.join(F.broadcast(b), "bucket")
+    else:
+        n_salts = max(par, 32)
+        a = (v.withColumn("salt",
+                          F.pmod(F.xxhash64("id"), F.lit(n_salts))
+                          .cast("int"))
+             .alias("a"))
+        b = (v.withColumn("salt",
+                          F.explode(F.sequence(F.lit(0),
+                                               F.lit(n_salts - 1))))
+             .alias("b"))
+        joined = a.join(b, ["bucket", "salt"])
+    return (joined
             .filter(F.col("a.id") < F.col("b.id"))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                     F.round(cosine(F.col("a.v"), F.col("b.v")), 4)

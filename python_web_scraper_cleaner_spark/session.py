@@ -33,9 +33,14 @@ def build_session(app_name: str = "python_web_scraper_cleaner_spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # html:binary rows are multi-KB: keep Arrow batches small so Python
-        # workers never hold >~100MB per batch (SURVEY §4.2, §7 risk 4)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # html:binary rows are multi-KB: Arrow batch size must balance IPC
+        # amortization against Python-worker memory. Measured on the crawl
+        # slice (1.1 KB html rows, local[32]): 2048→64.8k urls/s,
+        # 8192→75.4k, 32768→70.5k — 8192 (~9 MB/batch) is the knee. For
+        # 100 KB+ pages lower via SPARK_GRAFT_ARROW_BATCH to keep batches
+        # ≲100 MB (SURVEY §4.2, §7 risk 4).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "8192"))
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

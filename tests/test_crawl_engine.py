@@ -263,3 +263,20 @@ def test_round_tags_language_and_time_travel(spark, engine_root):
     # rollback + re-read equals the time-travel view
     eng.io.rollback("pages", snaps[0]["snapshot"])
     assert eng.io.read("pages").count() == first.count()
+
+
+def test_emb_near_dup_salted_equals_broadcast(spark):
+    """The salted self-join (corpus beyond broadcast_limit) must produce
+    exactly the broadcast path's pairs."""
+    from python_web_scraper_cleaner_spark.operators.similarity import (
+        embedding_near_duplicates)
+
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .select(F.col("vec_id").alias("id"),
+                   F.col("embedding").alias("vec")))
+    bc = {(r.id_a, r.id_b, r.cos_sim) for r in
+          embedding_near_duplicates(emb, threshold=0.15).collect()}
+    salted = {(r.id_a, r.id_b, r.cos_sim) for r in
+              embedding_near_duplicates(emb, threshold=0.15,
+                                        broadcast_limit=10).collect()}
+    assert bc and salted == bc

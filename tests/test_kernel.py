@@ -305,3 +305,13 @@ def test_robots_allows_longest_match():
     assert robots_allows("/private/ok/x", r)     # longer Allow wins
     assert robots_allows("/public", r)
     assert robots_allows("/", r)
+
+
+def test_parse_robots_malformed_delays():
+    from python_web_scraper_cleaner_spark.functions.kernel import (
+        parse_robots_txt)
+    for bad in ("nan", "inf", "-inf", "1e999", "-5", "99999999"):
+        r = parse_robots_txt(f"User-agent: *\nCrawl-delay: {bad}\n")
+        assert r["crawl_delay_ms"] == 0, bad
+    r = parse_robots_txt("User-agent: *\nCrawl-delay: 2.5\n")
+    assert r["crawl_delay_ms"] == 2500
