@@ -26,7 +26,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-PAGES_CACHE = "/tmp/spark_graft_bench_pages_{n}"
+from python_web_scraper_cleaner_spark.sources.pages import PAGES_VERSION
+
+PAGES_CACHE = "/tmp/spark_graft_bench_pages_v%d_{n}" % PAGES_VERSION
 
 
 def warm_workers(spark, cores: int) -> None:

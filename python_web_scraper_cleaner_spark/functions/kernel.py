@@ -816,3 +816,67 @@ def robots_allows(path: str, rules: dict) -> bool:
     best_dis = max((len(p) for p in rules.get("disallow_prefixes", ())
                     if path.startswith(p)), default=-1)
     return best_allow >= best_dis
+
+
+# ---------------------------------------------------------------------------
+# Link extraction (URL discovery — the frontier-growing half of a crawler;
+# reference analog: GoogleNewsSource seed discovery, scripts/news.py:1-9,
+# generalized to in-page <a href> harvesting)
+# ---------------------------------------------------------------------------
+
+
+class _LinkExtractor(HTMLParser):
+    """Collect href targets of <a> tags, in document order."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.hrefs: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "a":
+            for name, value in attrs:
+                if name == "href" and value:
+                    self.hrefs.append(value)
+
+
+def _resolve_href(href: str, base_url: str) -> Optional[str]:
+    """Resolve one href against the page URL; keep only http(s) targets.
+    Deterministic stdlib urljoin semantics; fragments dropped, javascript:/
+    mailto:/data: rejected."""
+    from urllib.parse import urljoin, urlsplit
+
+    href = href.strip()
+    if not href or href.startswith("#"):
+        return None
+    low = href.lower()
+    if low.startswith(("javascript:", "mailto:", "data:", "tel:")):
+        return None
+    try:
+        absolute = urljoin(base_url, href)
+        parts = urlsplit(absolute)
+    except ValueError:
+        return None
+    if parts.scheme not in ("http", "https") or not parts.netloc:
+        return None
+    return absolute.split("#", 1)[0]
+
+
+def extract_links(raw: bytes | str, base_url: str) -> list[str]:
+    """All unique out-links of a page, resolved absolute, document order
+    preserved (first occurrence wins). Malformed HTML never raises —
+    html.parser is forgiving and resolution failures drop the link."""
+    text = decode_html(raw) if isinstance(raw, (bytes, bytearray)) else raw
+    parser = _LinkExtractor()
+    try:
+        parser.feed(text)
+        parser.close()
+    except Exception:
+        pass  # salvage whatever was collected before the parse error
+    seen: set[str] = set()
+    out: list[str] = []
+    for href in parser.hrefs:
+        url = _resolve_href(href, base_url)
+        if url is not None and url not in seen:
+            seen.add(url)
+            out.append(url)
+    return out

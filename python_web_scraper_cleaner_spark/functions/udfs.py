@@ -142,6 +142,15 @@ def lang_id_udf(s: pd.Series) -> pd.Series:
     return s.map(lambda x: K.lang_id(x) if x is not None else "und")
 
 
+@pandas_udf(T.ArrayType(T.StringType()))
+def extract_links_udf(html: pd.Series, url: pd.Series) -> pd.Series:
+    """URL discovery: unique absolute out-links per page (kernel
+    .extract_links) — the frontier-growing half of the crawl loop."""
+    return pd.Series([
+        K.extract_links(h if h is not None else b"", u)
+        for h, u in zip(html, url)])
+
+
 @pandas_udf(T.LongType())
 def fingerprint64_udf(s: pd.Series) -> pd.Series:
     return s.map(lambda x: K.fingerprint64(x) % (1 << 62) if x is not None else None)

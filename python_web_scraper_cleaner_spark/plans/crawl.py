@@ -154,13 +154,22 @@ class CrawlEngine:
                  per_host_budget: int = 5,
                  n_bloom_buckets: int = 16,
                  hot_host_threshold: int | None = None,
-                 n_salts: int = 8) -> None:
+                 n_salts: int = 8,
+                 discover_links: bool = False,
+                 discovery_priority: int = 9) -> None:
         self.spark = spark
         self.io = TableIO(spark, root)
         self.per_host_budget = per_host_budget
         self.n_bloom_buckets = n_bloom_buckets
         self.hot_host_threshold = hot_host_threshold
         self.n_salts = n_salts
+        # URL discovery: harvest <a href> from fetched pages and grow the
+        # frontier (the reference only discovers via its external seed
+        # source, scripts/news.py:1-9 — in-page discovery is what makes
+        # this a crawler rather than a fetch queue). Discovered URLs get
+        # the lowest priority so seeds always crawl first — deterministic.
+        self.discover_links = discover_links
+        self.discovery_priority = discovery_priority
 
     # -- lifecycle ------------------------------------------------------------
     def bootstrap(self, seeds: DataFrame, robots: DataFrame | None = None,
@@ -210,9 +219,16 @@ class CrawlEngine:
 
         # S3 + F3: fetch (grouped per host) then vectorized extraction +
         # deterministic language tagging (input_hint: extraction fills
-        # text AND lang; failed extractions tag 'und')
-        from ..functions.udfs import lang_id_udf
+        # text AND lang; failed extractions tag 'und'); in discovery mode
+        # out-links are harvested from html BEFORE the binary column is
+        # dropped (links travel as a small array column, never the blob)
+        from ..functions.udfs import extract_links_udf, lang_id_udf
         fetched = simulated_fetch(sched)
+        extra_cols = []
+        if self.discover_links:
+            fetched = fetched.withColumn(
+                "links", extract_links_udf(F.col("html"), F.col("url")))
+            extra_cols = ["links"]
         cleaned = with_clean_text(fetched, output_format="txt")
         pages = (cleaned
                  .withColumn("lang",
@@ -223,7 +239,8 @@ class CrawlEngine:
                  .select("url", "canonical_url", "url_hash", "host",
                          "priority", "warc_ts", "round", "partition_id",
                          "fetch_slot", "scheduled_offset_ms", "fetch_ok",
-                         "text", "lang", "ok", "extracted_chars", "error"))
+                         "text", "lang", "ok", "extracted_chars", "error",
+                         *extra_cols))
         # one shuffle-free pass feeds three commits: cache the round result
         pages.persist()
         try:
@@ -248,6 +265,30 @@ class CrawlEngine:
             # frontier advance: committed batch leaves the pending set
             remaining = pending.join(pages.select("canonical_url"),
                                      "canonical_url", "left_anti")
+
+            if self.discover_links:
+                # grow the frontier: harvested links − (already seen ∪
+                # already pending). Deterministic: fixed discovery
+                # priority, discovered_ts = this round's id as seconds —
+                # same inputs always yield the same frontier state.
+                discovered = (pages
+                              .select(F.explode("links").alias("url"))
+                              .distinct()
+                              .withColumn("priority",
+                                          F.lit(self.discovery_priority)
+                                          .cast("int"))
+                              .withColumn(
+                                  "discovered_ts",
+                                  F.to_timestamp(F.lit("2026-06-01"))
+                                  + F.make_interval(secs=F.lit(round_id))))
+                fresh = canonicalize_seeds(discovered)
+                known_seen = io.read("url_seen").select("canonical_url")
+                fresh = (fresh
+                         .join(known_seen, "canonical_url", "left_anti")
+                         .join(remaining.select("canonical_url"),
+                               "canonical_url", "left_anti"))
+                remaining = remaining.unionByName(fresh)
+
             io.overwrite(remaining, "frontier", round_id)
 
             stats = {"round": round_id, "n_fetched": n_fetched,

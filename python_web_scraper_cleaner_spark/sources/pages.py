@@ -36,6 +36,9 @@ _SECTIONS = ("news", "tech", "sports", "private")
 
 N_TEMPLATES = 10
 
+# bump when page_record's html changes — benchmark page caches key on it
+PAGES_VERSION = 2
+
 
 def _host_index(doc_id: int) -> int:
     """Zipf-ish host skew: host 0 holds ~30% of URLs (hot-domain skew for
@@ -63,17 +66,37 @@ def _paragraph(doc_id: int, p: int, n_sents: int = 4) -> str:
     return " ".join(_sentence(doc_id, p * 100 + s) for s in range(n_sents))
 
 
+def page_url(doc_id: int) -> str:
+    """The canonical URL scheme shared by page generation, seed synthesis,
+    and in-page link targets."""
+    host = f"host{_host_index(doc_id)}.example"
+    section = _SECTIONS[3] if doc_id % 20 == 19 else _SECTIONS[doc_id % 3]
+    return f"https://{host}/{section}/{doc_id}.html"
+
+
+def out_link_ids(doc_id: int) -> list[int]:
+    """Deterministic out-links: every page links two others. id//2 walks
+    toward the low ids and (id*7+3)%100 lands inside [0,100), so the link
+    closure of ANY seed set is finite — discovery-mode crawls terminate."""
+    return [doc_id // 2, (doc_id * 7 + 3) % 100]
+
+
 def page_record(doc_id: int, *, paragraphs: int = 4) -> dict:
     """Deterministic page row. ``text`` is None — the extraction stage fills
     it; the parity oracle computes the expectation with kernel.clean_html."""
     # mixed so template choice decorrelates from the mod-100 host classes
     tmpl = ((doc_id * 1103515245 + 12345) >> 16) % N_TEMPLATES
+    url = page_url(doc_id)
     host = f"host{_host_index(doc_id)}.example"
     section = _SECTIONS[3] if doc_id % 20 == 19 else _SECTIONS[doc_id % 3]
-    url = f"https://{host}/{section}/{doc_id}.html"
     title = f"Article {doc_id}: {_sentence(doc_id, 0)[:-1]}"
     body = "\n".join(f"<p>{_paragraph(doc_id, p)}</p>"
                      for p in range(1, paragraphs + 1))
+    # every page links two deterministic others (URL-discovery substrate)
+    body += ("\n<p>Related: "
+             + " ".join(f'<a href="{page_url(t)}">related {t}</a>'
+                        for t in out_link_ids(doc_id))
+             + "</p>")
 
     if tmpl == 0:
         html = f"<html><head><title>{title}</title></head><body>{body}</body></html>"

@@ -280,3 +280,44 @@ def test_emb_near_dup_salted_equals_broadcast(spark):
               embedding_near_duplicates(emb, threshold=0.15,
                                         broadcast_limit=10).collect()}
     assert bc and salted == bc
+
+
+def test_discovery_crawls_link_closure(spark, tmp_path):
+    """URL discovery: starting from 5 seeds, the engine harvests in-page
+    links, grows the frontier, and crawls the deterministic link closure —
+    robots still excludes /private targets, every non-private discovered
+    link ends up fetched, and a rerun reproduces the identical order."""
+    from python_web_scraper_cleaner_spark.functions.kernel import (
+        canonicalize_url)
+    from python_web_scraper_cleaner_spark.sources.pages import (
+        pages_local, out_link_ids, page_url)
+
+    seeds_recs = pages_local(210)[200:205]   # ids 200..204
+    seeds = spark.createDataFrame(
+        [(r["url"], 0, r["warc_ts"]) for r in seeds_recs],
+        "url string, priority int, discovered_ts timestamp")
+
+    def run(root):
+        eng = CrawlEngine(spark, str(root), per_host_budget=50,
+                          discover_links=True)
+        eng.bootstrap(seeds, make_robots(spark))
+        eng.run(max_rounds=40)
+        return eng
+
+    eng = run(tmp_path / "d1")
+    pages = eng.io.read("pages")
+    fetched = {r.canonical_url for r in pages.select("canonical_url").collect()}
+    assert len(fetched) > 5, "discovery never grew the frontier"
+
+    # closure: every harvested link is fetched or robots-blocked (/private)
+    links = {l for r in pages.select("links").collect() for l in (r.links or [])}
+    assert links
+    for l in links:
+        c = canonicalize_url(l)
+        assert c in fetched or "/private/" in c, c
+    # /private never fetched even when discovered
+    assert not any("/private/" in u for u in fetched)
+
+    # determinism: a fresh run reproduces the same crawl order
+    eng2 = run(tmp_path / "d2")
+    assert eng.crawl_order() == eng2.crawl_order()

@@ -27,7 +27,10 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-CORPUS = "/tmp/spark_graft_scaling_pages"
+sys.path.insert(0, REPO)
+from python_web_scraper_cleaner_spark.sources.pages import PAGES_VERSION
+
+CORPUS = "/tmp/spark_graft_scaling_pages_v%d" % PAGES_VERSION
 N_PAGES = 400_000
 
 _CHILD = r"""
