@@ -89,16 +89,22 @@ def full_round_throughput(spark, n_seeds: int) -> dict:
     from python_web_scraper_cleaner_spark.plans.crawl import (
         CrawlEngine, default_robots, synthesize_seeds)
 
-    root = tempfile.mkdtemp(prefix="spark_graft_round_")
-    eng = CrawlEngine(spark, root, per_host_budget=max(64, n_seeds // 32),
-                      hot_host_threshold=5000, n_salts=16)
-    eng.bootstrap(synthesize_seeds(spark, n_seeds), default_robots(spark))
-    t0 = time.time()
-    stats = eng.run_round(0)
-    dt = time.time() - t0
-    return {"n_seeds": n_seeds, "n_fetched": stats["n_fetched"],
-            "sec": round(dt, 3),
-            "urls_per_sec": round(stats["n_fetched"] / dt, 1)}
+    def one_round() -> dict:
+        root = tempfile.mkdtemp(prefix="spark_graft_round_")
+        eng = CrawlEngine(spark, root,
+                          per_host_budget=max(64, n_seeds // 32),
+                          hot_host_threshold=5000, n_salts=16)
+        eng.bootstrap(synthesize_seeds(spark, n_seeds),
+                      default_robots(spark))
+        t0 = time.time()
+        stats = eng.run_round(0)
+        dt = time.time() - t0
+        return {"n_seeds": n_seeds, "n_fetched": stats["n_fetched"],
+                "sec": round(dt, 3),
+                "urls_per_sec": round(stats["n_fetched"] / dt, 1)}
+
+    one_round()          # warm-up: first-touch codegen/broadcast costs
+    return one_round()   # the reported measurement
 
 
 def main() -> None:
@@ -120,6 +126,15 @@ def main() -> None:
     runs = [crawl_throughput(spark, crawl_n) for _ in range(3)]
     crawl = sorted(runs, key=lambda r: r["sec"])[1]
 
+    # full round measured here — before 47 queries of JVM churn — so the
+    # number reflects the engine, not end-of-session GC pressure
+    try:
+        full_round = full_round_throughput(spark, crawl_n // 2)
+    except Exception as e:  # secondary metric must not sink the report
+        full_round = {"error": str(e)[:200]}
+        print(f"bench error in full_round: {e}", file=sys.stderr)
+    spark.catalog.clearCache()
+
     queries = {}
     total = 0.0
     for name, (fn, _sql) in registry().items():
@@ -137,12 +152,6 @@ def main() -> None:
             # queries are independent; persisted intermediates from one
             # must not squeeze executor memory for the next
             spark.catalog.clearCache()
-
-    try:
-        full_round = full_round_throughput(spark, crawl_n // 2)
-    except Exception as e:  # secondary metric must not sink the report
-        full_round = {"error": str(e)[:200]}
-        print(f"bench error in full_round: {e}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
