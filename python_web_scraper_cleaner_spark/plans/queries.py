@@ -202,6 +202,34 @@ from documents where doc_id < 200 order by doc_id
 """
 
 
+def q_a7_manifest_rollup(spark, sf_dir):
+    """A7/K3: the manifest's per-item results[] roll-up
+    (html_cleaner_core.py:277 collect_list-of-struct) — per source, the
+    item details as one deterministic string (sorted, joined) plus an md5
+    digest, so the nested roll-up is value-comparable across engines."""
+    item = F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                    F.col("n_chars").cast("string"), F.lit(":"),
+                    (F.col("n_chars") >= 200).cast("string"))
+    return (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+            .groupBy("source")
+            .agg(F.count("*").alias("total"),
+                 F.md5(F.array_join(F.array_sort(F.collect_list(item)), "|"))
+                 .alias("results_md5"))
+            .orderBy("source"))
+
+
+SQL_A7 = """
+with items as (
+  select source,
+         cast(doc_id as varchar) || ':' || cast(n_chars as varchar) || ':'
+         || case when n_chars >= 200 then 'true' else 'false' end as item
+  from documents where doc_id < 500)
+select source, count(*) as total,
+       md5(string_agg(item, '|' order by item)) as results_md5
+from items group by source order by source
+"""
+
+
 def q_a4_cardinalities(spark, sf_dir):
     """A4: URL-set-cardinality analog: counts + distinct counts."""
     return (_t(spark, sf_dir, "documents")
@@ -1464,6 +1492,7 @@ def registry():
         "a1_manifest_counts": (q_a1_manifest_counts, SQL_A1),
         "a3_token_counts": (q_a3_token_counts, SQL_A3),
         "a4_cardinalities": (q_a4_cardinalities, SQL_A4),
+        "a7_manifest_rollup": (q_a7_manifest_rollup, SQL_A7),
         "p5_search_snippet": (q_p5_search_snippet, SQL_P5),
         "a5_term_scores": (q_a5_term_scores, SQL_A5),
         "a6_best_doc": (q_a6_best_doc, SQL_A6),
