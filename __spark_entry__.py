@@ -43,6 +43,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    """DuckDB oracle per query. Entries whose expected result is computed by
+    the single-node kernel (pandas-UDF pipelines with deterministic inputs)
+    store a lazy generator in the registry — resolved to literal VALUES SQL
+    here."""
     from python_web_scraper_cleaner_spark.plans.queries import registry
-    return {name: sql for name, (_fn, sql) in registry().items()
+    return {name: (sql() if callable(sql) else sql)
+            for name, (_fn, sql) in registry().items()
             if sql is not None}

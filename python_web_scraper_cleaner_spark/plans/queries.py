@@ -15,6 +15,8 @@ external data.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -177,9 +179,9 @@ def q_a1_manifest_counts(spark, sf_dir):
 
 SQL_A1 = """
 select source, count(*) as total,
-       sum(case when n_chars >= 200 then 1 else 0 end) as n_ok,
-       count(*) - sum(case when n_chars >= 200 then 1 else 0 end) as n_failed,
-       sum(n_chars) as sum_chars, max(n_chars) as max_chars
+       cast(sum(case when n_chars >= 200 then 1 else 0 end) as bigint) as n_ok,
+       cast(count(*) - sum(case when n_chars >= 200 then 1 else 0 end) as bigint) as n_failed,
+       cast(sum(n_chars) as bigint) as sum_chars, max(n_chars) as max_chars
 from documents group by source order by source
 """
 
@@ -583,8 +585,8 @@ joined as (
                               r.disallow_prefix), false) as blocked
   from hosts c left join robots r using (host_key))
 select host, crawl_delay_ms, count(*) as n_urls,
-       sum(case when blocked then 1 else 0 end) as n_blocked,
-       sum(case when blocked then 0 else 1 end) as n_allowed
+       cast(sum(case when blocked then 1 else 0 end) as bigint) as n_blocked,
+       cast(sum(case when blocked then 0 else 1 end) as bigint) as n_allowed
 from joined group by host, crawl_delay_ms order by host
 """
 
@@ -637,10 +639,10 @@ def q_tpch_q1_pricing(spark, sf_dir):
 
 SQL_TPCH_Q1 = f"""
 select l_returnflag, l_linestatus,
-       sum(cast(floor(l_quantity + 0.5) as bigint)) as sum_qty,
-       sum({_CENTS_SQL.format(x='l_extendedprice')}) as sum_base_cents,
-       sum({_CENTS_SQL.format(x='l_extendedprice')}
-           * cast(floor((1 - l_discount)*100 + 0.5) as bigint)) as sum_disc_e4,
+       cast(sum(cast(floor(l_quantity + 0.5) as bigint)) as bigint) as sum_qty,
+       cast(sum({_CENTS_SQL.format(x='l_extendedprice')}) as bigint) as sum_base_cents,
+       cast(sum({_CENTS_SQL.format(x='l_extendedprice')}
+           * cast(floor((1 - l_discount)*100 + 0.5) as bigint)) as bigint) as sum_disc_e4,
        count(*) as count_order
 from lineitem
 where l_shipdate <= timestamp '2000-09-02 00:00:00'
@@ -669,8 +671,8 @@ def q_tpch_q3_topk(spark, sf_dir):
 
 SQL_TPCH_Q3 = f"""
 select o_orderkey, o_orderdate, o_orderpriority,
-       sum({_CENTS_SQL.format(x='l_extendedprice')}
-           * cast(floor((1 - l_discount)*100 + 0.5) as bigint)) as revenue_e4
+       cast(sum({_CENTS_SQL.format(x='l_extendedprice')}
+           * cast(floor((1 - l_discount)*100 + 0.5) as bigint)) as bigint) as revenue_e4
 from lineitem
 join orders on l_orderkey = o_orderkey
 join customer on o_custkey = c_custkey
@@ -711,8 +713,8 @@ def q_tpch_q5_local_supplier(spark, sf_dir):
 
 SQL_TPCH_Q5 = f"""
 select n_name,
-       sum({_CENTS_SQL.format(x='l_extendedprice')}
-           * cast(floor((1 - l_discount)*100 + 0.5) as bigint)) as revenue_e4,
+       cast(sum({_CENTS_SQL.format(x='l_extendedprice')}
+           * cast(floor((1 - l_discount)*100 + 0.5) as bigint)) as bigint) as revenue_e4,
        count(*) as n_items
 from lineitem
 join orders on l_orderkey = o_orderkey
@@ -746,7 +748,7 @@ def q_sql_api_segment_revenue(spark, sf_dir):
 
 SQL_SQL_API = """
 select c_mktsegment, count(*) as n_orders,
-       sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)) as revenue_cents,
+       cast(sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)) as bigint) as revenue_cents,
        count(distinct o_custkey) as n_buyers
 from orders join customer on o_custkey = c_custkey
 group by c_mktsegment order by c_mktsegment
@@ -905,7 +907,7 @@ bits as (select id, b,
                 cast(floor(hv / pow(2, b)) as bigint) % 2 as bitval
          from hv, range(0, 32) t(b)),
 contrib as (select id, b, sum(bitval * 2 - 1) as s from bits group by id, b)
-select id, sum(cast((case when s > 0 then 1 else 0 end) * pow(2, b) as bigint)) as simhash
+select id, cast(sum(cast((case when s > 0 then 1 else 0 end) * pow(2, b) as bigint)) as bigint) as simhash
 from contrib group by id order by id
 """
 
@@ -1333,7 +1335,7 @@ def q_events_hourly(spark, sf_dir):
 SQL_EVENTS_HOURLY = f"""
 select date_trunc('hour', ts) as window_start, event_type,
        count(*) as n_events,
-       sum({_CENTS_SQL.format(x='value')}) as value_cents
+       cast(sum({_CENTS_SQL.format(x='value')}) as bigint) as value_cents
 from events group by 1, 2 order by window_start, event_type
 """
 
@@ -1363,7 +1365,7 @@ with l as (
                                  order by epoch_ms(ts), event_id) as prev
   from events)
 select user_id,
-       sum(case when prev is null or ms - prev > 1800000 then 1 else 0 end) as n_sessions,
+       cast(sum(case when prev is null or ms - prev > 1800000 then 1 else 0 end) as bigint) as n_sessions,
        count(*) as n_events
 from l group by user_id order by user_id
 """
@@ -1481,6 +1483,127 @@ def q_crawl_clean_extract(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Kernel-derived VALUES oracles for the pandas-UDF pipelines
+#
+# These three queries are not SQL-expressible (stateful reflow fold, the
+# html.parser extraction core), but their *inputs* are fully deterministic:
+# synthesize_pages(n) is a pure function of doc_id, and the reflow corpus is
+# the fixed documents rows the driver registers. So the kernel — the licensed
+# single-node oracle (SURVEY §5: the reference's own tests monkeypatch the
+# extractor, tests/test_html_cleaner.py:46-64) — computes the expected result
+# at oracle_sql() time and we emit literal VALUES SQL for DuckDB.
+# ---------------------------------------------------------------------------
+
+
+def _sql_quote(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return str(v)
+
+
+def _values_sql(rows, cols, bigint_cols=(), varchar_cols=(), order_by=None):
+    """Literal `select ... from (values ...)` DuckDB SQL for kernel-computed
+    expected results. Integer columns are cast to bigint so the pandas dtype
+    matches Spark's long (the HUGEINT/float64 hash-mismatch class); all-NULL
+    string columns are cast to varchar so pandas doesn't render them NaN."""
+    body = ",\n".join(
+        "(" + ", ".join(_sql_quote(c) for c in r) + ")" for r in rows)
+
+    def cast(c):
+        if c in bigint_cols:
+            return f"cast({c} as bigint) as {c}"
+        if c in varchar_cols:
+            return f"cast({c} as varchar) as {c}"
+        return c
+
+    sel = ", ".join(cast(c) for c in cols)
+    sql = (f"select {sel} from (values\n{body}\n) as t({', '.join(cols)})")
+    if order_by:
+        sql += f" order by {order_by}"
+    return sql
+
+
+def _oracle_sf_dir():
+    """sf dir whose parquet the driver registers for the oracle run. The
+    driver compares at sf=0.01; tools/check_correctness.py exports the
+    override when run at another sf."""
+    import os
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+@lru_cache(maxsize=None)
+def _sql_f6_reflow():
+    """Expected (doc_id, reflow_md5, n_chars) via the kernel reflow loop
+    (trafilatura_scraper.py:148-198) over the driver's documents rows."""
+    import hashlib
+
+    import duckdb
+
+    from ..functions import kernel as K
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"select doc_id, text from '{_oracle_sf_dir()}/documents.parquet' "
+        "where doc_id < 200 order by doc_id").fetchall()
+    con.close()
+    rows = []
+    for doc_id, text in docs:
+        r = K.reflow_text_to_markdown_paragraphs(text)
+        rows.append((doc_id,
+                     hashlib.md5(r.encode("utf-8")).hexdigest(),
+                     len(r)))
+    return _values_sql(rows, ["doc_id", "reflow_md5", "n_chars"],
+                       bigint_cols={"doc_id", "n_chars"}, order_by="doc_id")
+
+
+@lru_cache(maxsize=None)
+def _sql_f4_f7():
+    """Expected article-pipeline rows via the kernel twin of the UDF chain
+    in q_f4_f7_article_pipeline (metadata → slugify → markdown assembly,
+    trafilatura_scraper.py:56-116,126-146,200-236)."""
+    import hashlib
+
+    from ..functions import kernel as K
+    from ..sources.pages import pages_local
+
+    rows = []
+    for page in pages_local(500):
+        url = page["url"]
+        rec = K.extract_metadata(page["html"], url)
+        slug = K.slugify(rec["title"])
+        # twin of json.loads(to_json(struct)): to_json drops null fields
+        meta = {k: v for k, v in rec.items() if v is not None}
+        md = K.format_article_markdown(meta, rec["text"])
+        rows.append((url, slug,
+                     hashlib.md5(md.encode("utf-8")).hexdigest(),
+                     len(md), rec["language"]))
+    return _values_sql(
+        rows, ["url", "slug", "md_md5", "md_chars", "language"],
+        bigint_cols={"md_chars"}, varchar_cols={"language"}, order_by="url")
+
+
+@lru_cache(maxsize=None)
+def _sql_crawl_clean():
+    """Expected per-lang manifest via the kernel extraction loop
+    (html_cleaner_core.py:61-99,268-280) over the same synthesized corpus."""
+    from ..functions import kernel as K
+    from ..sources.pages import pages_local
+
+    agg = {}
+    for page in pages_local(2000):
+        out = K.clean_html(page["html"], output_format="txt")
+        total, n_ok, sum_chars = agg.get(page["lang"], (0, 0, 0))
+        agg[page["lang"]] = (total + 1, n_ok + int(out.ok),
+                             sum_chars + out.extracted_chars)
+    rows = [(lang, t, ok, ch) for lang, (t, ok, ch) in sorted(agg.items())]
+    return _values_sql(rows, ["lang", "total", "n_ok", "sum_chars"],
+                       bigint_cols={"total", "n_ok", "sum_chars"},
+                       order_by="lang")
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1533,7 +1656,9 @@ def registry():
         "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
         "events_sessionize": (q_events_sessionize, SQL_SESSIONIZE),
         "stream_urlseen_dedup": (q_stream_urlseen, SQL_STREAM_URLSEEN),
-        "f6_reflow_markdown": (q_f6_reflow_markdown, None),
-        "f4_f7_article_pipeline": (q_f4_f7_article_pipeline, None),
-        "crawl_clean_extract": (q_crawl_clean_extract, None),
+        # kernel-derived VALUES oracles, generated lazily (callables are
+        # resolved by __spark_entry__.oracle_sql, cached by lru_cache)
+        "f6_reflow_markdown": (q_f6_reflow_markdown, _sql_f6_reflow),
+        "f4_f7_article_pipeline": (q_f4_f7_article_pipeline, _sql_f4_f7),
+        "crawl_clean_extract": (q_crawl_clean_extract, _sql_crawl_clean),
     }

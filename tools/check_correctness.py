@@ -22,8 +22,16 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 def canon_cell(v):
     import datetime as dt
     import math
+
+    import numpy as np
     if v is None:
         return "NULL"
+    # numpy scalars (from pandas .df() fetch) → python scalars, so the
+    # oracle side canonicalizes identically to Spark's collect() output
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -51,8 +59,11 @@ def table_hash(rows, colnames):
 
 
 def main():
+    import os
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # kernel-derived VALUES oracles must be generated over the same sf rows
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
 
     import duckdb
 
@@ -84,9 +95,15 @@ def main():
                   f"[{time.time()-t0:.1f}s]")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            # fetch via Arrow like the driver does: DuckDB HUGEINT (bare
+            # integer sum()) becomes decimal128 → python Decimal, which the
+            # hasher renders differently from Spark's int — so dtype drift
+            # that fails the driver's hash check fails locally too, while
+            # NULL-bearing int columns stay ints (they pass the driver)
+            tbl = con.execute(oracles[name]).arrow()
+            dcols = tbl.column_names
+            cols = [c.to_pylist() for c in tbl.columns]
+            drows = list(zip(*cols)) if cols else []
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
