@@ -854,7 +854,9 @@ def _resolve_href(href: str, base_url: str) -> Optional[str]:
     try:
         absolute = urljoin(base_url, href)
         parts = urlsplit(absolute)
-    except ValueError:
+    except Exception:
+        # ValueError on malformed urls; AttributeError/TypeError on a null
+        # or non-string base — one odd row must never fail the Spark task
         return None
     if parts.scheme not in ("http", "https") or not parts.netloc:
         return None
@@ -866,6 +868,10 @@ def extract_links(raw: bytes | str, base_url: str) -> list[str]:
     preserved (first occurrence wins). Malformed HTML never raises —
     html.parser is forgiving and resolution failures drop the link."""
     text = decode_html(raw) if isinstance(raw, (bytes, bytearray)) else raw
+    if not base_url:
+        # null/empty page url: relative hrefs cannot resolve; absolute
+        # http(s) hrefs still pass through urljoin("", href) unchanged
+        base_url = ""
     parser = _LinkExtractor()
     try:
         parser.feed(text)

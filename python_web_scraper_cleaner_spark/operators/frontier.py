@@ -117,9 +117,19 @@ def select_round_batch(frontier: DataFrame, *, per_host_budget: int,
                 .otherwise(F.lit(per_host_budget))
     w = Window.partitionBy("host", "_salt").orderBy(
         *[F.asc(c) for c in FRONTIER_ORDER])
-    return (salted.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= per_salt)
-            .drop("rn", "_salt", "_pending"))
+    survivors = (salted.withColumn("rn", F.row_number().over(w))
+                 .filter(F.col("rn") <= per_salt)
+                 .drop("rn", "_salt", "_pending"))
+    # per-salt ceil() overshoots for hot hosts (n_salts·ceil(B/S) ≥ B, e.g.
+    # B=5, 8 salts → 8 selected): a second per-host window over the salted
+    # survivors caps the batch at exactly B. Cheap by construction — its
+    # input is already ≤ B + n_salts rows per host, so the single-reducer-
+    # per-host skew the salting avoided cannot reappear here.
+    w2 = Window.partitionBy("host").orderBy(
+        *[F.asc(c) for c in FRONTIER_ORDER])
+    return (survivors.withColumn("_rn2", F.row_number().over(w2))
+            .filter(F.col("_rn2") <= per_host_budget)
+            .drop("_rn2"))
 
 
 def politeness_schedule(batch: DataFrame) -> DataFrame:

@@ -120,7 +120,8 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, *, k: int = 3,
 
 def embedding_near_duplicates(df: DataFrame, *, threshold: float = 0.95,
                               n_planes: int = 4, dims: int = 64,
-                              broadcast_limit: int = 2_000_000) -> DataFrame:
+                              broadcast_limit: int | None = None,
+                              broadcast_bytes: int = 128 << 20) -> DataFrame:
     """Embedding-cosine near-dup pairs via bucketed self-join (id_a < id_b).
 
     The LSH bucket bounds the self-join; exact cosine verifies. At corpus
@@ -128,14 +129,17 @@ def embedding_near_duplicates(df: DataFrame, *, threshold: float = 0.95,
 
     Join shape: bucket has only 2^n_planes distinct values, so a plain
     shuffle join caps parallelism at 2^n_planes reduce tasks. For corpora
-    that fit the broadcast budget (≤ ``broadcast_limit`` rows) the fix is
-    broadcasting one side — parallelism stays at input partitions. Beyond
-    that, broadcasting the whole corpus would OOM the executors, so the
-    join is salted instead: side a gets salt = xxhash64(id) % S, side b is
-    replicated S ways, join key = (bucket, salt) → parallelism =
-    2^n_planes × S with bounded memory. The bucketed frame is persisted
-    (bounded — see caching.bounded_persist) so projection_bucket runs
-    once, not once per join side."""
+    that fit the broadcast budget the fix is broadcasting one side —
+    parallelism stays at input partitions. The budget is gated on
+    *estimated bytes* (rows × dims × 8 + array overhead), not a row count:
+    2M rows of 64-dim doubles is >1 GB serialized, an executor-OOM risk a
+    row threshold would wave through. Beyond the budget the join is salted
+    instead: side a gets salt = xxhash64(id) % S, side b is replicated S
+    ways, join key = (bucket, salt) → parallelism = 2^n_planes × S with
+    bounded memory. ``broadcast_limit`` (rows) remains as an additional
+    cap for callers that want to force the salted path in tests. The
+    bucketed frame is persisted (bounded — see caching.bounded_persist) so
+    projection_bucket runs once, not once per join side."""
     from ..caching import bounded_persist
 
     par = df.sparkSession.sparkContext.defaultParallelism
@@ -145,7 +149,11 @@ def embedding_near_duplicates(df: DataFrame, *, threshold: float = 0.95,
                 projection_bucket(F.col("vec"), n_planes=n_planes,
                                   dims=dims).alias("bucket")),
         tag="emb_near_dup")
-    if v.count() <= broadcast_limit:
+    n_rows = v.count()
+    est_bytes = n_rows * (dims * 8 + 32)
+    fits = est_bytes <= broadcast_bytes and (
+        broadcast_limit is None or n_rows <= broadcast_limit)
+    if fits:
         a, b = v.alias("a"), v.alias("b")
         joined = a.join(F.broadcast(b), "bucket")
     else:

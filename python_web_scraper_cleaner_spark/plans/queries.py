@@ -854,9 +854,12 @@ order by id_a, id_b
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
+    # max_df=100: the hot-shingle guard that keeps the inverted-index
+    # self-join linear-ish (a boilerplate shingle shared by n docs would
+    # otherwise emit n² join rows); mirrored in SQL_DEDUP_NGRAM
     pairs = D.ngram_jaccard_pairs(
         _dup_corpus(_t(spark, sf_dir, "documents")), "doc_id", "text",
-        k=3, threshold=0.5, max_df=None)
+        k=3, threshold=0.5, max_df=100)
     return (pairs.select("id_a", "id_b",
                          F.round("jaccard", 4).alias("jaccard"))
             .orderBy("id_a", "id_b"))
@@ -873,7 +876,9 @@ sh0 as (select doc_id,
                                           i -> array_to_string(l[i:i+2], ' '))
                       end) as shingle
         from toks),
-sh as (select distinct doc_id as id, shingle from sh0),
+shall as (select distinct doc_id as id, shingle from sh0),
+hot as (select shingle from shall group by shingle having count(*) > 100),
+sh as (select * from shall where shingle not in (select shingle from hot)),
 sizes as (select id, count(*) as n_sh from sh group by id),
 inter as (select a.id as id_a, b.id as id_b, count(*) as n_inter
           from sh a join sh b on a.shingle = b.shingle and a.id < b.id
