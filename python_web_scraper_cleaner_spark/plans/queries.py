@@ -44,6 +44,16 @@ def _cents(col):
 _CENTS_SQL = "cast(floor({x}*100 + 0.5) as bigint)"
 
 
+def _hex_int_sql(col: str, start: int) -> str:
+    """DuckDB expression: 8 hex chars of ``col`` starting at 1-based
+    ``start`` parsed as an integer (the portable hex→int without a
+    conv() builtin)."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({col}, {start + i}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)) + ")"
+
+
 def _doc_urls(docs: DataFrame) -> DataFrame:
     """Deterministic Common-Crawl-style URLs derived from documents
     (FIXTURES.md §1 analog, no external data)."""
@@ -791,6 +801,29 @@ order by o_custkey, rn
 # ---------------------------------------------------------------------------
 
 
+def q_p8_conditional_projection(spark, sf_dir):
+    """P8: include_raw_text-style conditional projection — the raw text
+    column is surfaced only when the include flag is set, else null
+    (reference api/main.py:284,339: `text_content if
+    request.include_raw_text else None`). The flag here is per-row
+    (doc_id parity) so both branches are exercised in one result."""
+    include = (F.col("doc_id") % 2) == 0
+    return (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+            .select("doc_id",
+                    F.when(include, F.col("text")).otherwise(F.lit(None))
+                    .alias("raw_text"),
+                    F.length("text").cast("long").alias("n_chars_full"))
+            .orderBy("doc_id"))
+
+
+SQL_P8 = """
+select doc_id,
+       case when doc_id % 2 = 0 then text end as raw_text,
+       cast(length(text) as bigint) as n_chars_full
+from documents where doc_id < 300 order by doc_id
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     corpus = _dup_corpus(_t(spark, sf_dir, "documents"))
     return (D.exact_dedup_groups(corpus, "doc_id", "text")
@@ -828,11 +861,13 @@ sh0 as (select doc_id,
                       end) as shingle
         from toks),
 sh as (select distinct doc_id as id, shingle from sh0),
-mh as (select id, seed,
-              min(md5(cast(seed as varchar) || ':' || shingle)) as minhash
-       from sh, range(0, 16) t(seed) group by id, seed),
+hs as (select id, md5(shingle) as h from sh),
+ab as (select id, {_hex_int_sql('h', 1)} as a, {_hex_int_sql('h', 9)} as b
+       from hs),
+mh as (select id, seed, min((a + seed * b) % 2147483647) as minhash
+       from ab, range(0, 16) t(seed) group by id, seed),
 banded as (select id, seed // 4 as band,
-                  array_to_string(list_sort(list(cast(seed as varchar) || '#' || minhash)), '|') as band_key
+                  array_to_string(list_sort(list(cast(seed as varchar) || '#' || cast(minhash as varchar))), '|') as band_key
            from mh group by id, seed // 4),
 cand as (select distinct a.id as id_a, b.id as id_b
          from banded a join banded b
@@ -898,9 +933,7 @@ def q_dedup_simhash(spark, sf_dir):
     return D.simhash_df(docs, "doc_id", "text").orderBy("id")
 
 
-_HV_SQL = " + ".join(
-    f"(strpos('0123456789abcdef', substr(h, {i+1}, 1)) - 1) * {16 ** (7 - i)}"
-    for i in range(8))
+_HV_SQL = _hex_int_sql("h", 1)
 
 SQL_DEDUP_SIMHASH = f"""
 with toks as (
@@ -914,6 +947,48 @@ bits as (select id, b,
 contrib as (select id, b, sum(bitval * 2 - 1) as s from bits group by id, b)
 select id, cast(sum(cast((case when s > 0 then 1 else 0 end) * pow(2, b) as bigint)) as bigint) as simhash
 from contrib group by id order by id
+"""
+
+
+def q_simhash_near_pairs(spark, sf_dir):
+    """Banded SimHash near-dup pairs, Hamming-verified. The oracle computes
+    ALL pairs with hamming ≤ 3 exactly; with 4 bands of 8 bits and
+    max_hamming=3 < 4, pigeonhole guarantees any qualifying pair agrees on
+    at least one full band, so the banded candidate set is lossless and
+    the two sides are equal by construction."""
+    corpus = _dup_corpus(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150))
+    sim = D.simhash_df(corpus, "doc_id", "text")
+    return (D.simhash_near_pairs(sim, max_hamming=3)
+            .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+            .orderBy("id_a", "id_b"))
+
+
+SQL_SIMHASH_PAIRS = f"""
+with base as (select doc_id, text from documents where doc_id < 150),
+corpus as (
+  select doc_id, text from base
+  union all
+  select doc_id + 100000, text from base where doc_id % 10 < 3
+  union all
+  select doc_id + 200000, text || ' extra extra extra' from base where doc_id % 10 = 3
+  union all
+  select doc_id + 300000, text || '  ' from base where doc_id % 10 = 4),
+toks as (select doc_id as id, unnest(string_split(text, ' ')) as tok from corpus),
+hv as (select id, {_HV_SQL} as hv
+       from (select id, md5(tok) as h from toks where tok <> '')),
+bits as (select id, b,
+                cast(floor(hv / pow(2, b)) as bigint) % 2 as bitval
+         from hv, range(0, 32) t(b)),
+contrib as (select id, b, sum(bitval * 2 - 1) as s from bits group by id, b),
+sig as (select id,
+               cast(sum(cast((case when s > 0 then 1 else 0 end) * pow(2, b) as bigint)) as bigint) as simhash
+        from contrib group by id),
+pairs as (select a.id as id_a, b.id as id_b,
+                 bit_count(xor(a.simhash, b.simhash)) as hamming
+          from sig a join sig b on a.id < b.id)
+select id_a, id_b, cast(hamming as int) as hamming
+from pairs where hamming <= 3 order by id_a, id_b
 """
 
 
@@ -1645,6 +1720,8 @@ def registry():
         "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
         "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
         "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+        "simhash_near_pairs": (q_simhash_near_pairs, SQL_SIMHASH_PAIRS),
+        "p8_conditional_projection": (q_p8_conditional_projection, SQL_P8),
         "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_BRUTE),
         "ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_LSH),
         "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
