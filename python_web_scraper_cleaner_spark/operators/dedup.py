@@ -277,7 +277,13 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str, text_col: str, *,
     df = df.repartition(par, F.col(id_col))
     sh = bounded_persist(exploded_shingles(df, id_col, text_col, k),
                          tag="minhash_shingles")
-    banded = _band_explode(minhash_wide(sh, n_hashes), n_hashes, band_size)
+    # persist the banded frame too: candidate_pairs_from_bands self-joins
+    # it, and without the cache each join side recomputes the whole
+    # shingle→signature lineage (visible as two identical 16-min
+    # hash-aggregates in the physical plan)
+    banded = bounded_persist(
+        _band_explode(minhash_wide(sh, n_hashes), n_hashes, band_size),
+        tag="minhash_banded")
     cand = candidate_pairs_from_bands(banded)
     return (jaccard_for_pairs(sh, cand)
             .filter(F.col("jaccard") >= threshold))

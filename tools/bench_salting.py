@@ -83,10 +83,11 @@ def main() -> None:
         "salted": best["salted"],
         "speedup": round(best["unsalted"]["sec"] / best["salted"]["sec"], 2),
         "budget_equal": (best["unsalted"]["megahost"]
-                         >= best["salted"]["megahost"] >= BUDGET - 16),
+                         == best["salted"]["megahost"] == BUDGET),
         "note": ("salting splits the megahost window across 16 sub-groups; "
-                 "per-salt budget ceil(B/16) keeps the per-host total "
-                 "within one salt-rounding of B"),
+                 "a second per-host window over the salted survivors caps "
+                 "selection at exactly min(B, pending) — no salt-rounding "
+                 "overshoot"),
     }
     print(json.dumps(out, indent=1))
     with open(os.path.join(os.path.dirname(os.path.dirname(
