@@ -176,6 +176,113 @@ def embedding_near_duplicates(df: DataFrame, *, threshold: float = 0.95,
             .distinct())
 
 
+def _fixed_vec(vec: Column, scale: int) -> Column:
+    """array<long> fixed-point image of a double vector (x → ⌊x·scale+0.5⌋).
+    Makes every downstream sum/mean EXACT integer math — bit-identical in
+    any engine, which is what lets the k-means oracle match without
+    float-summation-order luck."""
+    return F.transform(vec.cast("array<double>"),
+                       lambda x: F.floor(x * scale + 0.5).cast("long"))
+
+
+def _dot_long(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def cosine_fixed(a: Column, b: Column) -> Column:
+    """Cosine over fixed-point vectors: integer dot/norms (exact, <2^53 for
+    64 dims at scale 10^6) + one division and two sqrts — all correctly-
+    rounded single IEEE ops, so the value is deterministic across engines
+    with no rounding crutch."""
+    return (_dot_long(a, b).cast("double")
+            / (F.sqrt(_dot_long(a, a).cast("double"))
+               * F.sqrt(_dot_long(b, b).cast("double"))))
+
+
+def kmeans_centroids(corpus: DataFrame, *, k: int = 16, iters: int = 2,
+                     scale: int = 1_000_000,
+                     id_col: str = "id", vec_col: str = "vec") -> DataFrame:
+    """Deterministic spherical k-means (Lloyd) as pure DataFrame ops:
+    (cid int, cv array<long>) in fixed-point.
+
+    - init: the k lowest-id vectors (TakeOrderedAndProject — no global
+      sort), cid = that vector's id.
+    - assign: argmax cosine_fixed per vector, ties to the lower cid.
+    - update: per-dimension EXACT integer mean (sum of longs / count,
+      rounded back to a long) — no float summation order anywhere, so the
+      same arithmetic unrolled in SQL yields byte-identical centroids.
+    - a cluster that loses all members disappears (not re-seeded) — the
+      oracle mirrors this.
+
+    Scale shape: centroids are k rows (broadcast); assignment is a
+    broadcast product over the corpus; the update shuffles |corpus|×dims
+    (cid, pos, value) rows into a hash agg — at 10^9 vectors use a sample
+    for training, the join shape is unchanged."""
+    fx = corpus.select(F.col(id_col).alias("id"),
+                       _fixed_vec(F.col(vec_col), scale).alias("fv"))
+    cent = (fx.orderBy("id").limit(k)
+            .select(F.col("id").cast("int").alias("cid"),
+                    F.col("fv").alias("cv")))
+    for _ in range(iters):
+        sim = (fx.crossJoin(F.broadcast(cent))
+               .withColumn("_s", cosine_fixed(F.col("fv"), F.col("cv"))))
+        w = Window.partitionBy("id").orderBy(F.desc("_s"), F.asc("cid"))
+        assigned = (sim.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .select("id", "fv", "cid"))
+        sums = (assigned.select("cid", F.posexplode("fv").alias("pos", "x"))
+                .groupBy("cid", "pos")
+                .agg(F.sum("x").alias("s"), F.count("*").alias("n")))
+        m = F.floor(F.col("s") / F.col("n") + F.lit(0.5)).cast("long")
+        cent = (sums.select("cid", "pos", m.alias("m"))
+                .groupBy("cid")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda st: st["m"]).alias("cv")))
+    return cent
+
+
+def ivf_kmeans_topk(queries: DataFrame, corpus: DataFrame, *, k: int = 3,
+                    n_centroids: int = 16, iters: int = 2,
+                    scale: int = 1_000_000,
+                    round_digits: int = 4) -> DataFrame:
+    """IVF ANN with a real (trained) k-means codebook, nprobe=1: centroids
+    from kmeans_centroids over the corpus; queries and corpus assign to
+    their nearest centroid by cosine_fixed; final ranking is exact cosine
+    on the original double vectors within the probed inverted list."""
+    from ..caching import bounded_persist
+
+    cent = bounded_persist(
+        kmeans_centroids(corpus, k=n_centroids, iters=iters, scale=scale),
+        tag="ivf_kmeans_cent")
+
+    def assign(df, id_alias, vec_alias):
+        fx = df.select(F.col("id").alias(id_alias),
+                       F.col("vec").cast("array<double>").alias(vec_alias),
+                       _fixed_vec(F.col("vec"), scale).alias("_fv"))
+        sim = (fx.crossJoin(F.broadcast(cent))
+               .withColumn("_s", cosine_fixed(F.col("_fv"), F.col("cv"))))
+        w = Window.partitionBy(id_alias).orderBy(F.desc("_s"), F.asc("cid"))
+        return (sim.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select(id_alias, vec_alias, "cid"))
+
+    c = assign(corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism, F.col("id")),
+        "neighbor_id", "cv_full")
+    q = assign(queries, "query_id", "qv")
+    sim = (c.join(F.broadcast(q), "cid")
+           .withColumn("cos_sim",
+                       F.round(cosine(F.col("qv"), F.col("cv_full")),
+                               round_digits)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (sim.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rank"))
+
+
 def ivf_assign(df: DataFrame, centroids: DataFrame, *,
                id_col: str = "id", vec_col: str = "v") -> DataFrame:
     """Assign every vector to its nearest centroid by cosine (rounded to 4

@@ -601,6 +601,102 @@ from joined group by host, crawl_delay_ms order by host
 """
 
 
+def _robots_fixture_rows():
+    """Deterministic robots.txt corpus exercising the RFC-9309-subset
+    parser (kernel.parse_robots_txt): wildcard + specific agent sections,
+    accumulating rules, comments, and the malformed crawl-delays real
+    robots files contain (nan, negative, absurd)."""
+    rows = []
+    for i in range(12):
+        host = f"host{i}.example"
+        lines = [f"# robots for {host}", "User-agent: *"]
+        for j in range(i % 4):
+            lines.append(f"Disallow: /private{j}/")
+        if i % 3 == 0:
+            lines.append("Allow: /private0/ok/")
+        if i % 2 == 0:
+            lines.append(f"Crawl-delay: {i % 5}.5")
+        elif i % 5 == 1:
+            lines.append("Crawl-delay: nan")
+        elif i % 5 == 3:
+            lines.append("Crawl-delay: -1")
+        else:
+            lines.append("Crawl-delay: 99999999")
+        if i % 4 == 3:
+            # non-matching specific agent: must NOT leak into '*' rules
+            lines += ["", "User-agent: other-bot", f"Disallow: /bot-only{i}/"]
+        rows.append((host, "\n".join(lines)))
+    return rows
+
+
+def q_robots_parse_rules(spark, sf_dir):
+    """Robots.txt parse as a table op: (host, robots_txt) → broadcastable
+    rules (north_rule: robots rules broadcast to executors). The pandas-UDF
+    parser output is checked against the kernel twin via a VALUES oracle."""
+    from ..operators.frontier import parse_robots_table
+    df = spark.createDataFrame(_robots_fixture_rows(),
+                               "host string, robots_txt string")
+    rules = parse_robots_table(df)
+    return (rules.select(
+        "host",
+        F.array_join("disallow_prefixes", "|").alias("disallow"),
+        F.array_join("allow_prefixes", "|").alias("allow"),
+        F.col("crawl_delay_ms"))
+        .orderBy("host"))
+
+
+@lru_cache(maxsize=None)
+def _sql_robots_parse():
+    from ..functions.kernel import parse_robots_txt
+    rows = []
+    for host, txt in _robots_fixture_rows():
+        r = parse_robots_txt(txt, "*")
+        rows.append((host, "|".join(r["disallow_prefixes"]),
+                     "|".join(r["allow_prefixes"]), r["crawl_delay_ms"]))
+    return _values_sql(rows, ["host", "disallow", "allow", "crawl_delay_ms"],
+                       bigint_cols={"crawl_delay_ms"}, order_by="host")
+
+
+_F1_MESS = "\r\rMiddle  line   \n\n\n\n\nTail line  \n\n"
+
+
+def q_f1_normalize_text(spark, sf_dir):
+    """F1: full normalize_text semantics (CRLF/CR→LF, rstrip lines, ≤2
+    blank runs, single trailing newline — html_cleaner_core.py:36-52) over
+    deterministically messied document text; kernel-derived VALUES oracle."""
+    from ..functions.udfs import normalize_text_udf
+    messy = F.concat(F.regexp_replace(F.col("text"), " ", "  \r\n"),
+                     F.lit(_F1_MESS))
+    return (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+            .withColumn("_n", normalize_text_udf(messy))
+            .select("doc_id",
+                    F.md5(F.col("_n")).alias("norm_md5"),
+                    F.length(F.col("_n")).cast("long").alias("n_chars"))
+            .orderBy("doc_id"))
+
+
+@lru_cache(maxsize=None)
+def _sql_f1_normalize():
+    import hashlib
+
+    import duckdb
+
+    from ..functions import kernel as K
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"select doc_id, text from '{_oracle_sf_dir()}/documents.parquet' "
+        "where doc_id < 200 order by doc_id").fetchall()
+    con.close()
+    rows = []
+    for doc_id, text in docs:
+        n = K.normalize_text(text.replace(" ", "  \r\n") + _F1_MESS)
+        rows.append((doc_id, hashlib.md5(n.encode("utf-8")).hexdigest(),
+                     len(n)))
+    return _values_sql(rows, ["doc_id", "norm_md5", "n_chars"],
+                       bigint_cols={"doc_id", "n_chars"}, order_by="doc_id")
+
+
 def q_o4_perhost_topk(spark, sf_dir):
     """O4: per-host politeness batch — top-k per host by (priority, url),
     the frontier round selection (window + row_number ≤ k)."""
@@ -1103,6 +1199,84 @@ ranked as (select *, cast(row_number() over (partition by query_id
 select query_id, neighbor_id, cos_sim, rank from ranked
 where rank <= 3 order by query_id, rank
 """
+
+
+def q_ann_ivf_kmeans(spark, sf_dir):
+    """IVF ANN with a REAL k-means codebook (2 Lloyd iterations, fixed-
+    point exact integer means — operators/similarity.kmeans_centroids),
+    nprobe=1. Replaces the id%25 coarse-quantizer stand-in with trained
+    centroids while staying fully oracle-checkable: every centroid update
+    is integer arithmetic, so the unrolled SQL twin reproduces the
+    codebook byte-for-byte."""
+    emb = _emb(spark, sf_dir)
+    return (SIM.ivf_kmeans_topk(emb.filter(F.col("id") < 5),
+                                emb.filter(F.col("id") >= 5),
+                                k=3, n_centroids=16, iters=2)
+            .orderBy("query_id", "rank"))
+
+
+def _cosfix_sql(a: str, b: str) -> str:
+    dot = (f"cast(list_sum(list_transform(range(1, 65), "
+           f"i -> {a}[i] * {b}[i])) as double)")
+    na = (f"sqrt(cast(list_sum(list_transform(range(1, 65), "
+          f"i -> {a}[i] * {a}[i])) as double))")
+    nb = (f"sqrt(cast(list_sum(list_transform(range(1, 65), "
+          f"i -> {b}[i] * {b}[i])) as double))")
+    return f"({dot} / ({na} * {nb}))"
+
+
+@lru_cache(maxsize=None)
+def _sql_ann_ivf_kmeans(k: int = 16, iters: int = 2) -> str:
+    """Unrolled Lloyd iterations as a CTE chain — exact mirror of
+    kmeans_centroids + ivf_kmeans_topk (fixed-point integer means, cosine
+    over exact integer dots, final ranking on the original doubles)."""
+    parts = [
+        "e as (select vec_id as id, embedding::DOUBLE[] as v from embeddings)",
+        ("fx as (select id, v, list_transform(v, "
+         "x -> cast(floor(x*1000000 + 0.5) as bigint)) as fv from e)"),
+        "cfx as (select * from fx where id >= 5)",
+        "qfx as (select * from fx where id < 5)",
+        (f"cent0 as (select cast(id as int) as cid, fv as cv from cfx "
+         f"order by id limit {k})"),
+    ]
+    for i in range(iters):
+        cos = _cosfix_sql("c.fv", "k.cv")
+        parts.append(
+            f"asg{i} as (select id, fv, cid from ("
+            f"select c.id, c.fv, k.cid, row_number() over ("
+            f"partition by c.id order by {cos} desc, k.cid asc) as rn "
+            f"from cfx c, cent{i} k) t where rn = 1)")
+        parts.append(
+            f"sums{i} as (select cid, i as pos, "
+            f"cast(sum(fv[i]) as bigint) as s, count(*) as n "
+            f"from asg{i}, range(1, 65) t(i) group by cid, i)")
+        parts.append(
+            f"cent{i + 1} as (select cid, "
+            f"list(cast(floor(s / n + 0.5) as bigint) order by pos) as cv "
+            f"from sums{i} group by cid)")
+    fin = f"cent{iters}"
+    cos_c = _cosfix_sql("c.fv", "k.cv")
+    cos_q = _cosfix_sql("q.fv", "k.cv")
+    parts.append(
+        f"ca as (select id as neighbor_id, v as cv_full, cid from ("
+        f"select c.id, c.v, k.cid, row_number() over ("
+        f"partition by c.id order by {cos_c} desc, k.cid asc) as rn "
+        f"from cfx c, {fin} k) t where rn = 1)")
+    parts.append(
+        f"qa as (select id as query_id, v as qv, cid from ("
+        f"select q.id, q.v, k.cid, row_number() over ("
+        f"partition by q.id order by {cos_q} desc, k.cid asc) as rn "
+        f"from qfx q, {fin} k) t where rn = 1)")
+    parts.append(
+        f"sims as (select qa.query_id, ca.neighbor_id, "
+        f"{_cos_sql('qa.qv', 'ca.cv_full')} as cos_sim "
+        f"from ca join qa using (cid))")
+    parts.append(
+        "ranked as (select *, cast(row_number() over (partition by query_id "
+        "order by cos_sim desc, neighbor_id asc) as int) as rank from sims)")
+    return ("with " + ",\n".join(parts)
+            + "\nselect query_id, neighbor_id, cos_sim, rank from ranked "
+              "where rank <= 3 order by query_id, rank")
 
 
 def q_emb_near_dup(spark, sf_dir):
@@ -1710,6 +1884,8 @@ def registry():
         "j1_cuckoo_prefilter": (q_j1_cuckoo_prefilter, SQL_J1_BLOOM),
         "j2_semi_join": (q_j2_semi_join, SQL_J2),
         "j3_robots_broadcast": (q_j3_robots_broadcast, SQL_J3),
+        "robots_parse_rules": (q_robots_parse_rules, _sql_robots_parse),
+        "f1_normalize_text": (q_f1_normalize_text, _sql_f1_normalize),
         "o4_perhost_topk": (q_o4_perhost_topk, SQL_O4),
         "tpch_q1_pricing": (q_tpch_q1_pricing, SQL_TPCH_Q1),
         "tpch_q3_topk": (q_tpch_q3_topk, SQL_TPCH_Q3),
@@ -1725,6 +1901,7 @@ def registry():
         "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_BRUTE),
         "ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_LSH),
         "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
+        "ann_ivf_kmeans": (q_ann_ivf_kmeans, _sql_ann_ivf_kmeans),
         "emb_near_dup": (q_emb_near_dup, SQL_EMB_NEAR_DUP),
         "lang_id": (q_lang_id, _sql_lang_id()),
         "quality_features": (q_quality_features, SQL_QUALITY),
