@@ -94,13 +94,15 @@ def select_round_batch(frontier: DataFrame, *, per_host_budget: int,
     sub-groups keyed (host, salt) — the window shuffle then spreads a
     mega-host over n_salts reducers instead of one (skew kill). Budget is
     split evenly across salts (ceil), preserving the per-host total.
+
+    The output carries ``fetch_slot`` (the deterministic per-host rank) so
+    politeness_schedule can reuse it instead of running a second window.
     """
     if hot_host_threshold is None:
         w = Window.partitionBy("host").orderBy(
             *[F.asc(c) for c in FRONTIER_ORDER])
-        return (frontier.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") <= per_host_budget)
-                .drop("rn"))
+        return (frontier.withColumn("fetch_slot", F.row_number().over(w))
+                .filter(F.col("fetch_slot") <= per_host_budget))
 
     counts = frontier.groupBy("host").agg(F.count("*").alias("_pending"))
     hot = counts.filter(F.col("_pending") > hot_host_threshold) \
@@ -124,12 +126,12 @@ def select_round_batch(frontier: DataFrame, *, per_host_budget: int,
     # B=5, 8 salts → 8 selected): a second per-host window over the salted
     # survivors caps the batch at exactly B. Cheap by construction — its
     # input is already ≤ B + n_salts rows per host, so the single-reducer-
-    # per-host skew the salting avoided cannot reappear here.
+    # per-host skew the salting avoided cannot reappear here. Its rank IS
+    # the final per-host fetch order, exported as fetch_slot.
     w2 = Window.partitionBy("host").orderBy(
         *[F.asc(c) for c in FRONTIER_ORDER])
-    return (survivors.withColumn("_rn2", F.row_number().over(w2))
-            .filter(F.col("_rn2") <= per_host_budget)
-            .drop("_rn2"))
+    return (survivors.withColumn("fetch_slot", F.row_number().over(w2))
+            .filter(F.col("fetch_slot") <= per_host_budget))
 
 
 def politeness_schedule(batch: DataFrame) -> DataFrame:
@@ -138,11 +140,16 @@ def politeness_schedule(batch: DataFrame) -> DataFrame:
     offset_ms = (slot-1) * crawl_delay_ms. The fetch stage executes one
     host per task group (groupBy(host).applyInPandas) so pacing is honored
     within the task; offsets make the schedule auditable and deterministic.
+
+    Batches from select_round_batch already carry ``fetch_slot`` (its
+    budget-cap rank uses the same partition + ordering), so no second
+    window shuffle runs on that path; bare callers still get the window.
     """
-    w = Window.partitionBy("host").orderBy(
-        *[F.asc(c) for c in FRONTIER_ORDER])
-    return (batch.withColumn("fetch_slot", F.row_number().over(w))
-            .withColumn("scheduled_offset_ms",
-                        ((F.col("fetch_slot") - 1)
-                         * F.coalesce(F.col("crawl_delay_ms"), F.lit(0)))
-                        .cast("long")))
+    if "fetch_slot" not in batch.columns:
+        w = Window.partitionBy("host").orderBy(
+            *[F.asc(c) for c in FRONTIER_ORDER])
+        batch = batch.withColumn("fetch_slot", F.row_number().over(w))
+    return batch.withColumn(
+        "scheduled_offset_ms",
+        ((F.col("fetch_slot") - 1)
+         * F.coalesce(F.col("crawl_delay_ms"), F.lit(0))).cast("long"))

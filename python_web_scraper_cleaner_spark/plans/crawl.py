@@ -291,8 +291,10 @@ class CrawlEngine:
 
             io.overwrite(remaining, "frontier", round_id)
 
+            # count the COMMITTED frontier (parquet metadata read) instead
+            # of re-running the anti-join lineage a second time
             stats = {"round": round_id, "n_fetched": n_fetched,
-                     "n_remaining": remaining.count()}
+                     "n_remaining": io.read("frontier").count()}
         finally:
             pages.unpersist()
         return stats
