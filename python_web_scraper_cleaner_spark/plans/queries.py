@@ -1679,6 +1679,78 @@ order by url
 """
 
 
+def q_stream_windowed_rollup(spark, sf_dir):
+    """§2.8 watermarked tumbling-window crawl-log rollup as a REAL stream:
+    two crawl-round files drain through an availableNow file stream into
+    `windowed_crawl_log` (1h windows, 2h watermark). Complete output mode
+    → the final overwrite is the whole aggregate. Input timestamps are
+    spread one minute per doc so the 600-page corpus spans 10 windows;
+    no row is late beyond the watermark, so the bounded result equals the
+    batch aggregate and the kernel-derived VALUES oracle is exact (the
+    watermark DROP behavior is proven separately by tests/test_streaming)."""
+    import tempfile
+
+    from ..sources.pages import synthesize_pages
+    from ..streaming.rounds import (read_pages_stream, run_stream_to_table,
+                                    windowed_crawl_log)
+
+    pages = (synthesize_pages(spark, 600)
+             .withColumn("_doc_id",
+                         F.regexp_extract("url", r"/(\d+)\.html$", 1)
+                         .cast("long"))
+             .withColumn("warc_ts",
+                         F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+                         + F.make_interval(mins=F.col("_doc_id")))
+             .drop("_doc_id"))
+    base = tempfile.mkdtemp(prefix="spark_graft_stream_win_")
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    (pages.filter(F.col("warc_ts") < F.lit("2026-01-01 05:00:00"))
+     .coalesce(1).write.mode("append").parquet(in_dir))
+    (pages.filter(F.col("warc_ts") >= F.lit("2026-01-01 05:00:00"))
+     .coalesce(1).write.mode("append").parquet(in_dir))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = read_pages_stream(spark, in_dir, max_files_per_trigger=1)
+        rolled = windowed_crawl_log(stream, window="1 hour",
+                                    watermark="2 hours")
+        run_stream_to_table(rolled, ckpt, out_dir, output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (spark.read.parquet(out_dir)
+            .select("window_start", "lang",
+                    F.col("n_pages").cast("long").alias("n_pages"),
+                    F.col("html_bytes").cast("long").alias("html_bytes"))
+            .orderBy("window_start", "lang"))
+
+
+@lru_cache(maxsize=None)
+def _sql_stream_windowed():
+    """Batch twin of the streaming rollup, computed by the kernel corpus
+    generator (html bytes are not derivable in SQL)."""
+    import datetime as dt
+
+    from ..sources.pages import pages_local
+
+    agg = {}
+    base = dt.datetime(2026, 1, 1)
+    for doc_id, page in enumerate(pages_local(600)):
+        ts = base + dt.timedelta(minutes=doc_id)
+        win = ts.replace(minute=0, second=0, microsecond=0)
+        key = (win, page["lang"])
+        n, b = agg.get(key, (0, 0))
+        agg[key] = (n + 1, b + len(page["html"]))
+    rows = [(win.strftime("%Y-%m-%d %H:%M:%S"), lang, n, b)
+            for (win, lang), (n, b) in sorted(agg.items())]
+    body = ",\n".join(
+        f"(timestamp '{w}', {_sql_quote(lang)}, {n}, {b})"
+        for w, lang, n, b in rows)
+    return (f"select window_start, lang, cast(n_pages as bigint) as n_pages, "
+            f"cast(html_bytes as bigint) as html_bytes from (values\n{body}\n"
+            f") as t(window_start, lang, n_pages, html_bytes) "
+            f"order by window_start, lang")
+
+
 # ---------------------------------------------------------------------------
 # Crawl pipeline (pandas-UDF path — rows-only check, parity via pytest)
 # ---------------------------------------------------------------------------
@@ -1915,6 +1987,8 @@ def registry():
         "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
         "events_sessionize": (q_events_sessionize, SQL_SESSIONIZE),
         "stream_urlseen_dedup": (q_stream_urlseen, SQL_STREAM_URLSEEN),
+        "stream_windowed_rollup": (q_stream_windowed_rollup,
+                                   _sql_stream_windowed),
         # kernel-derived VALUES oracles, generated lazily (callables are
         # resolved by __spark_entry__.oracle_sql, cached by lru_cache)
         "f6_reflow_markdown": (q_f6_reflow_markdown, _sql_f6_reflow),

@@ -117,9 +117,15 @@ def run_stream_to_table(stream_df: DataFrame, checkpoint_dir: str,
                         available_now: bool = True):
     """Drain the stream with an availableNow trigger into a parquet sink
     via foreachBatch (the TableIO-compatible append pattern). Returns the
-    finished StreamingQuery."""
+    finished StreamingQuery.
+
+    In ``complete`` output mode each micro-batch carries the FULL result,
+    so the sink overwrites instead of appending — the final write is the
+    whole aggregate (append mode would duplicate every batch)."""
+    write_mode = "overwrite" if output_mode == "complete" else "append"
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_path)
+        batch_df.write.mode(write_mode).parquet(out_path)
 
     writer = (stream_df.writeStream
               .outputMode(output_mode)
