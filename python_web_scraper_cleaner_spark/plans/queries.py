@@ -1201,6 +1201,17 @@ where rank <= 3 order by query_id, rank
 """
 
 
+def q_ann_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe LSH ANN: query probes its bucket + all Hamming-1
+    buckets (flip one plane) — the recall fix for near-hyperplane vectors
+    that single-probe misses, at ~(n_planes+1)/2^n_planes of a full scan."""
+    emb = _emb(spark, sf_dir)
+    return (SIM.lsh_multiprobe_topk(emb.filter(F.col("id") < 5),
+                                    emb.filter(F.col("id") >= 5),
+                                    k=3, n_planes=4, dims=_EMB_DIMS)
+            .orderBy("query_id", "rank"))
+
+
 def q_ann_ivf_kmeans(spark, sf_dir):
     """IVF ANN with a REAL k-means codebook (2 Lloyd iterations, fixed-
     point exact integer means — operators/similarity.kmeans_centroids),
@@ -1277,6 +1288,25 @@ def _sql_ann_ivf_kmeans(k: int = 16, iters: int = 2) -> str:
     return ("with " + ",\n".join(parts)
             + "\nselect query_id, neighbor_id, cos_sim, rank from ranked "
               "where rank <= 3 order by query_id, rank")
+
+
+SQL_ANN_MULTIPROBE = f"""
+with e as (select vec_id as id, embedding::DOUBLE[] as v from embeddings),
+b as (select id, v, {_BUCKET_SQL} as bucket from e),
+q0 as (select id as query_id, v as qv, bucket from b where id < 5),
+q as (select query_id, qv,
+             unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+                     xor(bucket, 4), xor(bucket, 8)]) as bucket
+      from q0),
+c as (select id as neighbor_id, v as cv, bucket from b where id >= 5),
+sims as (select q.query_id, c.neighbor_id, {_cos_sql('q.qv', 'c.cv')} as cos_sim
+         from q join c using (bucket)),
+ranked as (select *, cast(row_number() over (partition by query_id
+               order by cos_sim desc, neighbor_id asc) as int) as rank
+           from sims)
+select query_id, neighbor_id, cos_sim, rank from ranked
+where rank <= 3 order by query_id, rank
+"""
 
 
 def q_emb_near_dup(spark, sf_dir):
@@ -1972,6 +2002,7 @@ def registry():
         "p8_conditional_projection": (q_p8_conditional_projection, SQL_P8),
         "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_BRUTE),
         "ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_LSH),
+        "ann_lsh_multiprobe": (q_ann_lsh_multiprobe, SQL_ANN_MULTIPROBE),
         "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
         "ann_ivf_kmeans": (q_ann_ivf_kmeans, _sql_ann_ivf_kmeans),
         "emb_near_dup": (q_emb_near_dup, SQL_EMB_NEAR_DUP),

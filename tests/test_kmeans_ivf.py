@@ -28,6 +28,23 @@ def test_kmeans_centroids_deterministic(spark):
     assert any(a[cid] != init[cid] for cid in a if cid in init)
 
 
+def test_multiprobe_recall_at_least_single_probe(spark):
+    """Multi-probe must recover at least as many true (brute-force)
+    top-1 neighbors as single-probe — that's its whole point."""
+    emb = _emb(spark)
+    q, c = emb.filter(F.col("id") < 20), emb.filter(F.col("id") >= 20)
+    truth = {r["query_id"]: r["neighbor_id"] for r in
+             SIM.brute_force_topk(q, c, k=1).collect()}
+    single = {r["query_id"]: r["neighbor_id"] for r in
+              SIM.lsh_topk(q, c, k=1, n_planes=4).collect()}
+    multi = {r["query_id"]: r["neighbor_id"] for r in
+             SIM.lsh_multiprobe_topk(q, c, k=1, n_planes=4).collect()}
+    hits_single = sum(single.get(i) == truth[i] for i in truth)
+    hits_multi = sum(multi.get(i) == truth[i] for i in truth)
+    assert hits_multi >= hits_single
+    assert len(multi) == len(truth)  # every query answered
+
+
 def test_ivf_kmeans_topk_shape(spark):
     emb = _emb(spark)
     out = SIM.ivf_kmeans_topk(emb.filter(F.col("id") < 5),
