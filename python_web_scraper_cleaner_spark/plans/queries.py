@@ -1624,6 +1624,57 @@ from events group by 1, 2 order by window_start, event_type
 """
 
 
+def q_rollup_manifest(spark, sf_dir):
+    """Hierarchical manifest via ROLLUP: per (source, lang) counts with
+    per-source subtotals and a grand total — the Catalyst grouping-sets
+    path (partial+final agg over the grouping-id) that fleet-scale
+    monitoring needs on top of the reference's flat counters
+    (html_cleaner_core.py:275-276)."""
+    return (_t(spark, sf_dir, "documents")
+            .rollup("source", "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"))
+            .select(F.coalesce("source", F.lit("<all>")).alias("source"),
+                    F.coalesce("lang", F.lit("<all>")).alias("lang"),
+                    "n_docs", "sum_chars")
+            .orderBy("source", "lang"))
+
+
+SQL_ROLLUP = """
+select coalesce(source, '<all>') as source,
+       coalesce(lang, '<all>') as lang,
+       count(*) as n_docs,
+       cast(sum(n_chars) as bigint) as sum_chars
+from documents group by rollup(source, lang)
+order by source, lang
+"""
+
+
+def q_events_value_quantiles(spark, sf_dir):
+    """Exact (interpolated) percentiles of event value per type — the
+    latency/size distribution rollup a crawl-log needs; Spark percentile()
+    and DuckDB quantile_cont share the (1-g)·a + g·b definition."""
+    pct = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9),
+                                        F.lit(0.99)))
+    return (_t(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(pct.alias("_p"))
+            .select("event_type",
+                    F.round(F.element_at("_p", 1), 4).alias("p50"),
+                    F.round(F.element_at("_p", 2), 4).alias("p90"),
+                    F.round(F.element_at("_p", 3), 4).alias("p99"))
+            .orderBy("event_type"))
+
+
+SQL_QUANTILES = """
+select event_type,
+       round(quantile_cont(value, 0.5), 4) as p50,
+       round(quantile_cont(value, 0.9), 4) as p90,
+       round(quantile_cont(value, 0.99), 4) as p99
+from events group by event_type order by event_type
+"""
+
+
 def q_events_sessionize(spark, sf_dir):
     """Sessionization: 30-min-gap sessions per user (stateful-streaming
     analog as deterministic batch windows)."""
@@ -2016,6 +2067,8 @@ def registry():
         "f2_normalize_markdown": (q_f2_normalize_markdown, SQL_F2),
         "o5_truncate": (q_o5_truncate, SQL_O5),
         "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+        "rollup_manifest": (q_rollup_manifest, SQL_ROLLUP),
+        "events_value_quantiles": (q_events_value_quantiles, SQL_QUANTILES),
         "events_sessionize": (q_events_sessionize, SQL_SESSIONIZE),
         "stream_urlseen_dedup": (q_stream_urlseen, SQL_STREAM_URLSEEN),
         "stream_windowed_rollup": (q_stream_windowed_rollup,
