@@ -269,6 +269,40 @@ def cuckoo_dedup(candidates: DataFrame, seen: DataFrame, cuckoo: DataFrame,
     return definitely_new.unionByName(confirmed)
 
 
+def cuckoo_revoke(cuckoo: DataFrame, revoked: DataFrame,
+                  hash_col: str = "url_hash", *,
+                  n_buckets: int = 64) -> DataFrame:
+    """Distributed deletion — url_seen revocation (re-crawl after TTL),
+    the capability bloom lacks. Each bucket's filter row cogroups with
+    that bucket's revoked keys and delete_from_table removes ONE stored
+    copy per key (duplicate fingerprints are stored as extra copies at
+    insert time, so deleting one key never false-negatives another
+    *inserted duplicate*; the textbook caveat stands that deleting keys
+    never inserted, or 16-bit fingerprint+bucket-pair collisions, can
+    remove another key's copy — callers keep the exact url_seen table as
+    ground truth and use the filter strictly as a prefilter)."""
+    rev = (revoked.select(F.col(hash_col).alias("_h"))
+           .withColumn("bucket",
+                       F.pmod(F.col("_h"), F.lit(n_buckets)).cast("int")))
+
+    def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return left
+        out = left.copy()
+        m = int(out["m_buckets"].iloc[0])
+        t = np.frombuffer(out["table"].iloc[0],
+                          dtype=np.uint16).reshape(m, SLOTS).copy()
+        removed = delete_from_table(
+            t, right["_h"].to_numpy(dtype=np.int64), m)
+        out.loc[out.index[0], "table"] = t.tobytes()
+        out.loc[out.index[0], "n_items"] = \
+            int(out["n_items"].iloc[0]) - removed
+        return out
+
+    return (cuckoo.groupBy("bucket").cogroup(rev.groupBy("bucket"))
+            .applyInPandas(fn, schema=CUCKOO_SCHEMA))
+
+
 def delete_from_table(t: np.ndarray, h: np.ndarray, m: int) -> int:
     """Remove one stored copy of each hash's fingerprint (the op bloom
     cannot do — url_seen revocation for re-crawl). Returns #removed."""

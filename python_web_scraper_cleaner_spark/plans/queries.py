@@ -541,6 +541,49 @@ def q_j1_cuckoo_prefilter(spark, sf_dir):
             .orderBy("host"))
 
 
+def q_j1_cuckoo_revoke(spark, sf_dir):
+    """Cuckoo DELETION end-to-end (the op bloom cannot do): a third of the
+    seen URLs are revoked for re-crawl (TTL expiry) — their fingerprints
+    are deleted from the distributed filter (cogroup per bucket) and the
+    dedup against the shrunken seen table must return them as new again.
+    Result equals the plain anti-join vs (seen ∖ revoked)."""
+    from ..operators import cuckoo as CK
+
+    urls = _doc_urls(_t(spark, sf_dir, "documents"))
+    candidates = urls.unionByName(urls.filter(F.col("doc_id") % 3 == 0))
+    cand = (_canonicalize(candidates).select("canonical_url", "host")
+            .distinct()
+            .withColumn("url_hash", F.xxhash64("canonical_url")))
+    seen_all = (_canonicalize(urls.filter(F.col("doc_id") % 7 < 2))
+                .select("canonical_url")
+                .withColumn("url_hash", F.xxhash64("canonical_url")))
+    revoked = (_canonicalize(urls.filter((F.col("doc_id") % 7 < 2)
+                                         & (F.col("doc_id") % 3 == 0)))
+               .select("canonical_url")
+               .withColumn("url_hash", F.xxhash64("canonical_url")))
+    kept = seen_all.join(revoked.select("url_hash"), "url_hash", "left_anti")
+    ck = CK.build_cuckoo(seen_all.select("url_hash"), n_buckets=8,
+                         expected_per_bucket=256)
+    ck2 = CK.cuckoo_revoke(ck, revoked, n_buckets=8)
+    new = CK.cuckoo_dedup(cand, kept, ck2, n_buckets=8)
+    return (new.groupBy("host").agg(F.count("*").alias("n_new"))
+            .orderBy("host"))
+
+
+SQL_J1_REVOKE = f"""
+with urls as ({_DOC_URLS_SQL}),
+canon_all as ({_CANON_SQL}),
+cand as (select distinct canonical_url, host from canon_all
+         union
+         select distinct canonical_url, host from canon_all where doc_id % 3 = 0),
+kept as (select distinct canonical_url from canon_all
+         where doc_id % 7 < 2 and doc_id % 3 <> 0),
+newu as (select canonical_url, host from cand
+         where canonical_url not in (select canonical_url from kept))
+select host, count(*) as n_new from newu group by host order by host
+"""
+
+
 def q_j2_semi_join(spark, sf_dir):
     """J2: semi-join — docs that have a label-3 embedding."""
     docs = _t(spark, sf_dir, "documents")
@@ -2035,6 +2078,7 @@ def registry():
         "j1_urlseen_antijoin": (q_j1_urlseen_antijoin, SQL_J1),
         "j1_bloom_prefilter": (q_j1_bloom_prefilter, SQL_J1_BLOOM),
         "j1_cuckoo_prefilter": (q_j1_cuckoo_prefilter, SQL_J1_BLOOM),
+        "j1_cuckoo_revoke": (q_j1_cuckoo_revoke, SQL_J1_REVOKE),
         "j2_semi_join": (q_j2_semi_join, SQL_J2),
         "j3_robots_broadcast": (q_j3_robots_broadcast, SQL_J3),
         "robots_parse_rules": (q_robots_parse_rules, _sql_robots_parse),

@@ -71,6 +71,36 @@ def test_cuckoo_dedup_equals_exact_antijoin(spark):
     assert row.n_items == seen.count()
 
 
+def test_cuckoo_revoke_restores_revoked_urls_as_new(spark):
+    """Distributed deletion: revoked (TTL-expired) urls must dedup as NEW
+    after cuckoo_revoke, and the result must equal the plain anti-join
+    against (seen minus revoked)."""
+    urls = (spark.range(2000)
+            .select(F.concat(F.lit("https://h"),
+                             (F.col("id") % 7).cast("string"),
+                             F.lit("/p/"), F.col("id").cast("string"))
+                    .alias("canonical_url"), F.col("id")))
+    cand = urls.withColumn("url_hash", F.xxhash64("canonical_url"))
+    seen = cand.filter(F.col("id") % 2 == 0)
+    revoked = seen.filter(F.col("id") % 6 == 0)
+    kept = seen.join(revoked.select("url_hash"), "url_hash", "left_anti")
+    ck = CK.build_cuckoo(seen.select("url_hash"), n_buckets=4,
+                         expected_per_bucket=512)
+    ck2 = CK.cuckoo_revoke(ck, revoked, n_buckets=4)
+    # revoked keys were removed from the filter
+    before = sum(r["n_items"] for r in ck.collect())
+    after = sum(r["n_items"] for r in ck2.collect())
+    assert before - after == revoked.count()
+    got = {r.canonical_url for r in
+           CK.cuckoo_dedup(cand, kept, ck2, n_buckets=4).collect()}
+    expect = {r.canonical_url for r in
+              cand.join(kept.select("url_hash"), "url_hash",
+                        "left_anti").collect()}
+    assert got == expect
+    # every revoked url is back in the "new" set
+    assert {r.canonical_url for r in revoked.collect()} <= got
+
+
 def test_overfull_filter_falls_back_to_exact(spark):
     """A cuckoo table too small for its keys reports n_failed > 0; the
     dedup pipeline must then fall back to the exact anti-join instead of
