@@ -48,6 +48,17 @@ def oracle_sql() -> dict[str, str]:
     store a lazy generator in the registry — resolved to literal VALUES SQL
     here."""
     from python_web_scraper_cleaner_spark.plans.queries import registry
-    return {name: (sql() if callable(sql) else sql)
-            for name, (_fn, sql) in registry().items()
-            if sql is not None}
+    out = {}
+    for name, (_fn, sql) in registry().items():
+        if sql is None:
+            continue
+        if callable(sql):
+            try:
+                sql = sql()
+            except Exception:
+                # a broken generator (e.g. its sf-dir parquet is absent)
+                # must degrade THAT entry to rows-only, not take down the
+                # whole oracle map
+                continue
+        out[name] = sql
+    return out

@@ -33,6 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
 
 CUCKOO_SCHEMA = T.StructType([
     T.StructField("bucket", T.IntegerType(), nullable=False),
@@ -152,31 +153,39 @@ def build_cuckoo(df: DataFrame, hash_col: str = "url_hash", *,
                 .repartition(n_buckets, "bucket"))
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # accumulate each bucket's hashes, then insert in SORTED order:
+        # cuckoo layout is insertion-order-dependent, and shuffle arrival
+        # order is not stable across task retries/recomputes — sorting
+        # makes the built table a pure function of the key multiset, so a
+        # recomputed partition (cache eviction, executor loss) is
+        # byte-identical to the one any earlier gate inspected. Memory is
+        # one int64 per key — the same order as the table itself.
+        pend: dict[int, list] = {}
+        for pdf in batches:
+            for bucket, grp in pdf.groupby("bucket"):
+                pend.setdefault(int(bucket), []).append(
+                    grp[hash_col].to_numpy(dtype=np.int64))
+        if not pend:
+            return
         tables: dict[int, np.ndarray] = {}
         counts: dict[int, int] = {}
         fails: dict[int, int] = {}
-        for pdf in batches:
-            for bucket, grp in pdf.groupby("bucket"):
-                t = tables.get(bucket)
-                if t is None:
-                    t = np.zeros((m, SLOTS), dtype=np.uint16)
-                    tables[bucket] = t
-                    counts[bucket] = 0
-                    fails[bucket] = 0
-                h = grp[hash_col].to_numpy(dtype=np.int64)
-                fails[bucket] += _insert_all(t, h, m, rng_seed=bucket)
-                counts[bucket] += len(grp)
-        if tables:
-            yield pd.DataFrame({
-                "bucket": np.fromiter(tables, dtype=np.int32,
-                                      count=len(tables)),
-                "m_buckets": np.full(len(tables), m, dtype=np.int64),
-                "n_items": np.fromiter((counts[b] for b in tables),
-                                       dtype=np.int64, count=len(tables)),
-                "n_failed": np.fromiter((fails[b] for b in tables),
-                                        dtype=np.int64, count=len(tables)),
-                "table": [t.tobytes() for t in tables.values()],
-            })
+        for bucket in sorted(pend):
+            h = np.sort(np.concatenate(pend[bucket]))
+            t = np.zeros((m, SLOTS), dtype=np.uint16)
+            tables[bucket] = t
+            fails[bucket] = _insert_all(t, h, m, rng_seed=bucket)
+            counts[bucket] = len(h)
+        yield pd.DataFrame({
+            "bucket": np.fromiter(tables, dtype=np.int32,
+                                  count=len(tables)),
+            "m_buckets": np.full(len(tables), m, dtype=np.int64),
+            "n_items": np.fromiter((counts[b] for b in tables),
+                                   dtype=np.int64, count=len(tables)),
+            "n_failed": np.fromiter((fails[b] for b in tables),
+                                    dtype=np.int64, count=len(tables)),
+            "table": [t.tobytes() for t in tables.values()],
+        })
 
     return bucketed.mapInPandas(build, schema=CUCKOO_SCHEMA)
 
@@ -202,6 +211,12 @@ def cuckoo_probe(candidates: DataFrame, cuckoo: DataFrame,
     unbroadcastable)."""
     cand = candidates.withColumn(
         "bucket", F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int"))
+    if cuckoo.storageLevel == StorageLevel.NONE:
+        # the size-gate aggregate below materializes the build; pin it so
+        # the join doesn't pay (and possibly recompute) the expensive
+        # mapInPandas construction a second time
+        from ..caching import bounded_persist
+        cuckoo = bounded_persist(cuckoo, tag="cuckoo_filter_probe")
     total_bytes = cuckoo.agg(
         F.sum(F.octet_length("table"))).first()[0] or 0
     if total_bytes <= broadcast_bytes:
@@ -248,13 +263,13 @@ def cuckoo_dedup(candidates: DataFrame, seen: DataFrame, cuckoo: DataFrame,
     to the plain exact anti-join for the whole batch (correct, just
     without the prefilter saving).
 
-    The filter is materialized ONCE via persist (executor-side — no driver
-    collect: at the 10^10-URL design point the tables are tens of GB, a
-    driver-side bottleneck): the cuckoo build is insertion-order-dependent,
-    so letting the probe recompute the lineage could produce a *different*
-    table than the one the gate inspected, silently reopening the
-    false-negative hole. The gate itself only needs the aggregated
-    sum(n_failed) scalar."""
+    Correctness does not depend on caching: build_cuckoo inserts each
+    bucket's keys in sorted order, so the table is a pure function of the
+    key multiset and any recompute (cache eviction, executor loss)
+    reproduces byte-identically what the gate inspected. The persist here
+    is purely an optimization — the gate aggregate (executor-side, no
+    driver collect: at the 10^10-URL design point the tables are tens of
+    GB) and the probe join share one materialization."""
     from ..caching import bounded_persist
 
     cuckoo = bounded_persist(cuckoo, tag="cuckoo_filter")

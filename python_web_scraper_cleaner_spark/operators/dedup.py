@@ -93,22 +93,6 @@ def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFram
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature_col(text: Column, k: int = 3,
-                          n_hashes: int = 16) -> Column:
-    """array<string> of n_hashes minhashes computed entirely as array
-    expressions — zero shuffle, zero explode: per seed j,
-    min over distinct shingles of md5(j || ':' || shingle).
-
-    Same value as minhash_long/kernel.minhash_signature; this is the scale
-    path (the explode+groupBy variant shuffles |docs|×|shingles|×n_hashes
-    rows, this one shuffles nothing)."""
-    sh = F.array_distinct(shingles_col(text, k))
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda j: F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat_ws(":", j, s)))))
-
-
 MINHASH_P = 2_147_483_647  # 2^31 - 1 (prime) — universal-hash modulus
 
 
@@ -205,9 +189,11 @@ def jaccard_for_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
 
 def minhash_long(sh: DataFrame, n_hashes: int = 16) -> DataFrame:
     """(id, seed, minhash): minhash = min over shingles of
-    md5(seed || ':' || shingle). Hex-lexicographic min — identical semantics
-    in any engine with md5(), which makes the signature oracle-checkable
-    (kernel.minhash_signature parity)."""
+    md5(seed || ':' || shingle). Hex-lexicographic min — the md5 PARITY
+    tier matching kernel.minhash_signature / udfs.make_minhash_udf exactly.
+    NOTE: a different scheme from minhash_wide (the fast universal-hash
+    scale tier used by minhash_lsh_dedup); signatures from the two tiers
+    are not comparable with each other."""
     seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
     return (sh.select("id", "shingle", seeds)
             .select("id", "seed",

@@ -134,18 +134,24 @@ def select_round_batch(frontier: DataFrame, *, per_host_budget: int,
             .filter(F.col("fetch_slot") <= per_host_budget))
 
 
-def politeness_schedule(batch: DataFrame) -> DataFrame:
+def politeness_schedule(batch: DataFrame, *,
+                        trust_existing_slot: bool = False) -> DataFrame:
     """Assign each selected URL its in-round fetch slot and simulated start
     offset: slot = rank within host (deterministic FRONTIER_ORDER),
     offset_ms = (slot-1) * crawl_delay_ms. The fetch stage executes one
     host per task group (groupBy(host).applyInPandas) so pacing is honored
     within the task; offsets make the schedule auditable and deterministic.
 
-    Batches from select_round_batch already carry ``fetch_slot`` (its
-    budget-cap rank uses the same partition + ordering), so no second
-    window shuffle runs on that path; bare callers still get the window.
+    Batches straight from select_round_batch already carry ``fetch_slot``
+    (its budget-cap rank uses the same partition + ordering); pass
+    ``trust_existing_slot=True`` to skip the second window shuffle on
+    that path. The default RECOMPUTES: a batch that was filtered or
+    unioned after selection carries stale/duplicate slots, and trusting
+    them would silently violate per-host pacing.
     """
-    if "fetch_slot" not in batch.columns:
+    if not (trust_existing_slot and "fetch_slot" in batch.columns):
+        if "fetch_slot" in batch.columns:
+            batch = batch.drop("fetch_slot")
         w = Window.partitionBy("host").orderBy(
             *[F.asc(c) for c in FRONTIER_ORDER])
         batch = batch.withColumn("fetch_slot", F.row_number().over(w))

@@ -89,15 +89,25 @@ def projection_bucket(vec: Column, *, n_planes: int = 4, dims: int = 64) -> Colu
 
 def lsh_topk(queries: DataFrame, corpus: DataFrame, *, k: int = 3,
              n_planes: int = 4, dims: int = 64,
-             round_digits: int | None = 4) -> DataFrame:
+             round_digits: int | None = 4,
+             multiprobe: bool = False) -> DataFrame:
     """ANN top-k restricted to the query's projection bucket — the scale
     path: each query scans ~1/2^n_planes of the corpus. Recall is traded
-    for throughput; raise n_planes for bigger corpora or probe neighboring
-    buckets for higher recall."""
+    for throughput; raise n_planes for bigger corpora, or set
+    ``multiprobe`` to also probe every Hamming-1 bucket (flip one plane):
+    the standard recall fix for vectors near a hyperplane, at
+    ~(n_planes+1)/2^n_planes of a full scan. Only the small broadcast
+    query side replicates; corpus rows stay single-bucketed, so probe
+    buckets are distinct and no (query, neighbor) pair repeats."""
     q = queries.select(F.col("id").alias("query_id"),
                        F.col("vec").cast("array<double>").alias("qv"),
                        projection_bucket(F.col("vec"), n_planes=n_planes,
                                          dims=dims).alias("bucket"))
+    if multiprobe:
+        probes = F.array(F.col("bucket"), *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << p))
+            for p in range(n_planes)])
+        q = (q.select("query_id", "qv", F.explode(probes).alias("bucket")))
     par = corpus.sparkSession.sparkContext.defaultParallelism
     c = (corpus.repartition(par, F.col("id"))
          .select(F.col("id").alias("neighbor_id"),
@@ -121,39 +131,9 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, *, k: int = 3,
 def lsh_multiprobe_topk(queries: DataFrame, corpus: DataFrame, *,
                         k: int = 3, n_planes: int = 4, dims: int = 64,
                         round_digits: int | None = 4) -> DataFrame:
-    """Multi-probe LSH ANN: each query scans its own sign-projection
-    bucket PLUS every bucket at Hamming distance 1 (flip one plane) —
-    n_planes+1 probes. The standard recall fix for vectors that fall near
-    a hyperplane: their true neighbors sit one sign-flip away, which
-    single-probe LSH misses. Cost grows by ~(n_planes+1)/2^n_planes of
-    the corpus per query — still far below a full scan; corpus side is
-    bucketed once, only the (small, broadcast) query side replicates."""
-    q = queries.select(F.col("id").alias("query_id"),
-                       F.col("vec").cast("array<double>").alias("qv"),
-                       projection_bucket(F.col("vec"), n_planes=n_planes,
-                                         dims=dims).alias("_b"))
-    probes = F.array(F.col("_b"), *[
-        F.col("_b").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)])
-    q = (q.select("query_id", "qv", F.explode(probes).alias("bucket")))
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    c = (corpus.repartition(par, F.col("id"))
-         .select(F.col("id").alias("neighbor_id"),
-                 F.col("vec").cast("array<double>").alias("cv"),
-                 projection_bucket(F.col("vec"), n_planes=n_planes,
-                                   dims=dims).alias("bucket")))
-    sim = (c.join(F.broadcast(q), "bucket")
-           .select("query_id", "neighbor_id",
-                   cosine(F.col("qv"), F.col("cv")).alias("_cos")))
-    if round_digits is not None:
-        sim = sim.withColumn("cos_sim", F.round(F.col("_cos"), round_digits))
-    else:
-        sim = sim.withColumn("cos_sim", F.col("_cos"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (sim.select("query_id", "neighbor_id", "cos_sim")
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "cos_sim", "rank"))
+    """Multi-probe LSH ANN — lsh_topk with ``multiprobe=True``."""
+    return lsh_topk(queries, corpus, k=k, n_planes=n_planes, dims=dims,
+                    round_digits=round_digits, multiprobe=True)
 
 
 def embedding_near_duplicates(df: DataFrame, *, threshold: float = 0.95,

@@ -215,7 +215,9 @@ class CrawlEngine:
             allowed, per_host_budget=self.per_host_budget,
             hot_host_threshold=self.hot_host_threshold,
             n_salts=self.n_salts)
-        sched = FR.politeness_schedule(batch)
+        # batch comes straight from select_round_batch — its fetch_slot IS
+        # the politeness rank, so the second window shuffle is skipped
+        sched = FR.politeness_schedule(batch, trust_existing_slot=True)
 
         # S3 + F3: fetch (grouped per host) then vectorized extraction +
         # deterministic language tagging (input_hint: extraction fills

@@ -718,8 +718,12 @@ def q_f1_normalize_text(spark, sf_dir):
             .orderBy("doc_id"))
 
 
-@lru_cache(maxsize=None)
 def _sql_f1_normalize():
+    return _sql_f1_normalize_for(_oracle_sf_dir())
+
+
+@lru_cache(maxsize=None)
+def _sql_f1_normalize_for(sf_dir):
     import hashlib
 
     import duckdb
@@ -728,7 +732,7 @@ def _sql_f1_normalize():
 
     con = duckdb.connect()
     docs = con.execute(
-        f"select doc_id, text from '{_oracle_sf_dir()}/documents.parquet' "
+        f"select doc_id, text from '{sf_dir}/documents.parquet' "
         "where doc_id < 200 order by doc_id").fetchall()
     con.close()
     rows = []
@@ -1754,6 +1758,18 @@ from l group by user_id order by user_id
 # ---------------------------------------------------------------------------
 
 
+def _collect_and_cleanup(spark, df, tmp_base: str):
+    """Materialize a (small) streaming result and delete its scratch tree
+    — the returned frame must not lazily reference files we remove, and
+    repeated bench/driver runs must not accumulate /tmp litter."""
+    import shutil
+
+    rows = df.collect()
+    schema = df.schema
+    shutil.rmtree(tmp_base, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def q_stream_urlseen(spark, sf_dir):
     """Stateful streaming dedup (applyInPandasWithState): two crawl-round
     files drain through an availableNow file-source stream; state carries
@@ -1789,8 +1805,10 @@ def q_stream_urlseen(spark, sf_dir):
         run_stream_to_table(stream, ckpt, out_dir)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return (spark.read.parquet(out_dir)
-            .select("url", "warc_ts").orderBy("url"))
+    return _collect_and_cleanup(
+        spark,
+        spark.read.parquet(out_dir).select("url", "warc_ts").orderBy("url"),
+        base)
 
 
 SQL_STREAM_URLSEEN = f"""
@@ -1841,11 +1859,14 @@ def q_stream_windowed_rollup(spark, sf_dir):
         run_stream_to_table(rolled, ckpt, out_dir, output_mode="complete")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return (spark.read.parquet(out_dir)
-            .select("window_start", "lang",
-                    F.col("n_pages").cast("long").alias("n_pages"),
-                    F.col("html_bytes").cast("long").alias("html_bytes"))
-            .orderBy("window_start", "lang"))
+    return _collect_and_cleanup(
+        spark,
+        spark.read.parquet(out_dir)
+        .select("window_start", "lang",
+                F.col("n_pages").cast("long").alias("n_pages"),
+                F.col("html_bytes").cast("long").alias("html_bytes"))
+        .orderBy("window_start", "lang"),
+        base)
 
 
 @lru_cache(maxsize=None)
@@ -1983,10 +2004,16 @@ def _oracle_sf_dir():
     return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
-@lru_cache(maxsize=None)
 def _sql_f6_reflow():
+    return _sql_f6_reflow_for(_oracle_sf_dir())
+
+
+@lru_cache(maxsize=None)
+def _sql_f6_reflow_for(sf_dir):
     """Expected (doc_id, reflow_md5, n_chars) via the kernel reflow loop
-    (trafilatura_scraper.py:148-198) over the driver's documents rows."""
+    (trafilatura_scraper.py:148-198) over the driver's documents rows.
+    Cached per sf dir so a process checking two scales never reuses stale
+    VALUES."""
     import hashlib
 
     import duckdb
@@ -1995,7 +2022,7 @@ def _sql_f6_reflow():
 
     con = duckdb.connect()
     docs = con.execute(
-        f"select doc_id, text from '{_oracle_sf_dir()}/documents.parquet' "
+        f"select doc_id, text from '{sf_dir}/documents.parquet' "
         "where doc_id < 200 order by doc_id").fetchall()
     con.close()
     rows = []

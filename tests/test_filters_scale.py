@@ -59,14 +59,18 @@ def test_cuckoo_dedup_shuffle_path_equals_exact(spark):
     expect = {r.canonical_url for r in
               cand.join(seen.select("url_hash"), "url_hash",
                         "left_anti").collect()}
+    # one probed frame, filtered twice (a probe pass per side would split
+    # the maybe/not-maybe classification across two evaluations)
+    probed = CK.cuckoo_probe(cand, ck, n_buckets=4,
+                             broadcast_bytes=1).persist()
     got = {r.canonical_url for r in
-           CK.cuckoo_probe(cand, ck, n_buckets=4, broadcast_bytes=1)
-           .filter(~F.col("maybe_seen")).drop("maybe_seen", "bucket")
+           probed.filter(~F.col("maybe_seen")).drop("maybe_seen", "bucket")
            .unionByName(
-               CK.cuckoo_probe(cand, ck, n_buckets=4, broadcast_bytes=1)
-               .filter(F.col("maybe_seen")).drop("maybe_seen", "bucket")
+               probed.filter(F.col("maybe_seen"))
+               .drop("maybe_seen", "bucket")
                .join(seen.select("url_hash"), "url_hash", "left_anti"))
            .collect()}
+    probed.unpersist()
     assert got == expect
 
 
