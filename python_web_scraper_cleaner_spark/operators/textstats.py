@@ -94,6 +94,78 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def gopher_quality(df: DataFrame, id_col: str, text_col: str, *,
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_mean_wl: float = 3.0, max_mean_wl: float = 10.0,
+                   max_symbol_ratio: float = 0.1,
+                   max_bullet_frac: float = 0.9,
+                   max_dup_line_frac: float = 0.3) -> DataFrame:
+    """Gopher-style document quality gates (Rae et al. 2021 §A1.1, the
+    published web-corpus filtering recipe): word-count bounds, mean word
+    length bounds, symbol-to-word ratio (# and … marks), bullet-line
+    fraction, duplicate-line fraction. Entirely JVM expressions — the
+    mass-filtering hot path over 100 TB must never leave codegen."""
+    t = F.col(text_col)
+    toks = ws_tokens(t)
+    n_words = token_count_col(t)
+    total_wl = F.aggregate(toks, F.lit(0).cast("long"),
+                           lambda acc, x: acc + F.length(x))
+    mean_wl = F.round(F.when(n_words > 0, total_wl / n_words)
+                      .otherwise(0.0), 4)
+    n_symbols = (F.coalesce(F.regexp_count(t, F.lit(r"#|\.\.\.")), F.lit(0))
+                 .cast("long"))
+    symbol_ratio = F.round(F.when(n_words > 0, n_symbols / n_words)
+                           .otherwise(0.0), 4)
+    # explicit unary lambda: passing F.trim directly would resolve the
+    # deprecated two-parameter trim(col, trimStr) with the element INDEX
+    # as trimStr — silently trimming digits off line edges
+    lines = F.filter(F.transform(F.split(t, r"\n"), lambda x: F.trim(x)),
+                     lambda x: x != "")
+    n_lines = F.size(lines).cast("long")
+    n_bullets = F.size(F.filter(
+        lines, lambda x: x.startswith("-") | x.startswith("*")
+        | x.startswith("•"))).cast("long")
+    bullet_frac = F.round(F.when(n_lines > 0, n_bullets / n_lines)
+                          .otherwise(0.0), 4)
+    dup_line_frac = F.round(
+        F.when(n_lines > 0,
+               (n_lines - F.size(F.array_distinct(lines)).cast("long"))
+               / n_lines).otherwise(0.0), 4)
+    passes = ((n_words >= min_words) & (n_words <= max_words)
+              & (mean_wl >= min_mean_wl) & (mean_wl <= max_mean_wl)
+              & (symbol_ratio <= max_symbol_ratio)
+              & (bullet_frac <= max_bullet_frac)
+              & (dup_line_frac <= max_dup_line_frac))
+    return df.select(
+        F.col(id_col).alias("id"), n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"), symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        dup_line_frac.alias("dup_line_frac"),
+        passes.alias("passes_gopher"))
+
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_LONGNUM_RE = r"[0-9]{9,}"
+
+
+def scrub_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Training-data PII scrub: emails and long digit runs (phone/account
+    numbers) replaced by typed placeholder tokens, with per-doc counts for
+    the scrub audit log. Patterns stay in the common regex subset that
+    Java regex and RE2 interpret identically, so the op is oracle-exact."""
+    t = F.col(text_col)
+    n_emails = F.coalesce(F.regexp_count(t, F.lit(PII_EMAIL_RE)),
+                          F.lit(0)).cast("long")
+    scrub1 = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    n_nums = F.coalesce(F.regexp_count(scrub1, F.lit(PII_LONGNUM_RE)),
+                        F.lit(0)).cast("long")
+    scrubbed = F.regexp_replace(scrub1, PII_LONGNUM_RE, "<NUM>")
+    return df.select(F.col(id_col).alias("id"),
+                     n_emails.alias("n_emails"), n_nums.alias("n_longnums"),
+                     F.md5(scrubbed).alias("scrubbed_md5"),
+                     F.length(scrubbed).cast("long").alias("n_chars"))
+
+
 def fingerprint_col(text: Column) -> Column:
     """Content fingerprint over the normalized token stream: md5 of the
     single-space-joined lowercased tokens — whitespace-insensitive like

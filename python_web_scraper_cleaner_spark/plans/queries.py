@@ -1425,6 +1425,91 @@ from scored order by id
 SQL_LANG_ID = None  # resolved lazily (kernel import) in registry build
 
 
+_GOPHER_SUFFIX = ("\n- bullet one\n- bullet two\ndup line\ndup line\n"
+                  "# hash # mark ...")
+
+
+def q_quality_gopher(spark, sf_dir):
+    """Gopher-style quality gates (published web-corpus filtering recipe)
+    over documents with a deterministic multi-line suffix so the line-level
+    gates (bullets, duplicate lines) actually fire; word-level stats vary
+    per doc. All JVM exprs — operators/textstats.gopher_quality."""
+    docs = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+            .select("doc_id",
+                    F.concat(F.col("text"),
+                             F.lit(_GOPHER_SUFFIX)).alias("text")))
+    return TS.gopher_quality(docs, "doc_id", "text").orderBy("id")
+
+
+SQL_GOPHER = f"""
+with d as (
+  select doc_id, text || e'{_GOPHER_SUFFIX}' as text
+  from documents where doc_id < 300),
+feats as (
+  select doc_id,
+    regexp_split_to_array(lower(trim(text)), '\\s+') as toks,
+    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                x -> x <> '') as lines,
+    cast(len(regexp_extract_all(text, '#|\\.\\.\\.')) as bigint) as n_symbols
+  from d),
+m as (
+  select doc_id,
+    cast(len(toks) as bigint) as n_words,
+    cast(list_sum(list_transform(toks, t -> length(t))) as bigint) as total_wl,
+    n_symbols,
+    cast(len(lines) as bigint) as n_lines,
+    cast(len(list_filter(lines, x -> starts_with(x, '-')
+             or starts_with(x, '*') or starts_with(x, '•'))) as bigint) as n_bullets,
+    cast(len(lines) - len(list_distinct(lines)) as bigint) as n_dup_lines
+  from feats),
+r as (
+  select doc_id as id, n_words,
+    round(case when n_words > 0 then total_wl / n_words else 0.0 end, 4) as mean_word_len,
+    round(case when n_words > 0 then n_symbols / n_words else 0.0 end, 4) as symbol_ratio,
+    round(case when n_lines > 0 then n_bullets / n_lines else 0.0 end, 4) as bullet_frac,
+    round(case when n_lines > 0 then n_dup_lines / n_lines else 0.0 end, 4) as dup_line_frac
+  from m)
+select id, n_words, mean_word_len, symbol_ratio, bullet_frac, dup_line_frac,
+       (n_words >= 50 and n_words <= 100000
+        and mean_word_len >= 3.0 and mean_word_len <= 10.0
+        and symbol_ratio <= 0.1 and bullet_frac <= 0.9
+        and dup_line_frac <= 0.3) as passes_gopher
+from r order by id
+"""
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrub (emails + long digit runs → typed placeholders) with
+    per-doc audit counts; deterministic PII injected per doc so every row
+    exercises both patterns. Java-regex/RE2-common patterns — oracle-exact."""
+    d = F.col("doc_id").cast("string")
+    docs = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+            .select("doc_id",
+                    F.concat(F.col("text"), F.lit(" contact user"), d,
+                             F.lit("@example.com or call 555123456"), d)
+                    .alias("text")))
+    return TS.scrub_pii(docs, "doc_id", "text").orderBy("id")
+
+
+SQL_PII = f"""
+with d as (
+  select doc_id,
+         text || ' contact user' || cast(doc_id as varchar)
+         || '@example.com or call 555123456' || cast(doc_id as varchar) as text
+  from documents where doc_id < 300),
+s1 as (
+  select doc_id,
+         cast(len(regexp_extract_all(text, '{TS.PII_EMAIL_RE}')) as bigint) as n_emails,
+         regexp_replace(text, '{TS.PII_EMAIL_RE}', '<EMAIL>', 'g') as t1
+  from d)
+select doc_id as id, n_emails,
+       cast(len(regexp_extract_all(t1, '{TS.PII_LONGNUM_RE}')) as bigint) as n_longnums,
+       md5(regexp_replace(t1, '{TS.PII_LONGNUM_RE}', '<NUM>', 'g')) as scrubbed_md5,
+       cast(length(regexp_replace(t1, '{TS.PII_LONGNUM_RE}', '<NUM>', 'g')) as bigint) as n_chars
+from s1 order by id
+"""
+
+
 def q_quality_features(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return TS.quality_features(docs, "doc_id", "text").orderBy("id")
@@ -2130,6 +2215,8 @@ def registry():
         "emb_near_dup": (q_emb_near_dup, SQL_EMB_NEAR_DUP),
         "lang_id": (q_lang_id, _sql_lang_id()),
         "quality_features": (q_quality_features, SQL_QUALITY),
+        "quality_gopher": (q_quality_gopher, SQL_GOPHER),
+        "pii_scrub": (q_pii_scrub, SQL_PII),
         "fingerprint_groups": (q_fingerprint_groups, SQL_FINGERPRINT),
         "mm_media_features": (q_mm_media_features, SQL_MM_FEATURES),
         "mm_video_frames": (q_mm_video_frames, SQL_MM_FRAMES),
