@@ -152,7 +152,10 @@ def main() -> None:
             t0 = time.time()
             fn(spark, sf_dir).collect()
             dt = time.time() - t0
-            if dt > 1.0:
+            if dt > 1.0 and not name.startswith("stream_"):
+                # streaming entries pay a large deterministic query-startup
+                # cost that a re-run just duplicates — not worth the wall
+                # time the noise policy buys elsewhere
                 # heavy queries: best of 2 — the first run carries codegen
                 # compile for a fresh plan shape plus whatever neighbor
                 # load this shared box has at that second (observed 1-min

@@ -315,3 +315,17 @@ def test_parse_robots_malformed_delays():
         assert r["crawl_delay_ms"] == 0, bad
     r = parse_robots_txt("User-agent: *\nCrawl-delay: 2.5\n")
     assert r["crawl_delay_ms"] == 2500
+
+
+def test_extract_links_null_or_odd_base_url():
+    """One null/odd url row must never raise (it would fail the whole
+    Spark task): null base → relative links drop, absolute links keep."""
+    from python_web_scraper_cleaner_spark.functions.kernel import \
+        extract_links
+    html = ('<a href="/rel">r</a> <a href="https://x.example/a">a</a> '
+            '<a href="mailto:z@x">m</a>')
+    assert extract_links(html, None) == ["https://x.example/a"]
+    assert extract_links(html, "") == ["https://x.example/a"]
+    assert extract_links(html, "https://base.example/dir/") == [
+        "https://base.example/rel", "https://x.example/a"]
+    assert extract_links(b"", "https://b.example/") == []
