@@ -1756,6 +1756,37 @@ from events group by 1, 2 order by window_start, event_type
 """
 
 
+def q_asof_rate_join(spark, sf_dir):
+    """As-of join (operators/asof.py): each event picks the per-type hourly
+    rate snapshot most recently at-or-before its timestamp — the versioned-
+    config lookup pattern (robots/budget snapshots at fetch time). Oracle
+    is DuckDB's NATIVE ASOF JOIN, an independent implementation."""
+    from ..operators.asof import asof_join
+    ev = _t(spark, sf_dir, "events")
+    snap = (ev.groupBy("event_type",
+                       F.date_trunc("hour", F.col("ts")).alias("sts"))
+            .agg(F.count("*").alias("rate")))
+    left = ev.filter(F.col("event_id") < 2000) \
+             .select("event_id", "event_type", "ts")
+    joined = asof_join(left, snap.withColumnRenamed("sts", "ts"),
+                       on="ts", by="event_type", value_cols=["rate"])
+    return (joined.select("event_id", "event_type",
+                          F.col("rate").cast("long").alias("asof_rate"))
+            .orderBy("event_id"))
+
+
+SQL_ASOF = """
+with snap as (select event_type, date_trunc('hour', ts) as sts,
+                     count(*) as rate
+              from events group by 1, 2),
+l as (select event_id, event_type, ts from events where event_id < 2000)
+select l.event_id, l.event_type, cast(s.rate as bigint) as asof_rate
+from l asof join snap s
+  on l.event_type = s.event_type and l.ts >= s.sts
+order by event_id
+"""
+
+
 def q_rollup_manifest(spark, sf_dir):
     """Hierarchical manifest via ROLLUP: per (source, lang) counts with
     per-source subtotals and a grand total — the Catalyst grouping-sets
@@ -2226,6 +2257,7 @@ def registry():
         "o5_truncate": (q_o5_truncate, SQL_O5),
         "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
         "rollup_manifest": (q_rollup_manifest, SQL_ROLLUP),
+        "asof_rate_join": (q_asof_rate_join, SQL_ASOF),
         "events_value_quantiles": (q_events_value_quantiles, SQL_QUANTILES),
         "events_sessionize": (q_events_sessionize, SQL_SESSIONIZE),
         "stream_urlseen_dedup": (q_stream_urlseen, SQL_STREAM_URLSEEN),
