@@ -1787,6 +1787,47 @@ order by event_id
 """
 
 
+def q_incident_windows(spark, sf_dir):
+    """Gaps-and-islands + bucketed interval join (operators/intervals.py):
+    consecutive over-threshold hours merge into maximal incident windows;
+    events join their containing window by bucket expansion (no range
+    cross join). Oracle uses DuckDB's independent exact range join."""
+    from ..operators.intervals import incident_windows, interval_join_bucketed
+    ev = _t(spark, sf_dir, "events")
+    win = incident_windows(ev, threshold=6)
+    joined = interval_join_bucketed(
+        ev.select("event_type", "ts", "user_id"), win)
+    return (joined.groupBy("event_type", "win_start", "win_end")
+            .agg(F.count("*").alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users"))
+            .orderBy("event_type", "win_start"))
+
+
+SQL_INCIDENT = """
+with h as (select event_type, date_trunc('hour', ts) as hr, count(*) as n
+           from events group by 1, 2),
+hot as (select * from h where n >= 6),
+isl as (select event_type, hr,
+               case when lag(hr) over (partition by event_type order by hr)
+                    = hr - interval 1 hour then 0 else 1 end as brk
+        from hot),
+g as (select event_type, hr,
+             sum(brk) over (partition by event_type order by hr
+                            rows unbounded preceding) as gid
+      from isl),
+win as (select event_type, min(hr) as win_start,
+               max(hr) + interval 1 hour as win_end
+        from g group by event_type, gid),
+j as (select w.event_type, w.win_start, w.win_end, e.user_id
+      from win w join events e
+        on e.event_type = w.event_type
+       and e.ts >= w.win_start and e.ts < w.win_end)
+select event_type, win_start, win_end, count(*) as n_events,
+       count(distinct user_id) as n_users
+from j group by 1, 2, 3 order by event_type, win_start
+"""
+
+
 def q_rollup_manifest(spark, sf_dir):
     """Hierarchical manifest via ROLLUP: per (source, lang) counts with
     per-source subtotals and a grand total — the Catalyst grouping-sets
@@ -2258,6 +2299,7 @@ def registry():
         "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
         "rollup_manifest": (q_rollup_manifest, SQL_ROLLUP),
         "asof_rate_join": (q_asof_rate_join, SQL_ASOF),
+        "incident_windows": (q_incident_windows, SQL_INCIDENT),
         "events_value_quantiles": (q_events_value_quantiles, SQL_QUANTILES),
         "events_sessionize": (q_events_sessionize, SQL_SESSIONIZE),
         "stream_urlseen_dedup": (q_stream_urlseen, SQL_STREAM_URLSEEN),

@@ -1,0 +1,43 @@
+"""Interval operators: island merging and the bucketed join rewrite must
+equal a naive exact range join."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from python_web_scraper_cleaner_spark.operators.intervals import (
+    incident_windows, interval_join_bucketed)
+
+
+def _events(spark):
+    rows = []
+    base = dt.datetime(2026, 1, 1)
+    # type 'a': hours 0,1,2 hot (7 events each), hour 3 cold (2), hour 5 hot
+    for h, n in ((0, 7), (1, 8), (2, 7), (3, 2), (5, 9)):
+        for i in range(n):
+            rows.append(("a", base + dt.timedelta(hours=h, minutes=i),
+                         i % 3))
+    # type 'b': single hot hour
+    for i in range(6):
+        rows.append(("b", base + dt.timedelta(hours=2, minutes=i), i))
+    return spark.createDataFrame(
+        rows, "event_type string, ts timestamp, user_id long")
+
+
+def test_islands_merge_consecutive_hot_hours(spark):
+    win = {(r["event_type"], r["win_start"].hour, r["win_end"].hour)
+           for r in incident_windows(_events(spark), threshold=6).collect()}
+    assert win == {("a", 0, 3), ("a", 5, 6), ("b", 2, 3)}
+
+
+def test_bucketed_interval_join_equals_naive_range_join(spark):
+    ev = _events(spark)
+    win = incident_windows(ev, threshold=6)
+    got = interval_join_bucketed(ev, win).select(
+        "event_type", "ts", "win_start").collect()
+    naive = (ev.join(win, "event_type")
+             .filter((F.col("ts") >= F.col("win_start"))
+                     & (F.col("ts") < F.col("win_end")))
+             .select("event_type", "ts", "win_start").collect())
+    assert sorted(map(tuple, got)) == sorted(map(tuple, naive))
+    assert len(got) > 0
