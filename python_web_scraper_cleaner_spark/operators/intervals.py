@@ -53,11 +53,17 @@ def interval_join_bucketed(points: DataFrame, intervals: DataFrame, *,
     """Inner join of points to the [start, end) hour-aligned intervals
     containing them, via bucket expansion instead of a range cross join.
     Output: every point row plus the matching interval's columns."""
-    b = intervals.withColumn(
-        "_bucket",
-        F.explode(F.sequence(F.col(start_col),
-                             F.col(end_col) - F.expr(_HOUR),
-                             F.expr(_HOUR))))
+    # empty/negative intervals drop (inner join: no rows); sub-hour
+    # intervals clamp the sequence stop to start — a bare end-1h stop
+    # below start would crash the job with 'Illegal sequence boundaries'
+    b = (intervals.filter(F.col(end_col) > F.col(start_col))
+         .withColumn(
+             "_bucket",
+             F.explode(F.sequence(
+                 F.col(start_col),
+                 F.greatest(F.col(start_col),
+                            F.col(end_col) - F.expr(_HOUR)),
+                 F.expr(_HOUR)))))
     p = points.withColumn("_bucket",
                           F.date_trunc("hour", F.col(ts_col)))
     return (p.join(b, [by, "_bucket"])

@@ -29,6 +29,20 @@ def token_count_col(text: Column) -> Column:
         F.size(ws_tokens(text))).cast("long")
 
 
+def total_token_len_col(text: Column) -> Column:
+    """Sum of whitespace-token lengths (shared by quality_features and
+    gopher_quality — one tokenization/zero-guard convention, mirrored by
+    both DuckDB oracles)."""
+    return F.aggregate(ws_tokens(text), F.lit(0).cast("long"),
+                       lambda acc, x: acc + F.length(x))
+
+
+def mean_token_len_col(text: Column, n_tokens: Column) -> Column:
+    return F.round(
+        F.when(n_tokens > 0, total_token_len_col(text) / n_tokens)
+        .otherwise(0.0), 4)
+
+
 def bpe_ish_count_col(text: Column) -> Column:
     """BPE-ish token estimate: alpha runs + digit runs + single symbols
     (kernel.bpe_ish_token_count parity)."""
@@ -79,14 +93,11 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     n_punct = (F.length(t) - F.length(F.regexp_replace(t, PUNCT_CLASS, ""))).cast("long")
     stop_arr = F.array(*[F.lit(w) for w in sorted(STOP_WORDS)])
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("long")
-    total_tok_len = F.aggregate(toks, F.lit(0).cast("long"),
-                                lambda acc, x: acc + F.length(x))
     return df.select(
         F.col(id_col).alias("id"),
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
-        F.round(F.when(n_tokens > 0, total_tok_len / n_tokens).otherwise(0.0), 4)
-        .alias("mean_token_len"),
+        mean_token_len_col(t, n_tokens).alias("mean_token_len"),
         F.round(F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0), 4)
         .alias("punct_ratio"),
         F.round(F.when(n_tokens > 0, n_stop / n_tokens).otherwise(0.0), 4)
@@ -106,12 +117,8 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str, *,
     fraction, duplicate-line fraction. Entirely JVM expressions — the
     mass-filtering hot path over 100 TB must never leave codegen."""
     t = F.col(text_col)
-    toks = ws_tokens(t)
     n_words = token_count_col(t)
-    total_wl = F.aggregate(toks, F.lit(0).cast("long"),
-                           lambda acc, x: acc + F.length(x))
-    mean_wl = F.round(F.when(n_words > 0, total_wl / n_words)
-                      .otherwise(0.0), 4)
+    mean_wl = mean_token_len_col(t, n_words)
     n_symbols = (F.coalesce(F.regexp_count(t, F.lit(r"#|\.\.\.")), F.lit(0))
                  .cast("long"))
     symbol_ratio = F.round(F.when(n_words > 0, n_symbols / n_words)

@@ -9,6 +9,10 @@ from python_web_scraper_cleaner_spark.operators.intervals import (
     incident_windows, interval_join_bucketed)
 
 
+def _ts(h, m=0):
+    return dt.datetime(2026, 1, 1, h, m)
+
+
 def _events(spark):
     rows = []
     base = dt.datetime(2026, 1, 1)
@@ -41,3 +45,18 @@ def test_bucketed_interval_join_equals_naive_range_join(spark):
              .select("event_type", "ts", "win_start").collect())
     assert sorted(map(tuple, got)) == sorted(map(tuple, naive))
     assert len(got) > 0
+
+
+def test_interval_join_tolerates_empty_and_subhour_intervals(spark):
+    """Zero-length intervals yield no rows (not a crash); sub-hour
+    intervals match only their contained points."""
+    ev = _events(spark)
+    win = spark.createDataFrame(
+        [("a", _ts(1), _ts(1)),            # empty [t, t) → no rows
+         ("a", _ts(1), _ts(1, 30)),        # sub-hour → minutes 0-29
+         ("b", _ts(2, 10), _ts(2, 3))],    # negative → no rows
+        "event_type string, win_start timestamp, win_end timestamp")
+    got = interval_join_bucketed(ev, win).collect()
+    assert all(r["win_end"] == _ts(1, 30) for r in got)
+    # type-a hour-1 events at minutes 0..7 → only minutes < 30 match (all 8)
+    assert len(got) == 8
