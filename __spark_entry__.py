@@ -55,10 +55,16 @@ def oracle_sql() -> dict[str, str]:
         if callable(sql):
             try:
                 sql = sql()
-            except Exception:
+            except Exception as e:
                 # a broken generator (e.g. its sf-dir parquet is absent)
                 # must degrade THAT entry to rows-only, not take down the
-                # whole oracle map
+                # whole oracle map — but the downgrade must be VISIBLE:
+                # a bug in a kernel-derived oracle would otherwise disable
+                # its correctness check with no signal anywhere
+                import sys
+                print(f"oracle_sql: generator for {name!r} failed, "
+                      f"degrading to rows-only: {type(e).__name__}: {e}",
+                      file=sys.stderr)
                 continue
         out[name] = sql
     return out

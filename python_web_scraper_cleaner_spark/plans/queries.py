@@ -1945,10 +1945,13 @@ def q_stream_urlseen(spark, sf_dir):
                         + F.make_interval(secs=F.col("doc_id"))))
     base = tempfile.mkdtemp(prefix="spark_graft_stream_")
     in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    # repartition(1), NOT coalesce(1): coalesce propagates upstream and
+    # collapses the whole generation pipeline into one task; repartition
+    # keeps it parallel and shuffles only the tiny output rows.
     (urls.filter(F.col("doc_id") % 2 == 0).select("url", "warc_ts")
-     .coalesce(1).write.mode("append").parquet(in_dir))
+     .repartition(1).write.mode("append").parquet(in_dir))
     (urls.filter(F.col("doc_id") % 3 == 0).select("url", "warc_ts")
-     .coalesce(1).write.mode("append").parquet(in_dir))
+     .repartition(1).write.mode("append").parquet(in_dir))
     # state-store partition count = shuffle partitions at first checkpoint;
     # 32 partitions × 2 micro-batches of tiny state = pure commit overhead
     # (measured 13.1s → 4.0s at 8). A real 10^10-URL deployment sizes this
@@ -2003,10 +2006,13 @@ def q_stream_windowed_rollup(spark, sf_dir):
              .drop("_doc_id"))
     base = tempfile.mkdtemp(prefix="spark_graft_stream_win_")
     in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    # repartition(1), NOT coalesce(1): coalesce would collapse the pandas-UDF
+    # page synthesis into ONE task (~5-6 s serial); repartition keeps the
+    # generation parallel and shuffles only the finished rows (~0.6 s).
     (pages.filter(F.col("warc_ts") < F.lit("2026-01-01 05:00:00"))
-     .coalesce(1).write.mode("append").parquet(in_dir))
+     .repartition(1).write.mode("append").parquet(in_dir))
     (pages.filter(F.col("warc_ts") >= F.lit("2026-01-01 05:00:00"))
-     .coalesce(1).write.mode("append").parquet(in_dir))
+     .repartition(1).write.mode("append").parquet(in_dir))
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
@@ -2238,13 +2244,108 @@ def _sql_crawl_clean():
 
 
 # ---------------------------------------------------------------------------
+# Corpus read path: point lookup + listing (news_server.py:15-36)
+# ---------------------------------------------------------------------------
+
+
+def _article_name(doc_id_col):
+    """Opaque corpus key: ``article_<id>__<md5-prefix>.md`` — the engine
+    analog of the reference's flat output filenames as lookup keys
+    (html_cleaner_core.py:102-124 naming, news_server.py:27-38 lookup)."""
+    stem = F.concat(F.lit("article_"), doc_id_col.cast("string"))
+    return F.concat(stem, F.lit("__"), F.substring(F.md5(stem), 1, 8),
+                    F.lit(".md"))
+
+
+_ARTICLE_NAME_SQL = ("'article_' || cast(doc_id as varchar) || '__' || "
+                     "substr(md5('article_' || cast(doc_id as varchar)), 1, 8)"
+                     " || '.md'")
+
+
+def _article_key(doc_id: int) -> str:
+    import hashlib
+    stem = f"article_{doc_id}"
+    return f"{stem}__{hashlib.md5(stem.encode()).hexdigest()[:8]}.md"
+
+
+def q_read_get_article(spark, sf_dir):
+    """Single-article point lookup by opaque corpus key — the engine twin of
+    ``_get_article_logic`` (news_server.py:27-38): key in, full content out;
+    a missing key yields 0 rows (the reference raises FileNotFoundError).
+    At 100 TB the corpus table is bucketed by key so this is a single-bucket
+    probe; here the equality filter prunes at the scan."""
+    key = _article_key(42)
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.withColumn("name", _article_name(F.col("doc_id")))
+            .filter(F.col("name") == key)
+            .select("name", "doc_id", "source", "lang",
+                    F.md5("text").alias("content_md5"),
+                    F.col("n_chars").cast("long").alias("n_chars")))
+
+
+def _sql_read_get_article():
+    return f"""
+select {_ARTICLE_NAME_SQL} as name, doc_id, source, lang,
+       md5(text) as content_md5, cast(n_chars as bigint) as n_chars
+from documents
+where {_ARTICLE_NAME_SQL} = '{_article_key(42)}'
+"""
+
+
+def q_read_list_articles(spark, sf_dir):
+    """Corpus listing ordered by name — the engine twin of
+    ``_list_news_logic`` (news_server.py:23-25): every article's key, with a
+    100-char summary column (the latest-news projection,
+    news_server.py:73-75). Name order is deterministic (O1)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return (docs.select(
+        _article_name(F.col("doc_id")).alias("name"),
+        F.regexp_replace(F.substring("text", 1, 100), r"\n", " ")
+        .alias("summary"))
+        .orderBy("name"))
+
+
+SQL_READ_LIST = f"""
+select {_ARTICLE_NAME_SQL} as name,
+       replace(substr(text, 1, 100), chr(10), ' ') as summary
+from documents where doc_id < 300 order by name
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 
 def registry():
-    """name → (spark_fn, oracle_sql | None)."""
+    """name → (spark_fn, oracle_sql | None).
+
+    ORDER CONTRACT: the driver's correctness gate iterates this dict in
+    insertion order under a time budget and may truncate the tail
+    (CORRECTNESS_r02.json stopped at entry 50). Entries with no prior
+    driver-green row therefore come FIRST — the tail is reserved for
+    queries already green in earlier rounds. Keep new entries at the top.
+    """
     return {
+        # -- never driver-checked before round 3 (new + r2-truncated tail) --
+        "read_get_article": (q_read_get_article, _sql_read_get_article()),
+        "read_list_articles": (q_read_list_articles, SQL_READ_LIST),
+        "o5_truncate": (q_o5_truncate, SQL_O5),
+        "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+        "rollup_manifest": (q_rollup_manifest, SQL_ROLLUP),
+        "asof_rate_join": (q_asof_rate_join, SQL_ASOF),
+        "incident_windows": (q_incident_windows, SQL_INCIDENT),
+        "events_value_quantiles": (q_events_value_quantiles, SQL_QUANTILES),
+        "events_sessionize": (q_events_sessionize, SQL_SESSIONIZE),
+        # kernel-derived VALUES oracles, generated lazily (callables are
+        # resolved by __spark_entry__.oracle_sql, cached by lru_cache)
+        "f6_reflow_markdown": (q_f6_reflow_markdown, _sql_f6_reflow),
+        "f4_f7_article_pipeline": (q_f4_f7_article_pipeline, _sql_f4_f7),
+        "crawl_clean_extract": (q_crawl_clean_extract, _sql_crawl_clean),
+        "stream_urlseen_dedup": (q_stream_urlseen, SQL_STREAM_URLSEEN),
+        "stream_windowed_rollup": (q_stream_windowed_rollup,
+                                   _sql_stream_windowed),
+        # -- driver-green in round 2 (CORRECTNESS_r02.json) --
         "p1_scan_filter_project": (q_p1_scan_filter_project, SQL_P1),
         "a1_manifest_counts": (q_a1_manifest_counts, SQL_A1),
         "a3_token_counts": (q_a3_token_counts, SQL_A3),
@@ -2295,19 +2396,4 @@ def registry():
         "mm_resize_plan": (q_mm_resize_plan, SQL_MM_RESIZE),
         "setop_recrawl_diff": (q_setop_recrawl_diff, SQL_SETOP),
         "f2_normalize_markdown": (q_f2_normalize_markdown, SQL_F2),
-        "o5_truncate": (q_o5_truncate, SQL_O5),
-        "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
-        "rollup_manifest": (q_rollup_manifest, SQL_ROLLUP),
-        "asof_rate_join": (q_asof_rate_join, SQL_ASOF),
-        "incident_windows": (q_incident_windows, SQL_INCIDENT),
-        "events_value_quantiles": (q_events_value_quantiles, SQL_QUANTILES),
-        "events_sessionize": (q_events_sessionize, SQL_SESSIONIZE),
-        "stream_urlseen_dedup": (q_stream_urlseen, SQL_STREAM_URLSEEN),
-        "stream_windowed_rollup": (q_stream_windowed_rollup,
-                                   _sql_stream_windowed),
-        # kernel-derived VALUES oracles, generated lazily (callables are
-        # resolved by __spark_entry__.oracle_sql, cached by lru_cache)
-        "f6_reflow_markdown": (q_f6_reflow_markdown, _sql_f6_reflow),
-        "f4_f7_article_pipeline": (q_f4_f7_article_pipeline, _sql_f4_f7),
-        "crawl_clean_extract": (q_crawl_clean_extract, _sql_crawl_clean),
     }
