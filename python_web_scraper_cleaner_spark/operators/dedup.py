@@ -314,7 +314,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, *,
 
 
 # ---------------------------------------------------------------------------
-# SimHash (32-bit, md5-derived — engine-portable integer math)
+# SimHash (md5-derived — engine-portable integer math; 32-bit kernel-parity
+# signature for dedup_simhash, 64-bit signature for near-pair banding)
 # ---------------------------------------------------------------------------
 
 _HEX = "0123456789abcdef"
@@ -346,16 +347,67 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                  .alias("simhash")))
 
 
+def simhash64_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash): 64-bit SimHash over whitespace tokens, entirely JVM
+    expressions. md5-derived token hashes (two 32-bit halves of the first
+    16 hex chars) rather than xxhash64 so the DuckDB oracle can reproduce
+    the exact signature; in production xxhash64(tok) drops in with the
+    same plan shape and one less hash call.
+
+    The signed signature is assembled from unsigned 32-bit halves as
+    (hi - [hi ≥ 2^31]·2^32)·2^32 + lo — exact bigint math in [−2^63, 2^63),
+    no unsigned-64 intermediate anywhere."""
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.explode(tokens(F.col(text_col))).alias("tok"))
+            .filter(F.col("tok") != ""))
+    hashed = toks.select(
+        "id",
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10)
+        .cast("long").alias("hi"),
+        F.conv(F.substring(F.md5(F.col("tok")), 9, 8), 16, 10)
+        .cast("long").alias("lo"))
+    bits = hashed.select(
+        "id", "hi", "lo",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"))
+    half = F.when(F.col("b") < 32, F.col("lo")).otherwise(F.col("hi"))
+    shift = F.when(F.col("b") < 32, F.col("b")).otherwise(F.col("b") - 32)
+    # floor(half / 2^shift) % 2 — exact in double for 32-bit halves
+    bitval = F.floor(half / F.pow(F.lit(2.0), shift)).cast("long") % 2
+    contrib = bits.select("id", "b", (bitval * 2 - 1).alias("c"))
+    votes = (contrib.groupBy("id", "b").agg(F.sum("c").alias("s"))
+             .withColumn("bit", (F.col("s") > 0).cast("long")))
+    lo_sig = F.sum(F.when(
+        F.col("b") < 32,
+        (F.col("bit") * F.pow(F.lit(2.0), F.col("b"))).cast("long"))
+        .otherwise(F.lit(0)))
+    hi_sig = F.sum(F.when(
+        F.col("b") >= 32,
+        (F.col("bit") * F.pow(F.lit(2.0), F.col("b") - 32)).cast("long"))
+        .otherwise(F.lit(0)))
+    halves = votes.groupBy("id").agg(lo_sig.alias("lo_sig"),
+                                     hi_sig.alias("hi_sig"))
+    signed = ((F.col("hi_sig")
+               - F.when(F.col("hi_sig") >= 2 ** 31, F.lit(2 ** 32))
+               .otherwise(F.lit(0))) * F.lit(2 ** 32) + F.col("lo_sig"))
+    return halves.select("id", signed.alias("simhash"))
+
+
 def simhash_near_pairs(sim: DataFrame, *, max_hamming: int = 3) -> DataFrame:
-    """Candidate pairs by 4×8-bit band bucketing, verified by exact Hamming
-    distance (popcount via bit_count on XOR)."""
+    """Candidate pairs by 4×16-bit band bucketing over 64-bit signatures,
+    verified by exact Hamming distance (popcount via bit_count on XOR).
+
+    Pigeonhole: hamming < 4 ⟹ the pair agrees on ≥1 full band, so the
+    candidate set is lossless for max_hamming ≤ 3. 16-bit bands give
+    65 536 values per band — 256× the selectivity of the former 32-bit/
+    8-bit scheme, whose ≤1024 total buckets degenerated toward n²/1024
+    candidate pairs at web-corpus size. shiftright is arithmetic, but the
+    & 0xFFFF mask makes each band the exact two's-complement bit field
+    regardless of sign."""
+    bands = F.array(*[
+        F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+        for i in range(4)])
     banded = sim.select(
-        "id", "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"))
-    banded = banded.withColumn(
-        "band_val",
-        (F.floor(F.col("simhash") / F.pow(F.lit(2.0), F.col("band") * 8))
-         .cast("long") % 256))
+        "id", "simhash", F.posexplode(bands).alias("band", "band_val"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (a.join(b, ["band", "band_val"])
             .filter(F.col("a.id") < F.col("b.id"))

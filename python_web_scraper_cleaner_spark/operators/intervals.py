@@ -50,19 +50,25 @@ def interval_join_bucketed(points: DataFrame, intervals: DataFrame, *,
                            ts_col: str = "ts", by: str = "event_type",
                            start_col: str = "win_start",
                            end_col: str = "win_end") -> DataFrame:
-    """Inner join of points to the [start, end) hour-aligned intervals
-    containing them, via bucket expansion instead of a range cross join.
-    Output: every point row plus the matching interval's columns."""
-    # empty/negative intervals drop (inner join: no rows); sub-hour
-    # intervals clamp the sequence stop to start — a bare end-1h stop
-    # below start would crash the job with 'Illegal sequence boundaries'
+    """Inner join of points to the [start, end) intervals containing them
+    (arbitrary, not necessarily hour-aligned bounds), via bucket expansion
+    instead of a range cross join. Output: every point row plus the
+    matching interval's columns."""
+    # Buckets are generated from the TRUNCATED bounds: points map to
+    # date_trunc('hour', ts), so an interval must cover every truncated
+    # hour it overlaps — from trunc(start) through trunc(end - 1us)
+    # (end is exclusive, so the last covered instant is end - 1 microsecond).
+    # Truncating both stops also keeps the sequence legal for sub-hour
+    # intervals: end > start ⟹ trunc(end - 1us) >= trunc(start).
+    # Non-truncated stops silently missed the last partial hour and, for
+    # non-aligned starts, produced bucket values no point could equal.
     b = (intervals.filter(F.col(end_col) > F.col(start_col))
          .withColumn(
              "_bucket",
              F.explode(F.sequence(
-                 F.col(start_col),
-                 F.greatest(F.col(start_col),
-                            F.col(end_col) - F.expr(_HOUR)),
+                 F.date_trunc("hour", F.col(start_col)),
+                 F.date_trunc("hour", F.col(end_col)
+                              - F.expr("INTERVAL 1 MICROSECOND")),
                  F.expr(_HOUR)))))
     p = points.withColumn("_bucket",
                           F.date_trunc("hour", F.col(ts_col)))

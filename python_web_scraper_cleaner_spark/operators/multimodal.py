@@ -161,14 +161,16 @@ def sample_video_frames(df: DataFrame, *, stride: int = 2,
             payloads = s.str.slice(VID_HEADER_LEN).to_numpy()
 
             n_sampled = (nf + stride - 1) // stride
-            out_ids = np.repeat(ids, n_sampled)
+            out_ids = np.repeat(ids, n_sampled)   # 8-byte scalars — cheap
             out_idx = np.concatenate(
                 [np.arange(0, n, stride) for n in nf]) if len(nf) else []
-            fs_rep = np.repeat(fsize, n_sampled)
-            pay_rep = np.repeat(payloads, n_sampled)
-            hashes = [hashlib.md5(
-                p[i * f:(i + 1) * f].encode("ascii")).hexdigest()
-                for p, i, f in zip(pay_rep, out_idx, fs_rep)]
+            # slice frames per video — never np.repeat the payload strings,
+            # which would hold n_sampled copies of every video blob in
+            # executor memory at once
+            hashes = [
+                hashlib.md5(p[i * f:(i + 1) * f].encode("ascii")).hexdigest()
+                for p, n, f in zip(payloads, nf, fsize)
+                for i in range(0, n, stride)]
             yield pd.DataFrame({
                 "id": out_ids,
                 "frame_idx": np.asarray(out_idx, dtype="int32"),

@@ -245,10 +245,16 @@ def kmeans_centroids(corpus: DataFrame, *, k: int = 16, iters: int = 2,
     for _ in range(iters):
         sim = (fx.crossJoin(F.broadcast(cent))
                .withColumn("_s", cosine_fixed(F.col("fv"), F.col("cv"))))
-        w = Window.partitionBy("id").orderBy(F.desc("_s"), F.asc("cid"))
-        assigned = (sim.withColumn("_rn", F.row_number().over(w))
-                    .filter(F.col("_rn") == 1)
-                    .select("id", "fv", "cid"))
+        # argmax via max_by over an orderable struct (max _s, ties → min
+        # cid): partial+final hash agg with map-side combine — NOT a
+        # row_number window, which would shuffle the full corpus×k rows
+        # into per-id sort groups
+        assigned = (sim.groupBy("id")
+                    .agg(F.max_by(F.struct("cid", "fv"),
+                                  F.struct(F.col("_s"), -F.col("cid")))
+                         .alias("_b"))
+                    .select("id", F.col("_b.fv").alias("fv"),
+                            F.col("_b.cid").alias("cid")))
         sums = (assigned.select("cid", F.posexplode("fv").alias("pos", "x"))
                 .groupBy("cid", "pos")
                 .agg(F.sum("x").alias("s"), F.count("*").alias("n")))
@@ -281,10 +287,15 @@ def ivf_kmeans_topk(queries: DataFrame, corpus: DataFrame, *, k: int = 3,
                        _fixed_vec(F.col("vec"), scale).alias("_fv"))
         sim = (fx.crossJoin(F.broadcast(cent))
                .withColumn("_s", cosine_fixed(F.col("_fv"), F.col("cv"))))
-        w = Window.partitionBy(id_alias).orderBy(F.desc("_s"), F.asc("cid"))
-        return (sim.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .select(id_alias, vec_alias, "cid"))
+        # max_by argmax (see kmeans_centroids): map-side partial agg
+        # instead of a per-id row_number window exchange
+        return (sim.groupBy(id_alias)
+                .agg(F.max_by(F.struct("cid", vec_alias),
+                              F.struct(F.col("_s"), -F.col("cid")))
+                     .alias("_b"))
+                .select(id_alias,
+                        F.col(f"_b.{vec_alias}").alias(vec_alias),
+                        F.col("_b.cid").alias("cid")))
 
     c = assign(corpus.repartition(
         corpus.sparkSession.sparkContext.defaultParallelism, F.col("id")),
@@ -305,14 +316,18 @@ def ivf_assign(df: DataFrame, centroids: DataFrame, *,
                id_col: str = "id", vec_col: str = "v") -> DataFrame:
     """Assign every vector to its nearest centroid by cosine (rounded to 4
     decimals for cross-engine argmax determinism, centroid id as tiebreak).
-    Centroids broadcast; one window per vector id."""
+    Centroids broadcast; argmax via max_by (partial+final hash agg with
+    map-side combine — no per-id window exchange)."""
     joined = (df.crossJoin(F.broadcast(
         centroids.select(F.col("cid"), F.col("cvec"))))
         .withColumn("_sim", F.round(cosine(F.col(vec_col), F.col("cvec")), 4)))
-    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cid"))
-    return (joined.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn", "_sim", "cvec"))
+    other = [c for c in df.columns if c != id_col]
+    return (joined.groupBy(id_col)
+            .agg(F.max_by(F.struct(*other, "cid"),
+                          F.struct(F.col("_sim"), -F.col("cid")))
+                 .alias("_b"))
+            .select(id_col, *[F.col(f"_b.{c}").alias(c) for c in other],
+                    F.col("_b.cid").alias("cid")))
 
 
 def ivf_topk(queries: DataFrame, corpus: DataFrame, *, k: int = 3,

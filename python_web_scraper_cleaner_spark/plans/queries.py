@@ -1094,14 +1094,16 @@ from contrib group by id order by id
 
 
 def q_simhash_near_pairs(spark, sf_dir):
-    """Banded SimHash near-dup pairs, Hamming-verified. The oracle computes
-    ALL pairs with hamming ≤ 3 exactly; with 4 bands of 8 bits and
-    max_hamming=3 < 4, pigeonhole guarantees any qualifying pair agrees on
-    at least one full band, so the banded candidate set is lossless and
-    the two sides are equal by construction."""
+    """Banded SimHash near-dup pairs, Hamming-verified, over 64-bit
+    signatures with 4×16-bit bands. The oracle computes ALL pairs with
+    hamming ≤ 3 exactly; with 4 bands and max_hamming=3 < 4, pigeonhole
+    guarantees any qualifying pair agrees on at least one full band, so
+    the banded candidate set is lossless and the two sides are equal by
+    construction — while each band now has 65 536 values (256× the former
+    8-bit selectivity at web-corpus size)."""
     corpus = _dup_corpus(
         _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150))
-    sim = D.simhash_df(corpus, "doc_id", "text")
+    sim = D.simhash64_df(corpus, "doc_id", "text")
     return (D.simhash_near_pairs(sim, max_hamming=3)
             .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
             .orderBy("id_a", "id_b"))
@@ -1118,15 +1120,27 @@ corpus as (
   union all
   select doc_id + 300000, text || '  ' from base where doc_id % 10 = 4),
 toks as (select doc_id as id, unnest(string_split(text, ' ')) as tok from corpus),
-hv as (select id, {_HV_SQL} as hv
+hv as (select id, {_HV_SQL} as hi, {_hex_int_sql("h", 9)} as lo
        from (select id, md5(tok) as h from toks where tok <> '')),
 bits as (select id, b,
-                cast(floor(hv / pow(2, b)) as bigint) % 2 as bitval
-         from hv, range(0, 32) t(b)),
+                cast(floor((case when b < 32 then lo else hi end)
+                           / pow(2, case when b < 32 then b else b - 32 end))
+                     as bigint) % 2 as bitval
+         from hv, range(0, 64) t(b)),
 contrib as (select id, b, sum(bitval * 2 - 1) as s from bits group by id, b),
+halves as (select id,
+    cast(sum(case when b < 32
+                  then cast((case when s > 0 then 1 else 0 end) * pow(2, b) as bigint)
+                  else 0 end) as bigint) as lo_sig,
+    cast(sum(case when b >= 32
+                  then cast((case when s > 0 then 1 else 0 end) * pow(2, b - 32) as bigint)
+                  else 0 end) as bigint) as hi_sig
+    from contrib group by id),
 sig as (select id,
-               cast(sum(cast((case when s > 0 then 1 else 0 end) * pow(2, b) as bigint)) as bigint) as simhash
-        from contrib group by id),
+               cast((hi_sig - case when hi_sig >= 2147483648
+                                   then 4294967296 else 0 end)
+                    * 4294967296 + lo_sig as bigint) as simhash
+        from halves),
 pairs as (select a.id as id_a, b.id as id_b,
                  bit_count(xor(a.simhash, b.simhash)) as hamming
           from sig a join sig b on a.id < b.id)
@@ -1770,8 +1784,15 @@ def q_asof_rate_join(spark, sf_dir):
              .select("event_id", "event_type", "ts")
     joined = asof_join(left, snap.withColumnRenamed("sts", "ts"),
                        on="ts", by="event_type", value_cols=["rate"])
-    return (joined.select("event_id", "event_type",
-                          F.col("rate").cast("long").alias("asof_rate"))
+    # asof_join is LEFT-outer (events with no preceding snapshot keep a
+    # null rate) while DuckDB's ASOF JOIN is inner. Today every event's own
+    # hour guarantees a snapshot at-or-before it, so this filter drops 0
+    # rows — it is here to PIN inner semantics so a future change to the
+    # snapshot derivation or left-side filter cannot silently diverge from
+    # the oracle by emitting extra null rows on the Spark side only.
+    return (joined.filter(F.col("rate").isNotNull())
+            .select("event_id", "event_type",
+                    F.col("rate").cast("long").alias("asof_rate"))
             .orderBy("event_id"))
 
 

@@ -60,3 +60,27 @@ def test_interval_join_tolerates_empty_and_subhour_intervals(spark):
     assert all(r["win_end"] == _ts(1, 30) for r in got)
     # type-a hour-1 events at minutes 0..7 → only minutes < 30 match (all 8)
     assert len(got) == 8
+
+
+def test_interval_join_non_hour_aligned_bounds(spark):
+    """Regression: intervals whose bounds are not hour-aligned must still
+    match every contained point. [01:00, 02:30) used to miss the partial
+    last hour (a 02:05 point joined zero intervals) and a non-aligned
+    START like [01:30, 02:30) produced bucket values no truncated point
+    bucket could ever equal — the whole join silently emptied."""
+    ev = spark.createDataFrame(
+        [("a", _ts(1, 40), 0), ("a", _ts(2, 5), 1), ("a", _ts(2, 45), 2)],
+        "event_type string, ts timestamp, user_id long")
+    win = spark.createDataFrame(
+        [("a", _ts(1), _ts(2, 30)),       # partial last hour
+         ("a", _ts(1, 30), _ts(2, 30))],  # non-aligned start AND end
+        "event_type string, win_start timestamp, win_end timestamp")
+    got = interval_join_bucketed(ev, win).select(
+        "ts", "win_start").collect()
+    naive = (ev.join(win, "event_type")
+             .filter((F.col("ts") >= F.col("win_start"))
+                     & (F.col("ts") < F.col("win_end")))
+             .select("ts", "win_start").collect())
+    assert sorted(map(tuple, got)) == sorted(map(tuple, naive))
+    # both intervals contain 01:40 and 02:05; neither contains 02:45
+    assert len(got) == 4
