@@ -242,12 +242,20 @@ def _trafilatura_extract_or_none() -> Optional[Callable]:
         import trafilatura
 
         def _fn(html_text, *, output_format="txt", include_tables=True,
-                include_comments=False, with_metadata=False):
-            return trafilatura.extract(
-                html_text, output_format=output_format,
-                include_tables=include_tables,
-                include_comments=include_comments,
-                with_metadata=with_metadata)
+                include_comments=False, with_metadata=False,
+                include_images=False, include_links=False):
+            # forwards BOTH reference call shapes: the clean-text call
+            # (html_cleaner_core.py:85-91) and the metadata-JSON call
+            # (trafilatura_scraper.py:58-66, which additionally passes
+            # include_images/include_links)
+            kwargs = dict(output_format=output_format,
+                          include_tables=include_tables,
+                          include_comments=include_comments,
+                          with_metadata=with_metadata)
+            if with_metadata:
+                kwargs.update(include_images=include_images,
+                              include_links=include_links)
+            return trafilatura.extract(html_text, **kwargs)
 
         return _fn
     except Exception:

@@ -116,6 +116,38 @@ def build_bloom(df: DataFrame, hash_col: str = "url_hash", *,
     return bucketed.mapInPandas(build, schema=BLOOM_SCHEMA)
 
 
+def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR-union two BLOOM_SCHEMA tables built with identical (m_bits,
+    n_hashes). Bitmap union is associative and commutative, so maintaining
+    the filter incrementally — committed filter ∪ a delta built from only
+    the new round's hashes — yields byte-identical bitmaps to a full
+    rebuild over the union of inputs, at delta cost instead of a full
+    url_seen rescan per round. ``n_items`` adds (an upper bound under
+    re-inserts; FPR monitoring only — correctness never depends on it).
+    Mismatched geometry raises: OR-ing bitmaps of different m/k silently
+    corrupts membership."""
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf["m_bits"].nunique() > 1 or pdf["n_hashes"].nunique() > 1:
+            raise ValueError(
+                f"bloom geometry drift in bucket {int(pdf['bucket'].iloc[0])}:"
+                f" m_bits {sorted(pdf['m_bits'].unique())}, n_hashes"
+                f" {sorted(pdf['n_hashes'].unique())} — filters built with"
+                " different sizing cannot be OR-merged")
+        if len(pdf) == 1:
+            return pdf
+        bm = np.frombuffer(pdf["bitmap"].iloc[0], dtype=np.uint8).copy()
+        for raw in pdf["bitmap"].iloc[1:]:
+            bm |= np.frombuffer(raw, dtype=np.uint8)
+        out = pdf.iloc[:1].copy()
+        out["n_items"] = int(pdf["n_items"].sum())
+        out["bitmap"] = [bm.tobytes()]
+        return out
+
+    return (a.unionByName(b)
+            .groupBy("bucket").applyInPandas(merge, schema=BLOOM_SCHEMA))
+
+
 def bloom_probe(candidates: DataFrame, bloom: DataFrame,
                 hash_col: str = "url_hash", *,
                 n_buckets: int = 64,

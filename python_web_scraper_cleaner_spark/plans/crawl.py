@@ -153,6 +153,8 @@ class CrawlEngine:
     def __init__(self, spark: SparkSession, root: str, *,
                  per_host_budget: int = 5,
                  n_bloom_buckets: int = 16,
+                 bloom_capacity_per_bucket: int = 100_000,
+                 bloom_fpr: float = 0.01,
                  hot_host_threshold: int | None = None,
                  n_salts: int = 8,
                  discover_links: bool = False,
@@ -161,6 +163,13 @@ class CrawlEngine:
         self.io = TableIO(spark, root)
         self.per_host_budget = per_host_budget
         self.n_bloom_buckets = n_bloom_buckets
+        # Fixed filter geometry, sized ONCE from design capacity (not from
+        # the current url_seen count): incremental OR-maintenance requires
+        # every delta to share (m_bits, n_hashes). Size n_bloom_buckets ×
+        # bloom_capacity_per_bucket for the deployment's total URL volume
+        # (10^10 URLs: B=16384 at the default per-bucket capacity).
+        self._bloom_m = B.optimal_m_bits(bloom_capacity_per_bucket, bloom_fpr)
+        self._bloom_k = B.optimal_k(self._bloom_m, bloom_capacity_per_bucket)
         self.hot_host_threshold = hot_host_threshold
         self.n_salts = n_salts
         # URL discovery: harvest <a href> from fetched pages and grow the
@@ -191,6 +200,20 @@ class CrawlEngine:
         r = self.io.latest_round("crawl_log")
         return -1 if r is None else r
 
+    def _bloom(self, seen: DataFrame) -> DataFrame:
+        """The URL-seen bloom filter for this round: the committed filter
+        table when it is in sync with url_seen (the per-round fast path —
+        no url_seen rescan), else a one-time full rebuild (first round
+        after upgrade, or a crash landed between the url_seen and bloom
+        commits — bloom must never MISS a seen hash, or a dup re-crawls)."""
+        io = self.io
+        if (io.exists("bloom")
+                and io.latest_round("bloom") == io.latest_round("url_seen")):
+            return io.read("bloom")
+        return B.build_bloom(seen.select("url_hash"),
+                             n_buckets=self.n_bloom_buckets,
+                             m_bits=self._bloom_m, n_hashes=self._bloom_k)
+
     # -- one round -------------------------------------------------------------
     def run_round(self, round_id: int) -> dict:
         io = self.io
@@ -198,12 +221,11 @@ class CrawlEngine:
         seen = io.read_or_empty("url_seen", SEEN_SCHEMA)
         robots = io.read("robots")
 
-        # J1: bloom prefilter + exact anti-join against url_seen
-        if io.exists("url_seen"):
-            bloom = B.build_bloom(seen.select("url_hash"),
-                                  n_buckets=self.n_bloom_buckets,
-                                  expected_per_bucket=max(
-                                      64, seen.count() // self.n_bloom_buckets))
+        # J1: bloom prefilter + exact anti-join against url_seen. The
+        # filter is PERSISTED and maintained incrementally (see _bloom):
+        # no full url_seen rescan (and no seen.count() action) per round.
+        bloom = self._bloom(seen) if io.exists("url_seen") else None
+        if bloom is not None:
             fresh = B.bloom_dedup(pending, seen, bloom,
                                   n_buckets=self.n_bloom_buckets)
         else:
@@ -254,6 +276,19 @@ class CrawlEngine:
                 "url_hash", "canonical_url",
                 F.lit(round_id).cast("int").alias("first_seen_round")))
             io.append_round(new_seen, "url_seen", round_id)
+
+            # incremental bloom maintenance: OR in ONLY this round's hashes
+            # (bitmap union is associative — equals a full rebuild) instead
+            # of rescanning the whole url_seen table every round. Committed
+            # AFTER url_seen with the same round id; a crash between the
+            # two commits is detected by the round-id comparison in _bloom
+            # and repaired with a one-time full rebuild.
+            delta = B.build_bloom(new_seen.select("url_hash"),
+                                  n_buckets=self.n_bloom_buckets,
+                                  m_bits=self._bloom_m,
+                                  n_hashes=self._bloom_k)
+            merged = delta if bloom is None else B.merge_blooms(bloom, delta)
+            io.overwrite(merged, "bloom", round_id)
 
             # K3: per-partition lineage/metrics (manifest analog)
             log = (pages.groupBy("round", "partition_id")

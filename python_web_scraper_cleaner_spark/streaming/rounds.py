@@ -30,6 +30,26 @@ URL_EVENTS_SCHEMA = "url string, url_hash long, warc_ts timestamp"
 
 N_STATE_BUCKETS = 64
 
+# State sizing contract: one state row holds one bucket's seen-set as an
+# int64 array, fully rewritten at each micro-batch that touches it. Both
+# the row's memory and the rewrite cost are therefore bounded by the
+# per-bucket hash count, which uniform xxhash64 bucketing makes
+# ≈ total_urls / n_buckets. Target ≤ 2^16 hashes (512 KB) per bucket:
+#   n_buckets = ceil(expected_urls / 2^16)
+# e.g. 10^10 URLs → ~153 k buckets (~80 GB state across the cluster,
+# ~512 KB per row/rewrite). The hard cap (4× target by default) fails the
+# query loudly when n_buckets was undersized for the observed volume —
+# an explicit capacity error beats a silent state-store OOM at 10^10.
+TARGET_HASHES_PER_BUCKET = 1 << 16
+
+
+def n_buckets_for(expected_urls: int,
+                  target: int = TARGET_HASHES_PER_BUCKET) -> int:
+    """Bucket count sized from expected URL volume (see sizing contract
+    above); never below N_STATE_BUCKETS so small streams keep shuffle
+    parallelism."""
+    return max(N_STATE_BUCKETS, -(-int(expected_urls) // target))
+
 
 def read_pages_stream(spark: SparkSession, input_dir: str, *,
                       max_files_per_trigger: int | None = None) -> DataFrame:
@@ -56,56 +76,78 @@ def windowed_crawl_log(pages: DataFrame, *, window: str = "1 hour",
                     "lang", "n_pages", "html_bytes"))
 
 
-def _dedup_state_fn(
-        key: Tuple[int], pdfs: Iterator["Any"], state: GroupState
-) -> Iterator["Any"]:
-    """Per-bucket stateful dedup: state holds the sorted array of url
-    hashes seen so far in this bucket; emit only first-seen rows.
-    Vectorized membership via numpy searchsorted — no per-row Python sets.
-    """
-    import numpy as np
-    import pandas as pd
+def _make_dedup_state_fn(max_hashes_per_bucket: int):
+    """Build the per-bucket stateful dedup function: state holds the
+    sorted array of url hashes seen so far in this bucket; emit only
+    first-seen rows. Vectorized membership via numpy searchsorted — no
+    per-row Python sets. Enforces the state sizing contract: exceeding
+    ``max_hashes_per_bucket`` raises a capacity error naming the fix."""
 
-    seen = (np.array(state.get[0], dtype="int64")
-            if state.exists else np.empty(0, dtype="int64"))
-    out = []
-    for pdf in pdfs:
-        if pdf.empty:
-            continue
-        # dedup within the batch first (keep earliest by warc_ts, url)
-        pdf = (pdf.sort_values(["warc_ts", "url"])
-               .drop_duplicates("url_hash", keep="first"))
-        h = pdf["url_hash"].to_numpy(dtype="int64")
-        idx = np.searchsorted(seen, h)
-        idx_clip = np.clip(idx, 0, max(len(seen) - 1, 0))
-        is_seen = (len(seen) > 0) & (seen[idx_clip] == h) if len(seen) else (
-            np.zeros(len(h), dtype=bool))
-        fresh = pdf[~is_seen]
-        if not fresh.empty:
-            seen = np.unique(np.concatenate(
-                [seen, fresh["url_hash"].to_numpy(dtype="int64")]))
-            out.append(fresh[["url", "url_hash", "warc_ts"]])
-    state.update((seen.tolist(),))
-    if out:
-        yield pd.concat(out)
+    def _dedup_state_fn(
+            key: Tuple[int], pdfs: Iterator["Any"], state: GroupState
+    ) -> Iterator["Any"]:
+        import numpy as np
+        import pandas as pd
+
+        seen = (np.array(state.get[0], dtype="int64")
+                if state.exists else np.empty(0, dtype="int64"))
+        out = []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            # dedup within the batch first (keep earliest by warc_ts, url)
+            pdf = (pdf.sort_values(["warc_ts", "url"])
+                   .drop_duplicates("url_hash", keep="first"))
+            h = pdf["url_hash"].to_numpy(dtype="int64")
+            idx = np.searchsorted(seen, h)
+            idx_clip = np.clip(idx, 0, max(len(seen) - 1, 0))
+            is_seen = (len(seen) > 0) & (seen[idx_clip] == h) if len(seen) \
+                else np.zeros(len(h), dtype=bool)
+            fresh = pdf[~is_seen]
+            if not fresh.empty:
+                seen = np.unique(np.concatenate(
+                    [seen, fresh["url_hash"].to_numpy(dtype="int64")]))
+                out.append(fresh[["url", "url_hash", "warc_ts"]])
+        if len(seen) > max_hashes_per_bucket:
+            raise RuntimeError(
+                f"url-seen state bucket {key[0]} holds {len(seen)} hashes "
+                f"> cap {max_hashes_per_bucket}; n_buckets is undersized "
+                f"for the observed URL volume — re-run with n_buckets="
+                f"n_buckets_for(expected_urls) (streaming/rounds.py)")
+        state.update((seen.tolist(),))
+        if out:
+            yield pd.concat(out)
+
+    return _dedup_state_fn
 
 
-def streaming_url_seen_dedup(urls: DataFrame) -> DataFrame:
+def streaming_url_seen_dedup(urls: DataFrame, *,
+                             n_buckets: int = N_STATE_BUCKETS,
+                             max_hashes_per_bucket: int | None = None
+                             ) -> DataFrame:
     """First-seen URL stream: the streaming twin of the J1 anti-join.
 
     Input: streaming DataFrame with (url, warc_ts). Output: rows the
     engine has never seen across all micro-batches, with state persisted
     in the checkpoint (kill/restart keeps the seen-set — north_rule
     resume semantics).
-    """
+
+    ``n_buckets`` is the state sizing knob — derive it from expected
+    volume with :func:`n_buckets_for` (see the sizing contract above);
+    per-row state is then bounded at ~TARGET_HASHES_PER_BUCKET hashes.
+    ``max_hashes_per_bucket`` (default 4× the implied per-bucket target)
+    is the hard cap at which the query fails loudly instead of letting
+    one state row grow without bound."""
+    if max_hashes_per_bucket is None:
+        max_hashes_per_bucket = 4 * TARGET_HASHES_PER_BUCKET
     hashed = urls.select(
         "url", F.xxhash64("url").alias("url_hash"), "warc_ts")
-    bucket = (F.pmod(F.col("url_hash"), F.lit(N_STATE_BUCKETS))
+    bucket = (F.pmod(F.col("url_hash"), F.lit(n_buckets))
               .alias("bucket"))
     return (hashed.select(bucket, "url", "url_hash", "warc_ts")
             .groupBy("bucket")
             .applyInPandasWithState(
-                _dedup_state_fn,
+                _make_dedup_state_fn(max_hashes_per_bucket),
                 outputStructType=URL_EVENTS_SCHEMA,
                 stateStructType="seen array<long>",
                 outputMode="append",

@@ -144,6 +144,48 @@ def test_reseeding_already_crawled_urls_is_noop(spark, tmp_path):
     assert n_after - n_before <= 100
 
 
+def test_incremental_bloom_equals_rebuild_and_repairs(spark, tmp_path):
+    """The persisted bloom table is maintained by OR-ing in only each
+    round's delta; after any number of rounds its bitmaps must be
+    byte-identical to a full rebuild over url_seen (union associativity),
+    and a bloom/url_seen round mismatch (crash between the two commits)
+    must repair via full rebuild instead of silently missing hashes."""
+    from python_web_scraper_cleaner_spark.operators import bloom as B
+
+    eng = CrawlEngine(spark, str(tmp_path / "c"), per_host_budget=10)
+    eng.bootstrap(make_seeds(spark), make_robots(spark))
+    eng.run(max_rounds=30)   # several rounds at budget 10
+
+    assert eng.io.latest_round("bloom") == eng.io.latest_round("url_seen")
+    committed = {r["bucket"]: r["bitmap"]
+                 for r in eng.io.read("bloom").collect()}
+    rebuilt = {r["bucket"]: r["bitmap"]
+               for r in B.build_bloom(
+                   eng.io.read("url_seen").select("url_hash"),
+                   n_buckets=eng.n_bloom_buckets,
+                   m_bits=eng._bloom_m, n_hashes=eng._bloom_k).collect()}
+    assert committed == rebuilt
+
+    # crash simulation: url_seen advances but bloom does not → _bloom()
+    # must fall back to a full rebuild (same bitmaps), not trust the stale
+    # filter
+    eng.io.append_round(
+        spark.createDataFrame(
+            [(12345, "https://hostx.example/x", 99)],
+            "url_hash long, canonical_url string, first_seen_round int"),
+        "url_seen", 99)
+    seen = eng.io.read("url_seen")
+    repaired = eng._bloom(seen)
+    got = {r["bucket"]: r["bitmap"] for r in repaired.collect()}
+    full = {r["bucket"]: r["bitmap"]
+            for r in B.build_bloom(seen.select("url_hash"),
+                                   n_buckets=eng.n_bloom_buckets,
+                                   m_bits=eng._bloom_m,
+                                   n_hashes=eng._bloom_k).collect()}
+    assert got == full
+    assert got != committed   # the new hash actually changed a bitmap
+
+
 def test_parse_robots_table_and_apply(spark):
     """robots.txt text → parsed rules table (pandas UDF) → broadcast
     longest-match filtering, end to end."""

@@ -70,6 +70,34 @@ def test_streaming_dedup_within_batch(spark, tmp_path):
     assert all(r.warc_ts < BASE + dt.timedelta(days=1) for r in rows)
 
 
+def test_state_bucket_budget(spark, tmp_path):
+    """State sizing contract: many batches through FEW buckets stays green
+    while per-bucket state fits the cap, and a deliberately undersized cap
+    fails loudly with the capacity error — the 'bounded state' claim is
+    enforced, not aspirational."""
+    in_dir = str(tmp_path / "in")
+    for batch in range(3):
+        (_urls(spark, batch * 200, (batch + 1) * 200)
+         .repartition(1).write.mode("append").parquet(in_dir))
+
+    def run(tag, **kw):
+        stream = R.streaming_url_seen_dedup(
+            spark.readStream.schema("url string, warc_ts timestamp")
+            .option("maxFilesPerTrigger", 1).parquet(in_dir), **kw)
+        out, ckpt = str(tmp_path / f"out{tag}"), str(tmp_path / f"ckpt{tag}")
+        R.run_stream_to_table(stream, ckpt, out)
+        return spark.read.parquet(out)
+
+    # 600 urls / 4 buckets ≈ 150 per bucket: cap 200 holds across 3 batches
+    assert run("ok", n_buckets=4, max_hashes_per_bucket=200).count() == 600
+    # cap 100 < ~150 per bucket must raise the capacity error, not OOM on
+    with pytest.raises(Exception, match="undersized"):
+        run("boom", n_buckets=4, max_hashes_per_bucket=100)
+    # sizing helper: 10^10 urls → ~153k buckets of ≤2^16 hashes
+    assert R.n_buckets_for(10_000_000_000) == -(-10_000_000_000 // (1 << 16))
+    assert R.n_buckets_for(1000) == R.N_STATE_BUCKETS
+
+
 def test_windowed_crawl_log_matches_batch(spark, tmp_path):
     """availableNow drain of the watermarked rollup: closed windows match
     the batch groupBy exactly; the final (unclosed) windows stay pending —

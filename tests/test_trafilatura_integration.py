@@ -80,3 +80,36 @@ def test_trafilatura_wiring_forwards_exact_kwargs(monkeypatch):
                            "include_comments": False, "with_metadata": False}
     finally:
         K.set_extractor(prev)
+
+
+def test_trafilatura_wiring_metadata_call_shape(monkeypatch):
+    """F4 contract: the metadata-extraction call shape of the reference
+    (trafilatura_scraper.py:58-66) — output_format='json',
+    with_metadata=True, include_comments=False, include_tables=True,
+    include_images=False, include_links=False — must forward through the
+    seam byte for byte, so a production deploy with the real wheel makes
+    the exact reference call."""
+    calls = []
+
+    def fake_extract(html_text, **kwargs):
+        calls.append(kwargs)
+        return '{"title": "T"}'
+
+    fake = types.ModuleType("trafilatura")
+    fake.extract = fake_extract
+    monkeypatch.setitem(sys.modules, "trafilatura", fake)
+
+    fn = K._trafilatura_extract_or_none()
+    out = fn(_HTML, output_format="json", with_metadata=True,
+             include_comments=False, include_tables=True,
+             include_images=False, include_links=False)
+    assert out == '{"title": "T"}'
+    assert calls[0] == {"output_format": "json", "with_metadata": True,
+                        "include_comments": False, "include_tables": True,
+                        "include_images": False, "include_links": False}
+    # the clean-text call (with_metadata=False) must NOT grow the extra
+    # kwargs — html_cleaner_core.py:85-91 passes exactly four
+    fn(_HTML, output_format="txt", include_tables=True,
+       include_comments=False, with_metadata=False)
+    assert calls[1] == {"output_format": "txt", "include_tables": True,
+                        "include_comments": False, "with_metadata": False}
