@@ -132,7 +132,12 @@ def main() -> None:
 
     warm_workers(spark, cores)
 
-    # crawl slice: median of 3 runs (first run may still page in the table)
+    # crawl slice: one UNTIMED warm-up (first-touch costs — OS page-in of
+    # the parquet, whole-stage-codegen compile for the slice plan shape —
+    # run 0 measures those, not the pipeline; a long-running 100 TB job
+    # amortizes them to zero, same rationale as warm_workers and the
+    # full-round warm-up below), then median of 3 timed runs
+    crawl_throughput(spark, crawl_n)
     runs = [crawl_throughput(spark, crawl_n) for _ in range(3)]
     crawl = sorted(runs, key=lambda r: r["sec"])[1]
 
