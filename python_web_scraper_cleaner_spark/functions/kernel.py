@@ -107,6 +107,7 @@ _BLOCK = {
 }
 _HEADING_PREFIX = {"h1": "# ", "h2": "## ", "h3": "### ",
                    "h4": "#### ", "h5": "##### ", "h6": "###### "}
+_WS_RUN_RE = re.compile(r"[ \t]+")
 
 
 class _TextExtractor(HTMLParser):
@@ -134,8 +135,9 @@ class _TextExtractor(HTMLParser):
 
     # -- line management ----------------------------------------------------
     def _flush(self) -> None:
-        txt = "".join(self._buf)
-        txt = re.sub(r"[ \t]+", " ", txt).strip()
+        if not self._buf:      # hot path: most block boundaries have no text
+            return
+        txt = _WS_RUN_RE.sub(" ", "".join(self._buf)).strip()
         self._buf = []
         if not txt:
             return
@@ -180,8 +182,7 @@ class _TextExtractor(HTMLParser):
                 self._table_depth -= 1
             return
         if tag in ("td", "th"):
-            txt = "".join(self._buf)
-            txt = re.sub(r"[ \t]+", " ", txt).strip()
+            txt = _WS_RUN_RE.sub(" ", "".join(self._buf)).strip()
             self._buf = []
             if txt:
                 self._cells.append(txt)
@@ -582,7 +583,12 @@ def canonicalize_url(url: str) -> str:
         return url.strip()
     scheme = m.group("scheme").lower()
     netloc = m.group("netloc")
-    rest = m.group("rest") or ""
+    # rstrip AFTER fragment removal: "…/ #frag" leaves "…/ " whose trailing
+    # space the outer strip would only remove on a SECOND pass — trailing
+    # whitespace is junk either way, and removing it here makes
+    # canonicalize_url(canonicalize_url(x)) == canonicalize_url(x)
+    # (hypothesis-found idempotence break)
+    rest = (m.group("rest") or "").rstrip()
     if netloc is None:
         return f"{scheme}:{rest}"
     userinfo = ""
