@@ -1109,8 +1109,10 @@ def q_simhash_near_pairs(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
-SQL_SIMHASH_PAIRS = f"""
-with base as (select doc_id, text from documents where doc_id < 150),
+# CTE chain shared by SQL_SIMHASH_PAIRS and SQL_DEDUP_COMPONENTS (the
+# components oracle re-derives the same near-pair edge set, then runs a
+# recursive reachability closure over it).
+_SIMHASH_CTES = f"""base as (select doc_id, text from documents where doc_id < 150),
 corpus as (
   select doc_id, text from base
   union all
@@ -1143,9 +1145,48 @@ sig as (select id,
         from halves),
 pairs as (select a.id as id_a, b.id as id_b,
                  bit_count(xor(a.simhash, b.simhash)) as hamming
-          from sig a join sig b on a.id < b.id)
+          from sig a join sig b on a.id < b.id)"""
+
+SQL_SIMHASH_PAIRS = f"""
+with {_SIMHASH_CTES}
 select id_a, id_b, cast(hamming as int) as hamming
 from pairs where hamming <= 3 order by id_a, id_b
+"""
+
+def q_dedup_components(spark, sf_dir):
+    """Near-dup pairs → dedup clusters: connected components over the
+    SimHash near-pair graph (pointer-jumping min-label propagation,
+    operators/dedup.py:connected_components), with the min-id member of
+    each cluster marked canonical. Pair relations aren't transitive, so
+    keep/drop decisions need the component closure — the content-dedup
+    generalization of the reference's URL skip-if-seen logic
+    (/root/reference/scripts/news.py:17-34). The oracle computes the same
+    closure with a recursive reachability CTE."""
+    corpus = _dup_corpus(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150))
+    sim = D.simhash64_df(corpus, "doc_id", "text")
+    pairs = D.simhash_near_pairs(sim, max_hamming=3)
+    return (D.dedup_clusters(pairs)
+            .select(F.col("id").alias("doc_id"), "component_id",
+                    "is_canonical")
+            .orderBy("doc_id"))
+
+
+SQL_DEDUP_COMPONENTS = f"""
+with recursive {_SIMHASH_CTES},
+near as (select id_a, id_b from pairs where hamming <= 3),
+nodes as (select distinct id
+          from (select id_a as id from near
+                union all select id_b as id from near) t),
+edges as (select id_a as src, id_b as dst from near
+          union all select id_b, id_a from near),
+reach(id, comp) as (
+  select id, id from nodes
+  union
+  select e.dst, r.comp from reach r join edges e on e.src = r.id),
+comps as (select id, min(comp) as component_id from reach group by id)
+select id as doc_id, component_id, id = component_id as is_canonical
+from comps order by doc_id
 """
 
 
@@ -2349,6 +2390,7 @@ def registry():
     """
     return {
         # -- never driver-checked before round 3 (new + r2-truncated tail) --
+        "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
         "read_get_article": (q_read_get_article, _sql_read_get_article()),
         "read_list_articles": (q_read_list_articles, SQL_READ_LIST),
         "o5_truncate": (q_o5_truncate, SQL_O5),
