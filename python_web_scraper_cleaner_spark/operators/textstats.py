@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.kernel import LANG_MARKERS, STOP_WORDS
+from .dedup import tokens as D_tokens
 
 # ASCII punctuation (string.punctuation), regex-escaped as a class.
 PUNCT_CLASS = r"""[!"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]"""
@@ -178,3 +179,68 @@ def fingerprint_col(text: Column) -> Column:
     single-space-joined lowercased tokens — whitespace-insensitive like
     kernel.fingerprint64, engine-portable (md5 everywhere)."""
     return F.md5(F.concat_ws(" ", ws_tokens(text)))
+
+
+def ngram_repetition(df: DataFrame, id_col: str, text_col: str, *,
+                     top_n: int = 2, dup_n: int = 3) -> DataFrame:
+    """Gopher repetition signals (Rae et al. 2021 §A1.1, the half not in
+    gopher_quality): per-doc character mass of the most common ``top_n``-
+    gram and of all duplicated ``dup_n``-grams, as fractions of trimmed
+    doc length. High values mean boilerplate/spam repetition.
+
+    Everything is per-document array arithmetic — zero shuffles: sort the
+    gram list, then one linear run-length ``F.aggregate`` pass computes
+    both the max run mass and the duplicated-run mass (O(m log m) per
+    doc; a naive per-distinct-gram recount is O(m²) and measured 50×
+    slower on ~10^3-token docs). The alternative (explode +
+    groupBy(id, gram)) shuffles every gram occurrence of 100 TB for a
+    per-doc statistic.
+
+    top_frac ties break toward the larger char mass (count × gram length
+    maximized directly), making the scalar deterministic without a
+    string-order tiebreak."""
+    t = F.col(text_col)
+
+    def grams_of(n: int):
+        toks = D_tokens(t)
+        sz = F.size(toks)
+        return F.when(sz <= n, F.array(F.concat_ws(" ", toks))).otherwise(
+            F.transform(F.sequence(F.lit(1), sz - n + 1),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
+
+    def masses(n: int):
+        s = F.array_sort(grams_of(n))
+        init = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                        F.lit(0).alias("top"), F.lit(0).alias("dup"))
+
+        def _close(acc):
+            # mass of the run that just ended at acc.prev
+            mass = acc["run"] * F.length(acc["prev"])
+            return (F.greatest(acc["top"], mass),
+                    acc["dup"] + F.when(acc["run"] >= 2, mass).otherwise(0))
+
+        def step(acc, x):
+            same = x == acc["prev"]
+            top, dup = _close(acc)
+            return F.struct(
+                x.alias("prev"),
+                F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+                F.when(same, acc["top"]).otherwise(top).alias("top"),
+                F.when(same, acc["dup"]).otherwise(dup).alias("dup"))
+
+        def finish(acc):
+            top, dup = _close(acc)
+            return F.struct(top.alias("top"), dup.alias("dup"))
+
+        r = F.aggregate(s, init, step, finish)
+        return r["top"], r["dup"]
+
+    top_mass, _ = masses(top_n)
+    _, dup_mass = masses(dup_n)
+    n_chars = F.length(F.trim(t)).cast("long")
+    frac = (lambda m: F.round(
+        F.when(n_chars > 0, m.cast("double") / n_chars).otherwise(0.0), 4))
+    return df.select(
+        F.col(id_col).alias("id"),
+        frac(top_mass).alias(f"top{top_n}gram_char_frac"),
+        frac(dup_mass).alias(f"dup{dup_n}gram_char_frac"))

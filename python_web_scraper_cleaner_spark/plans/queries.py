@@ -1533,6 +1533,60 @@ from r order by id
 """
 
 
+_REP_SUFFIX = " buy now buy now buy now limited offer limited offer"
+
+
+def q_quality_repetition(spark, sf_dir):
+    """Gopher repetition signals (the §A1.1 half not in quality_gopher):
+    char-mass fraction of the most common 2-gram and of duplicated
+    3-grams, per doc. A deterministic spammy suffix makes the signals
+    fire; the natural text varies the denominator. Zero-shuffle per-row
+    array arithmetic — operators/textstats.ngram_repetition."""
+    docs = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+            .select("doc_id",
+                    F.concat(F.col("text"), F.lit(_REP_SUFFIX)).alias("text")))
+    return (TS.ngram_repetition(docs, "doc_id", "text", top_n=2, dup_n=3)
+            .withColumnRenamed("id", "doc_id")
+            .orderBy("doc_id"))
+
+
+def _rep_grams_sql(n: int) -> str:
+    return (f"case when len(toks) <= {n} then [array_to_string(toks, ' ')] "
+            f"else list_transform(range(1, len(toks) - {n} + 2), "
+            f"i -> array_to_string(toks[i:i+{n - 1}], ' ')) end")
+
+
+SQL_QUALITY_REPETITION = f"""
+with d as (
+  select doc_id, text || '{_REP_SUFFIX}' as text
+  from documents where doc_id < 300),
+toks as (select doc_id, strlen(trim(text)) as n_chars,
+                regexp_split_to_array(lower(trim(text)), '\\s+') as toks
+         from d),
+g as (select doc_id, n_chars,
+             {_rep_grams_sql(2)} as g2,
+             {_rep_grams_sql(3)} as g3
+      from toks),
+c2 as (select doc_id, gram, count(*) as cnt
+       from (select doc_id, unnest(g2) as gram from g) group by doc_id, gram),
+t2 as (select doc_id, cast(max(cnt * strlen(gram)) as bigint) as top_mass
+       from c2 group by doc_id),
+c3 as (select doc_id, gram, count(*) as cnt
+       from (select doc_id, unnest(g3) as gram from g) group by doc_id, gram),
+d3 as (select doc_id,
+              cast(coalesce(sum(case when cnt >= 2 then cnt * strlen(gram)
+                                     else 0 end), 0) as bigint) as dup_mass
+       from c3 group by doc_id)
+select g.doc_id,
+  round(case when n_chars > 0 then top_mass / n_chars else 0.0 end, 4)
+    as top2gram_char_frac,
+  round(case when n_chars > 0 then dup_mass / n_chars else 0.0 end, 4)
+    as dup3gram_char_frac
+from g join t2 on t2.doc_id = g.doc_id join d3 on d3.doc_id = g.doc_id
+order by g.doc_id
+"""
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII scrub (emails + long digit runs → typed placeholders) with
     per-doc audit counts; deterministic PII injected per doc so every row
@@ -2391,6 +2445,7 @@ def registry():
     return {
         # -- never driver-checked before round 3 (new + r2-truncated tail) --
         "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
+        "quality_repetition": (q_quality_repetition, SQL_QUALITY_REPETITION),
         "read_get_article": (q_read_get_article, _sql_read_get_article()),
         "read_list_articles": (q_read_list_articles, SQL_READ_LIST),
         "o5_truncate": (q_o5_truncate, SQL_O5),

@@ -1,0 +1,38 @@
+"""Gopher repetition signals (operators/textstats.ngram_repetition)."""
+
+from python_web_scraper_cleaner_spark.operators import textstats as TS
+
+
+def _run(spark, text, **kw):
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    return TS.ngram_repetition(df, "id", "text", **kw).collect()[0]
+
+
+def test_repetition_known_values(spark):
+    # tokens: a b a b a b c → 2-grams: 'a b'×3, 'b a'×2, 'b c'×1
+    # top2 mass = 3·len('a b') = 9; chars = 13
+    # 3-grams: 'a b a'×2, 'b a b'×2, 'a b c'×1 → dup3 = 2·5 + 2·5 = 20
+    r = _run(spark, "a b a b a b c")
+    assert r.top2gram_char_frac == round(9 / 13, 4)
+    assert r.dup3gram_char_frac == round(20 / 13, 4)
+
+
+def test_repetition_no_dups_is_zero(spark):
+    r = _run(spark, "one two three four five")
+    assert r.dup3gram_char_frac == 0.0
+    # every 2-gram unique: top mass = single occurrence of longest 2-gram
+    assert 0 < r.top2gram_char_frac < 1
+
+
+def test_repetition_short_doc_single_gram(spark):
+    # fewer tokens than n → one whole-text gram, count 1
+    r = _run(spark, "hello")
+    assert r.dup3gram_char_frac == 0.0
+    assert r.top2gram_char_frac == 1.0
+
+
+def test_repetition_pure_spam_saturates(spark):
+    r = _run(spark, "spam spam spam spam spam spam spam spam")
+    # all 2-grams identical: top mass = 7 runs × 9 chars ≈>> n_chars
+    assert r.top2gram_char_frac > 1.0
+    assert r.dup3gram_char_frac > 1.0
