@@ -428,6 +428,35 @@ def simhash_near_pairs(sim: DataFrame, *, max_hamming: int = 3) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def cc_propagation_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One connected-components round: neighbor-min then path halving.
+
+    Input: symmetric ``edges`` (src, dst) and ``labels`` (id, comp).
+    Output: (id, comp, ncomp) — old and new label, so the caller can both
+    count convergence and continue, off one materialization. This is the
+    plan that repeats O(log diameter) times inside connected_components;
+    it contains the round's complete shuffle budget: one edges⋈labels
+    equi-join + partial/final min aggregate, one label lookup join, one
+    label self-join (path halving). No other exchange."""
+    nb_min = (edges
+              .join(labels.withColumnRenamed("id", "src")
+                    .withColumnRenamed("comp", "nb_comp"), "src")
+              .groupBy(F.col("dst").alias("id"))
+              .agg(F.min("nb_comp").alias("nb_min")))
+    stepped = (labels.join(nb_min, "id", "left")
+               .select("id", "comp",
+                       F.least(F.col("comp"),
+                               F.coalesce("nb_min", F.col("comp")))
+                       .alias("ncomp")))
+    # path halving: ncomp := ncomp(ncomp). Labels are node ids, so every
+    # ncomp value has a row in `stepped`; the left join is total,
+    # coalesce is defensive only.
+    hop = stepped.select(F.col("id").alias("ncomp"),
+                         F.col("ncomp").alias("gcomp"))
+    return (stepped.join(hop, "ncomp", "left")
+            .select("id", "comp", F.coalesce("gcomp", "ncomp").alias("ncomp")))
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b", *,
                          max_iter: int = 15) -> DataFrame:
@@ -472,25 +501,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
               .select("id", F.col("id").alias("comp")))
     try:
         for _ in range(max_iter):
-            nb_min = (edges
-                      .join(labels.withColumnRenamed("id", "src")
-                            .withColumnRenamed("comp", "nb_comp"), "src")
-                      .groupBy(F.col("dst").alias("id"))
-                      .agg(F.min("nb_comp").alias("nb_min")))
-            stepped = (labels.join(nb_min, "id", "left")
-                       .select("id", "comp",
-                               F.least(F.col("comp"),
-                                       F.coalesce("nb_min", F.col("comp")))
-                               .alias("ncomp")))
-            # path halving: ncomp := ncomp(ncomp). Labels are node ids, so
-            # every ncomp value has a row in `stepped`; the left join is
-            # total, coalesce is defensive only.
-            hop = stepped.select(F.col("id").alias("ncomp"),
-                                 F.col("ncomp").alias("gcomp"))
-            nxt = (stepped.join(hop, "ncomp", "left")
-                   .select("id", "comp",
-                           F.coalesce("gcomp", "ncomp").alias("ncomp"))
-                   .localCheckpoint(eager=True))
+            nxt = cc_propagation_round(edges, labels) \
+                .localCheckpoint(eager=True)
             changed = nxt.filter(F.col("comp") != F.col("ncomp")).count()
             labels = nxt.select("id", F.col("ncomp").alias("comp"))
             if changed == 0:
