@@ -525,3 +525,86 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
     return comp.select(
         "id", "component_id",
         (F.col("id") == F.col("component_id")).alias("is_canonical"))
+
+
+def keep_best(docs: DataFrame, clusters: DataFrame, *, id_col: str = "id",
+              quality_col: str = "quality") -> DataFrame:
+    """Quality-aware keep/drop over dedup clusters.
+
+    ``docs``: (id, quality) for EVERY document; ``clusters``: (id,
+    component_id) for the paired subset (connected_components output).
+    Unpaired docs form singleton components of themselves. Per component
+    the highest-quality member is kept (ties → smallest id) — the
+    content-dedup version of the reference's "skip if output exists"
+    keep/drop decision (/root/reference/scripts/news.py:17-34), upgraded
+    from first-seen-wins to best-wins as web pipelines do.
+
+    Scale shape: one left join on id, then ONE max_by aggregate on
+    component_id (partial map-side, no window exchange — the same
+    argmax-not-window rule applied to IVF assignment), then a join of the
+    per-component best back to members. Never materializes member lists.
+    The argmax key ``quality * 10^7 - id`` is single-column bigint so the
+    partial aggregate state is 16 bytes; it is exact while id < 10^7 and
+    quality*10^7 < 2^63 — callers at larger id-spaces re-scale.
+    """
+    members = (docs.select(F.col(id_col).alias("id"),
+                           F.col(quality_col).cast("long").alias("quality"))
+               .join(clusters.select("id", "component_id"), "id", "left")
+               .withColumn("component_id",
+                           F.coalesce("component_id", F.col("id"))))
+    best = (members
+            .groupBy("component_id")
+            .agg(F.max_by(
+                "id", F.col("quality") * F.lit(10_000_000) - F.col("id"))
+                .alias("best_id")))
+    return (members.join(best, "component_id")
+            .select("id", "component_id", "quality",
+                    (F.col("id") == F.col("best_id")).alias("kept")))
+
+
+def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", *,
+                     chunk_words: int = 8) -> DataFrame:
+    """CCNet-style cross-document paragraph dedup: each paragraph is kept
+    only at its FIRST occurrence (smallest (doc_id, position)); documents
+    are reassembled from their surviving paragraphs.
+
+    The corpus here is single-line text, so "paragraphs" are fixed
+    ``chunk_words``-word chunks — the unit is a parameter of the method,
+    not of this plan. Returns (id, n_chunks, n_kept, text_dedup); docs
+    whose every chunk already appeared elsewhere (exact duplicates) keep
+    zero chunks and drop out entirely, which IS the dedup decision.
+
+    Scale shape (100 TB): two shuffles total. groupBy(md5(chunk)) with
+    min(struct(id, pos, chunk)) carries the winning chunk INSIDE the
+    aggregation state, so there is no join-back of the exploded frame and
+    the map-side partial combine collapses duplicates before they ship —
+    under heavy duplication the shuffle moves ~unique-chunk rows, not
+    corpus rows. Reassembly is one groupBy(id) with a sorted collect of
+    the (pos, chunk) structs; per-doc chunk counts are bounded by doc
+    length so the collect_list state is bounded. No window over the full
+    exploded frame, no Python.
+    """
+    norm = F.trim(F.regexp_replace(F.col(text_col), " +", " "))
+    words = F.split(norm, " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(chunk_words))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(words, i * chunk_words + 1, chunk_words)))
+    exploded = (df.select(F.col(id_col).alias("id"),
+                          n_chunks.alias("n_chunks"),
+                          F.posexplode(chunks).alias("pos", "chunk")))
+    firsts = (exploded
+              .groupBy(F.md5("chunk").alias("h"))
+              .agg(F.min(F.struct("id", "pos", "n_chunks", "chunk"))
+                   .alias("f")))
+    kept = firsts.select(F.col("f.id").alias("id"), F.col("f.pos").alias("pos"),
+                         F.col("f.n_chunks").alias("n_chunks"),
+                         F.col("f.chunk").alias("chunk"))
+    return (kept.groupBy("id")
+            .agg(F.max("n_chunks").alias("n_chunks"),
+                 F.count("*").alias("n_kept"),
+                 F.concat_ws(" ", F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                     lambda s: s["chunk"])).alias("text_dedup")))

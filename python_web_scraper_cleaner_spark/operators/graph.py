@@ -1,0 +1,68 @@
+"""Link-graph operators for crawl frontier prioritization.
+
+Reference analog: the reference crawls its seed list in file order with no
+notion of page importance (/root/reference/scripts/news.py:37-48); a
+web-scale frontier wants link-centrality-ordered scheduling, so this module
+adds PageRank over the discovered link graph as a first-class operator. The
+rank column feeds the same (host, priority) frontier ordering the engine's
+politeness scheduler already consumes (plans/crawl.py).
+
+Everything is FIXED-POINT integer arithmetic (rank mass scaled by
+``scale``), so results are bit-deterministic: integer addition is
+associative, so shuffle/partial-aggregation order cannot perturb the
+result, and a DuckDB oracle reproduces it exactly — the same trick the
+IVF k-means codebook uses (operators/similarity.py).
+
+Scale notes (10^10-edge design point):
+- Each iteration is exactly two shuffles: edges⋈ranks on src (ranks is
+  the small side early on but same cardinality as nodes — a sort-merge
+  join co-partitioned on src across iterations), then a partial+final
+  integer SUM keyed on dst. Nothing else moves.
+- out-degrees are computed ONCE and reused across iterations.
+- Rank mass of dangling nodes (out-degree 0) is dropped, the common
+  simplification; with the synthetic closure graph every node has
+  out-degree ≥ 1 so no mass is lost there.
+- For many iterations, persist + localCheckpoint `ranks` every few
+  rounds to truncate lineage (connected_components does the same); at
+  the 3-iteration default the unrolled plan is fine as-is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**12
+
+
+def pagerank_fixed_point(edges: DataFrame, nodes: DataFrame, *,
+                         n_nodes: int, iters: int = 3,
+                         damp_num: int = 85, damp_den: int = 100,
+                         scale: int = SCALE) -> DataFrame:
+    """PageRank over ``edges`` (src, dst) for ``nodes`` (id).
+
+    Returns (id, rank_fp) where rank_fp is the rank scaled by ``scale``
+    and floored — pure bigint math end to end (multiplications stay under
+    2^63 for scale ≤ 10^12 and damp_num ≤ 100). ``n_nodes`` is passed by
+    the caller (it already knows the frontier size) so the operator adds
+    no count() action of its own.
+    """
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # literals cast to long explicitly: for large n_nodes they would infer
+    # IntegerType and the per-iteration multiply would wrap silently
+    ranks = nodes.select("id", F.lit(scale // n_nodes).cast("long")
+                         .alias("rank_fp"))
+    teleport = scale * (damp_den - damp_num) // (damp_den * n_nodes)
+    for _ in range(iters):
+        contribs = (edges
+                    .join(ranks.withColumnRenamed("id", "src"), "src")
+                    .join(outdeg, "src")
+                    .select(F.col("dst").alias("id"),
+                            F.expr(f"rank_fp * {damp_num} "
+                                   f"div ({damp_den} * outdeg)").alias("c")))
+        summed = contribs.groupBy("id").agg(F.sum("c").alias("s"))
+        ranks = (nodes.join(summed, "id", "left")
+                 .select("id",
+                         (F.lit(teleport) + F.coalesce(F.col("s"), F.lit(0)))
+                         .alias("rank_fp")))
+    return ranks

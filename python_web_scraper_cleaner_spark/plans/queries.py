@@ -1190,6 +1190,150 @@ from comps order by doc_id
 """
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware canonicalization over near-dup clusters: component
+    closure from the SimHash pair graph, then per component keep the
+    highest-quality member (length score; ties → smallest id) via ONE
+    map-side max_by aggregate — best-wins, the upgrade over the
+    reference's first-seen-wins skip logic
+    (/root/reference/scripts/news.py:17-34). Unpaired docs are singleton
+    components and always kept."""
+    corpus = _dup_corpus(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150))
+    sim = D.simhash64_df(corpus, "doc_id", "text")
+    pairs = D.simhash_near_pairs(sim, max_hamming=3)
+    comp = D.connected_components(pairs)
+    docs = corpus.select(F.col("doc_id").alias("id"),
+                         F.length("text").cast("long").alias("quality"))
+    return (D.keep_best(docs, comp)
+            .select(F.col("id").alias("doc_id"), "component_id", "quality",
+                    "kept")
+            .orderBy("doc_id"))
+
+
+SQL_DEDUP_KEEP_BEST = f"""
+with recursive {_SIMHASH_CTES},
+near as (select id_a, id_b from pairs where hamming <= 3),
+nodes as (select distinct id
+          from (select id_a as id from near
+                union all select id_b as id from near) t),
+edges as (select id_a as src, id_b as dst from near
+          union all select id_b, id_a from near),
+reach(id, comp) as (
+  select id, id from nodes
+  union
+  select e.dst, r.comp from reach r join edges e on e.src = r.id),
+comps as (select id, min(comp) as component_id from reach group by id),
+members as (select c.doc_id as id,
+                   coalesce(m.component_id, c.doc_id) as component_id,
+                   cast(length(c.text) as bigint) as quality
+            from corpus c left join comps m on m.id = c.doc_id),
+best as (select component_id,
+                arg_max(id, quality * 10000000 - id) as best_id
+         from members group by component_id)
+select m.id as doc_id, m.component_id, m.quality, m.id = b.best_id as kept
+from members m join best b on b.component_id = m.component_id
+order by doc_id
+"""
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """CCNet-style cross-doc paragraph dedup (operators/dedup.py:
+    dedup_paragraphs): every 8-word chunk survives only at its first
+    (doc_id, pos) occurrence; docs reassemble from surviving chunks and
+    exact duplicates drop out entirely. Content-level generalization of
+    the reference's url-seen skip (/root/reference/scripts/news.py:17-34)."""
+    corpus = _dup_corpus(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
+    return (D.dedup_paragraphs(corpus, "doc_id", "text", chunk_words=8)
+            .select(F.col("id").alias("doc_id"), "n_chunks", "n_kept",
+                    "text_dedup")
+            .orderBy("doc_id"))
+
+
+SQL_PARAGRAPH_DEDUP = """
+with base as (select doc_id, text from documents where doc_id < 200),
+corpus as (
+  select doc_id, text from base
+  union all
+  select doc_id + 100000, text from base where doc_id % 10 < 3
+  union all
+  select doc_id + 200000, text || ' extra extra extra' from base
+  where doc_id % 10 = 3
+  union all
+  select doc_id + 300000, text || '  ' from base where doc_id % 10 = 4),
+norm as (select doc_id,
+                string_split(trim(regexp_replace(text, ' +', ' ', 'g')),
+                             ' ') as words
+         from corpus),
+chunked as (
+  select doc_id,
+         cast(t.i as bigint) as pos,
+         cast(ceil(len(words) / 8.0) as bigint) as n_chunks,
+         array_to_string(words[t.i*8+1 : t.i*8+8], ' ') as chunk
+  from norm, unnest(range(cast(ceil(len(words) / 8.0) as bigint))) as t(i)),
+kept as (
+  select doc_id, pos, n_chunks, chunk from (
+    select doc_id, pos, n_chunks, chunk,
+           row_number() over (partition by md5(chunk)
+                              order by doc_id, pos) as rn
+    from chunked) ranked where rn = 1)
+select doc_id, max(n_chunks) as n_chunks, count(*) as n_kept,
+       string_agg(chunk, ' ' order by pos) as text_dedup
+from kept group by doc_id order by doc_id
+"""
+
+
+def q_link_pagerank(spark, sf_dir):
+    """Frontier prioritization by link centrality: fixed-point integer
+    PageRank (operators/graph.py) over the deterministic doc link graph
+    (dst = id//2 and (3·id+1) mod n — the same closure shape the synthetic
+    pages corpus uses for URL discovery, sources/pages.py:78). Top 20 by
+    rank; pure bigint math so the oracle (3 unrolled iterations) matches
+    bit-for-bit."""
+    from ..operators import graph as G
+    nodes = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"))
+    n = nodes.count()
+    edges = (nodes.select(F.col("id").alias("src"),
+                          F.expr("id div 2").alias("dst"))
+             .unionByName(
+                 nodes.select(F.col("id").alias("src"),
+                              F.expr(f"(3*id + 1) % {n}").alias("dst"))))
+    pr = G.pagerank_fixed_point(edges, nodes, n_nodes=n, iters=3)
+    return (pr.select(F.col("id").alias("doc_id"), "rank_fp")
+            .orderBy(F.desc("rank_fp"), "doc_id").limit(20))
+
+
+def _sql_link_pagerank(iters: int = 3) -> str:
+    base = "(1000000000000 * 15) // (100 * (select c from nn))"
+    ctes = ["nn as (select count(*) as c from documents)",
+            "nodes as (select doc_id as id from documents)",
+            """edges as (
+  select doc_id as src, doc_id // 2 as dst from documents
+  union all
+  select doc_id, (3*doc_id + 1) % (select c from nn) from documents)""",
+            "outdeg as (select src, count(*) as od from edges group by src)",
+            "r0 as (select id, 1000000000000 // (select c from nn) as r "
+            "from nodes)"]
+    for k in range(1, iters + 1):
+        ctes.append(f"""r{k} as (
+  select n.id, {base} + coalesce(s.s, 0) as r
+  from nodes n left join (
+    select e.dst as id,
+           cast(sum((r.r * 85) // (100 * o.od)) as bigint) as s
+    from edges e
+    join r{k - 1} r on r.id = e.src
+    join outdeg o on o.src = e.src
+    group by e.dst) s on s.id = n.id)""")
+    return ("with " + ",\n".join(ctes) +
+            f"\nselect id as doc_id, r as rank_fp from r{iters}"
+            "\norder by rank_fp desc, doc_id limit 20")
+
+
+SQL_LINK_PAGERANK = _sql_link_pagerank()
+
+
 # ---------------------------------------------------------------------------
 # Similarity / ANN
 # ---------------------------------------------------------------------------
@@ -2444,6 +2588,9 @@ def registry():
     """
     return {
         # -- never driver-checked before round 3 (new + r2-truncated tail) --
+        "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
+        "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
+        "link_pagerank": (q_link_pagerank, SQL_LINK_PAGERANK),
         "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
         "quality_repetition": (q_quality_repetition, SQL_QUALITY_REPETITION),
         "read_get_article": (q_read_get_article, _sql_read_get_article()),

@@ -1,0 +1,131 @@
+"""Fixed-point PageRank (operators/graph.py), quality-aware keep_best and
+paragraph-level dedup (operators/dedup.py).
+
+PageRank tests pin mass conservation and hand-checked ranking on tiny
+graphs; keep_best pins best-wins + tiebreak semantics; paragraph dedup
+pins first-occurrence-wins, exact-duplicate elimination, and reassembly
+order.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_web_scraper_cleaner_spark.operators import dedup as D
+from python_web_scraper_cleaner_spark.operators import graph as G
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _nodes(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "id long")
+
+
+def test_pagerank_mass_is_conserved_on_a_cycle(spark):
+    # 0→1→2→0: perfect symmetry, every node keeps exactly scale/3 (the
+    # floor of it) for any iteration count
+    n = 3
+    edges = _edges(spark, [(0, 1), (1, 2), (2, 0)])
+    rows = G.pagerank_fixed_point(edges, _nodes(spark, range(n)),
+                                  n_nodes=n, iters=4).collect()
+    assert len(rows) == 3
+    ranks = {r.id: r.rank_fp for r in rows}
+    assert len(set(ranks.values())) == 1  # symmetric
+    # teleport + damped pass-through of the symmetric rank
+    scale = G.SCALE
+    expected = scale * 15 // (100 * n) + (scale // n) * 85 // 100
+    assert ranks[0] == expected
+
+
+def test_pagerank_sink_hub_ranks_highest(spark):
+    # star: every spoke links to the hub, hub links back to node 1
+    spokes = list(range(1, 6))
+    edges = _edges(spark, [(i, 0) for i in spokes] + [(0, 1)])
+    rows = G.pagerank_fixed_point(edges, _nodes(spark, range(6)),
+                                  n_nodes=6, iters=3).collect()
+    ranks = {r.id: r.rank_fp for r in rows}
+    assert ranks[0] == max(ranks.values())          # hub dominates
+    assert ranks[1] > ranks[2]                      # hub's out-link boosted
+    assert ranks[2] == ranks[3] == ranks[4] == ranks[5]
+
+
+def test_pagerank_matches_float_reference(spark):
+    # integer fixed-point tracks the float recurrence within rounding:
+    # 1 unit per division, ~iters*(1+indegree) units accumulated
+    n, iters = 7, 3
+    edge_list = [(i, (i * 2 + 1) % n) for i in range(n)] + \
+                [(i, (i + 3) % n) for i in range(n)]
+    got = {r.id: r.rank_fp
+           for r in G.pagerank_fixed_point(
+               _edges(spark, edge_list), _nodes(spark, range(n)),
+               n_nodes=n, iters=iters).collect()}
+    ranks = {i: 1.0 / n for i in range(n)}
+    outdeg = {i: 2 for i in range(n)}
+    for _ in range(iters):
+        nxt = {i: 0.15 / n for i in range(n)}
+        for s, d in edge_list:
+            nxt[d] += 0.85 * ranks[s] / outdeg[s]
+        ranks = nxt
+    for i in range(n):
+        assert got[i] == pytest.approx(ranks[i] * G.SCALE, abs=100)
+
+
+def test_keep_best_picks_highest_quality_then_smallest_id(spark):
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (9, 5)], "id long, quality long")
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "id long, component_id long")
+    rows = {r.id: r for r in D.keep_best(docs, clusters).collect()}
+    assert not rows[1].kept               # quality 10 loses to 30
+    assert rows[2].kept                   # tie on 30 → smaller id wins
+    assert not rows[3].kept
+    assert rows[9].kept                   # unpaired → singleton, kept
+    assert rows[9].component_id == 9
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_paragraph_dedup_drops_exact_duplicate_doc(spark):
+    text = " ".join(f"w{i}" for i in range(20))
+    out = D.dedup_paragraphs(
+        _docs(spark, [(1, text), (2, text)]), chunk_words=8).collect()
+    # doc 2's every chunk first occurred in doc 1 → doc 2 vanishes
+    assert {r.id for r in out} == {1}
+    r = out[0]
+    assert r.n_chunks == 3 and r.n_kept == 3
+    assert r.text_dedup == text
+
+
+def test_paragraph_dedup_keeps_only_novel_suffix(spark):
+    base = " ".join(f"w{i}" for i in range(16))      # 2 aligned chunks
+    extra = "fresh words here"
+    out = {r.id: r for r in D.dedup_paragraphs(
+        _docs(spark, [(1, base), (2, base + " " + extra)]),
+        chunk_words=8).collect()}
+    assert out[1].n_kept == 2 and out[1].text_dedup == base
+    # doc 2 keeps only its third, novel chunk
+    assert out[2].n_chunks == 3 and out[2].n_kept == 1
+    assert out[2].text_dedup == extra
+
+
+def test_paragraph_dedup_reassembles_in_position_order(spark):
+    # shared MIDDLE chunk: doc 2 keeps chunks 0 and 2, joined in order
+    a = " ".join(f"a{i}" for i in range(8))
+    shared = " ".join(f"s{i}" for i in range(8))
+    b = " ".join(f"b{i}" for i in range(8))
+    out = {r.id: r for r in D.dedup_paragraphs(
+        _docs(spark, [(1, shared), (2, a + " " + shared + " " + b)]),
+        chunk_words=8).collect()}
+    assert out[2].text_dedup == a + " " + b
+    assert out[2].n_kept == 2 and out[2].n_chunks == 3
+
+
+def test_paragraph_dedup_whitespace_variants_collapse(spark):
+    text = " ".join(f"w{i}" for i in range(8))
+    out = D.dedup_paragraphs(
+        _docs(spark, [(1, text), (2, text + "  "), (3, "  " + text)]),
+        chunk_words=8).collect()
+    assert {r.id for r in out} == {1}
