@@ -608,3 +608,38 @@ def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
                  F.concat_ws(" ", F.transform(
                      F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
                      lambda s: s["chunk"])).alias("text_dedup")))
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap vs a held-out probe set)
+# ---------------------------------------------------------------------------
+
+
+def contamination_check(corpus: DataFrame, probes: DataFrame, *,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        k: int = 8) -> DataFrame:
+    """Training-data decontamination: flag corpus documents sharing any
+    k-token shingle with a held-out probe/eval set, with the hit count.
+
+    Standard LLM-pipeline step (eval-benchmark n-gram decontamination,
+    typically k≈8-13): any document that contains a verbatim k-gram of an
+    eval document must be dropped before training.
+
+    Returns (id, n_hits): n_hits = number of DISTINCT shingles of the
+    document that occur anywhere in the probe set; only contaminated
+    documents (n_hits ≥ 1) are returned.
+
+    Scale shape: eval benchmarks are small (MBs) next to a 100-TB corpus,
+    so the probe shingle-hash set is broadcast — the corpus side never
+    shuffles its shingles; the explode is narrow over the scan and only
+    HIT rows (a tiny fraction) reach the groupBy(id) count, whose partial
+    aggregation collapses them map-side. Join keys are 8-byte xxhash64
+    of the shingle, not the string (collision odds negligible; same
+    trade documented at jaccard_for_pairs).
+    """
+    c = (exploded_shingles(corpus, id_col, text_col, k)
+         .select("id", F.xxhash64("shingle").alias("h")))
+    p = (exploded_shingles(probes, id_col, text_col, k)
+         .select(F.xxhash64("shingle").alias("h")).distinct())
+    return (c.join(F.broadcast(p), "h")
+            .groupBy("id").agg(F.count(F.lit(1)).alias("n_hits")))

@@ -94,3 +94,50 @@ def latest_k(df: DataFrame, *, k: int = 5, ts_col: str = "ts",
     if summary_col is not None:
         out = out.withColumn("summary", summary_col)
     return out
+
+
+def bm25_topk(df: DataFrame, query: str, *, k: int = 20,
+              id_col: str = "doc_id", text_col: str = "text",
+              scale: int = 1_000_000) -> DataFrame:
+    """Corpus-relative relevance top-k — extends score_docs (A5, raw TF;
+    news_server.py:103-113) with a BM25-style IDF so common terms stop
+    dominating, the step the reference's scorer lacks.
+
+    The IDF is the Robertson–Spärck-Jones form with the log dropped and
+    evaluated in BIGINT fixed point::
+
+        idf_fp(t) = (scale * (2N - 2*df_t + 1)) div (2*df_t + 1)
+                  = floor(scale * (N - df_t + 0.5) / (df_t + 0.5))
+        score(d)  = sum_t tf(t, d) * idf_fp(t)
+
+    Pure integer arithmetic end-to-end: the ranking is bit-deterministic
+    and portable across engines (no libm ``ln`` whose last ulp differs
+    between JVM and C), which is what lets a plain-SQL oracle match the
+    hash exactly. Monotone in the same direction as the log form, so the
+    ranking semantics survive.
+
+    Scale shape: one 1-row map-side aggregate over the corpus computes
+    (N, df_t...) — partial aggregation ships ONE row per partition; the
+    stats row then broadcast-crossJoins onto the scoring scan and top-k
+    runs as TakeOrderedAndProject. Two corpus scans, no wide shuffle.
+    """
+    terms = meaningful_terms(query)
+    per_doc = df.select(
+        F.col(id_col).alias("id"),
+        *[occurrences(F.col(text_col), t).alias(f"tf{i}")
+          for i in range(len(terms)) for t in [terms[i]]])
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+          for i in range(len(terms))])
+    idf = [F.expr(f"({scale} * (2*n - 2*df{i} + 1)) div (2*df{i} + 1)")
+           for i in range(len(terms))]
+    score = None
+    for i in range(len(terms)):
+        part = F.col(f"tf{i}") * idf[i]
+        score = part if score is None else score + part
+    return (per_doc.crossJoin(F.broadcast(stats))
+            .select("id", score.cast("long").alias("score"))
+            .filter(F.col("score") > 0)
+            .orderBy(F.desc("score"), F.asc("id"))
+            .limit(k))

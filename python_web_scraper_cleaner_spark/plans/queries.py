@@ -1284,6 +1284,87 @@ from kept group by doc_id order by doc_id
 """
 
 
+def q_bm25_topk(spark, sf_dir):
+    """Corpus-relative relevance: BM25-style fixed-point IDF top-20
+    (operators/search.py:bm25_topk) — the corpus-statistics upgrade of the
+    reference's raw-TF scorer (news_server.py:103-113, SURVEY A5/A6).
+    Pure bigint arithmetic (log-free RSJ IDF), so Spark and the oracle
+    agree bit-for-bit."""
+    return S.bm25_topk(_t(spark, sf_dir, "documents"), _SCORE_QUERY, k=20)
+
+
+SQL_BM25 = f"""
+with per_doc as (
+  select doc_id as id,
+         {_occ_sql('spark')} as tf0,
+         {_occ_sql('data')} as tf1,
+         {_occ_sql('query')} as tf2
+  from documents),
+stats as (
+  select count(*) as n,
+         cast(sum(case when tf0 > 0 then 1 else 0 end) as bigint) as df0,
+         cast(sum(case when tf1 > 0 then 1 else 0 end) as bigint) as df1,
+         cast(sum(case when tf2 > 0 then 1 else 0 end) as bigint) as df2
+  from per_doc),
+scored as (
+  select id,
+         tf0 * ((1000000 * (2*n - 2*df0 + 1)) // (2*df0 + 1))
+       + tf1 * ((1000000 * (2*n - 2*df1 + 1)) // (2*df1 + 1))
+       + tf2 * ((1000000 * (2*n - 2*df2 + 1)) // (2*df2 + 1)) as score
+  from per_doc, stats)
+select id, cast(score as bigint) as score
+from scored where score > 0
+order by score desc, id
+limit 20
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/dedup.py:contamination_check):
+    flag corpus docs sharing any 8-token shingle with a held-out probe set
+    (base docs with doc_id % 10 == 2 stand in for an eval benchmark; the
+    corpus is the duplicate-injected crawl, whose re-crawl copies of those
+    docs are genuine contamination). Standard LLM training-data hygiene
+    step; probe shingle hashes broadcast, corpus side never shuffles its
+    shingles."""
+    docs = _t(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 10 == 2)
+    corpus = (_dup_corpus(docs)
+              .filter(~((F.col("doc_id") % 10 == 2)
+                        & (F.col("doc_id") < 100000))))
+    return (D.contamination_check(corpus, probes, id_col="doc_id",
+                                  text_col="text", k=8)
+            .orderBy("id"))
+
+
+SQL_DECONTAMINATE = f"""
+with dup as ({_DUP_CORPUS_SQL}),
+corpus as (select doc_id, text from dup
+           where not (doc_id % 10 = 2 and doc_id < 100000)),
+both_sides as (
+  select doc_id, text, 0 as is_probe from corpus
+  union all
+  select doc_id, text, 1 as is_probe from documents where doc_id % 10 = 2),
+toks as (select doc_id, is_probe,
+                list_filter(string_split(lower(trim(text)), ' '),
+                            t -> t <> '') as l
+         from both_sides),
+sh0 as (select doc_id as id, is_probe,
+               unnest(case when len(l) <= 8 then [array_to_string(l, ' ')]
+                      else list_transform(range(1, len(l) - 6),
+                                          i -> array_to_string(l[i:i+7], ' '))
+                      end) as shingle
+        from toks),
+sh as (select distinct id, is_probe, shingle from sh0),
+probe as (select distinct shingle from sh where is_probe = 1)
+select c.id, count(*) as n_hits
+from sh c join probe p on c.shingle = p.shingle
+where c.is_probe = 0
+group by c.id
+order by id
+"""
+
+
 def q_link_pagerank(spark, sf_dir):
     """Frontier prioritization by link centrality: fixed-point integer
     PageRank (operators/graph.py) over the deterministic doc link graph
@@ -2588,6 +2669,8 @@ def registry():
     """
     return {
         # -- never driver-checked before round 3 (new + r2-truncated tail) --
+        "bm25_topk": (q_bm25_topk, SQL_BM25),
+        "decontaminate_ngram": (q_decontaminate, SQL_DECONTAMINATE),
         "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
         "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
         "link_pagerank": (q_link_pagerank, SQL_LINK_PAGERANK),

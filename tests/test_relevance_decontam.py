@@ -1,0 +1,83 @@
+"""BM25 fixed-point relevance (operators/search.py:bm25_topk) and n-gram
+decontamination (operators/dedup.py:contamination_check).
+
+bm25 tests pin the fixed-point IDF arithmetic against a hand-computed
+value, the down-weighting of corpus-wide terms relative to rare ones,
+and ranking determinism; decontamination tests pin hit detection for
+verbatim k-gram overlap, non-detection for disjoint text, and the hit
+count (= number of distinct shared shingles).
+"""
+
+from pyspark.sql import functions as F
+
+from python_web_scraper_cleaner_spark.operators import dedup as D
+from python_web_scraper_cleaner_spark.operators import search as S
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+
+
+def _idf_fp(n, df, scale=1_000_000):
+    return (scale * (2 * n - 2 * df + 1)) // (2 * df + 1)
+
+
+def test_bm25_rare_term_outranks_common_term(spark):
+    # 'zebra' appears in 1/4 docs, 'data' in all 4: one zebra mention must
+    # outscore one data mention; doc 3 (both) must outscore doc 0 (zebra
+    # only), and doc 0 must outscore docs with only 'data'.
+    docs = _docs(spark, [
+        "zebra data",
+        "data here",
+        "data there",
+        "zebra data data",
+    ])
+    rows = S.bm25_topk(docs, "zebra data", k=10).collect()
+    scores = {r.id: r.score for r in rows}
+    n = 4
+    idf_z, idf_d = _idf_fp(n, 2), _idf_fp(n, 4)  # zebra in docs 0,3
+    assert scores[0] == idf_z + idf_d
+    assert scores[3] == idf_z + 2 * idf_d
+    assert scores[1] == scores[2] == idf_d
+    assert idf_z > idf_d  # rarity wins
+    assert [r.id for r in rows] == [3, 0, 1, 2]  # ties break by id asc
+
+
+def test_bm25_fixed_point_matches_float_formula_direction(spark):
+    # the log-free RSJ idf must be monotone decreasing in df, like ln-idf
+    n = 100
+    vals = [_idf_fp(n, df) for df in (1, 5, 25, 99)]
+    assert vals == sorted(vals, reverse=True)
+    assert all(v >= 0 for v in vals)
+
+
+def test_bm25_zero_score_docs_are_excluded(spark):
+    docs = _docs(spark, ["nothing relevant here", "zebra sighting"])
+    rows = S.bm25_topk(docs, "zebra", k=10).collect()
+    assert [r.id for r in rows] == [1]
+
+
+def test_contamination_detects_verbatim_kgram(spark):
+    probe_text = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    corpus = _docs(spark, [
+        "x " + probe_text,          # contains every probe 8-gram
+        "completely different words with no shared eight gram at all ok",
+    ])
+    probes = spark.createDataFrame([(100, probe_text)],
+                                   "doc_id long, text string")
+    rows = (D.contamination_check(corpus, probes, k=8)
+            .orderBy("id").collect())
+    # probe has 9 tokens -> 2 distinct 8-grams; doc 0 contains both
+    assert [(r.id, r.n_hits) for r in rows] == [(0, 2)]
+
+
+def test_contamination_short_doc_whole_text_shingle(spark):
+    # docs under k tokens shingle as the whole text: only an exact
+    # (normalized) match hits
+    corpus = _docs(spark, ["tiny doc", "Tiny  DOC", "tiny dog"])
+    probes = spark.createDataFrame([(9, "tiny doc")],
+                                   "doc_id long, text string")
+    rows = (D.contamination_check(corpus, probes, k=8)
+            .orderBy("id").collect())
+    assert [(r.id, r.n_hits) for r in rows] == [(0, 1), (1, 1)]
