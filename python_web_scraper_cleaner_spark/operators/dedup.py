@@ -643,3 +643,46 @@ def contamination_check(corpus: DataFrame, probes: DataFrame, *,
          .select(F.xxhash64("shingle").alias("h")).distinct())
     return (c.join(F.broadcast(p), "h")
             .groupBy("id").agg(F.count(F.lit(1)).alias("n_hits")))
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new crawl batch vs an existing corpus index
+# ---------------------------------------------------------------------------
+
+
+def minhash_lsh_dedup_incremental(index: DataFrame, new: DataFrame, *,
+                                  id_col: str = "doc_id",
+                                  text_col: str = "text", k: int = 3,
+                                  n_hashes: int = 16, band_size: int = 4,
+                                  threshold: float = 0.7) -> DataFrame:
+    """Near-dup pairs between a NEW crawl batch and the existing corpus
+    index — the recurring-crawl shape of MinHash-LSH dedup: each round
+    only asks "is anything in this batch a near-dup of what we already
+    keep?", never re-deduping the whole corpus.
+
+    Id spaces must be disjoint (index ids never collide with new ids).
+    Returns (id_a = index doc, id_b = new doc, jaccard) with
+    jaccard >= threshold.
+
+    Scale shape: candidates come from an index×new BAND join — new-batch
+    bands probe the index bands, so candidate count scales with the batch,
+    not the corpus; there is no corpus self-join anywhere. The index side
+    of the band join is exactly the output of ``banded_signatures`` —
+    per-doc and append-only — so a production crawl persists it as a
+    signature TABLE and each round computes signatures for the new batch
+    only (the 100-TB index is scanned zero times per round); this
+    function recomputes it only because it takes raw text frames. The
+    Jaccard verify stage is candidate-driven (jaccard_for_pairs): only
+    shingles of docs appearing in some candidate pair join.
+    """
+    sh_i = exploded_shingles(index, id_col, text_col, k)
+    sh_n = exploded_shingles(new, id_col, text_col, k)
+    b_i = _band_explode(minhash_wide(sh_i, n_hashes), n_hashes, band_size)
+    b_n = _band_explode(minhash_wide(sh_n, n_hashes), n_hashes, band_size)
+    pairs = (b_i.alias("a").join(b_n.alias("b"), ["band", "band_key"])
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"))
+             .distinct())
+    sh_all = sh_i.unionByName(sh_n)
+    return (jaccard_for_pairs(sh_all, pairs)
+            .filter(F.col("jaccard") >= threshold))

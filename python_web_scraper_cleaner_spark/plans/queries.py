@@ -1365,6 +1365,66 @@ order by id
 """
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Recurring-crawl dedup (operators/dedup.py:
+    minhash_lsh_dedup_incremental): the new batch (re-crawl copies, ids
+    >= 100000 in the dup corpus) band-probes the existing index (base
+    docs) — candidates scale with the batch, not the corpus, and there is
+    no self-join. Same signature/band/verify arithmetic as
+    dedup_minhash_lsh, so the oracle reuses that CTE chain with the
+    candidate join restricted to index x new."""
+    docs = _t(spark, sf_dir, "documents")
+    dup = _dup_corpus(docs)
+    index = dup.filter(F.col("doc_id") < 100000)
+    new = dup.filter(F.col("doc_id") >= 100000)
+    pairs = D.minhash_lsh_dedup_incremental(
+        index, new, k=3, n_hashes=16, band_size=4, threshold=0.7)
+    return (pairs.select("id_a", "id_b",
+                         F.round("jaccard", 4).alias("jaccard"))
+            .orderBy("id_a", "id_b"))
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+with corpus as ({_DUP_CORPUS_SQL}),
+toks as (select doc_id,
+               list_filter(string_split(lower(trim(text)), ' '), t -> t <> '') as l
+        from corpus),
+sh0 as (select doc_id,
+               unnest(case when len(l) <= 3 then [array_to_string(l, ' ')]
+                      else list_transform(range(1, len(l) - 1),
+                                          i -> array_to_string(l[i:i+2], ' '))
+                      end) as shingle
+        from toks),
+sh as (select distinct doc_id as id, shingle from sh0),
+hs as (select id, md5(shingle) as h from sh),
+ab as (select id, {_hex_int_sql('h', 1)} as a, {_hex_int_sql('h', 9)} as b
+       from hs),
+mh as (select id, seed, min((a + seed * b) % 2147483647) as minhash
+       from ab, range(0, 16) t(seed) group by id, seed),
+banded as (select id, seed // 4 as band,
+                  array_to_string(list_sort(list(cast(seed as varchar) || '#' || cast(minhash as varchar))), '|') as band_key
+           from mh group by id, seed // 4),
+cand as (select distinct a.id as id_a, b.id as id_b
+         from banded a join banded b
+           on a.band = b.band and a.band_key = b.band_key
+          and a.id < 100000 and b.id >= 100000),
+sizes as (select id, count(*) as n_sh from sh group by id),
+inter as (select a.id as id_a, b.id as id_b, count(*) as n_inter
+          from sh a join sh b on a.shingle = b.shingle
+            and a.id < 100000 and b.id >= 100000
+          where exists (select 1 from cand c
+                        where c.id_a = a.id and c.id_b = b.id)
+          group by a.id, b.id)
+select i.id_a, i.id_b,
+       round(i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter), 4) as jaccard
+from inter i
+join sizes sa on sa.id = i.id_a
+join sizes sb on sb.id = i.id_b
+where i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.7
+order by id_a, id_b
+"""
+
+
 def q_link_pagerank(spark, sf_dir):
     """Frontier prioritization by link centrality: fixed-point integer
     PageRank (operators/graph.py) over the deterministic doc link graph
@@ -2671,6 +2731,7 @@ def registry():
         # -- never driver-checked before round 3 (new + r2-truncated tail) --
         "bm25_topk": (q_bm25_topk, SQL_BM25),
         "decontaminate_ngram": (q_decontaminate, SQL_DECONTAMINATE),
+        "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
         "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
         "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
         "link_pagerank": (q_link_pagerank, SQL_LINK_PAGERANK),

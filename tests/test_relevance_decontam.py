@@ -81,3 +81,33 @@ def test_contamination_short_doc_whole_text_shingle(spark):
     rows = (D.contamination_check(corpus, probes, k=8)
             .orderBy("id").collect())
     assert [(r.id, r.n_hits) for r in rows] == [(0, 1), (1, 1)]
+
+
+def test_incremental_dedup_finds_cross_batch_near_dups_only(spark):
+    # index: two distinct docs; new batch: an exact copy of doc 0, a near
+    # copy of doc 1, and a fresh doc. Pairs must cross index x new only.
+    base0 = "the quick brown fox jumps over the lazy dog again and again"
+    base1 = "completely different content about spark shuffles and joins ok"
+    index = _docs(spark, [base0, base1])
+    new = spark.createDataFrame(
+        [(100, base0),                              # exact re-crawl
+         (101, base1 + " tail"),                    # near-dup
+         (102, "entirely novel text with nothing shared at all here yes")],
+        "doc_id long, text string")
+    rows = (D.minhash_lsh_dedup_incremental(index, new, threshold=0.5)
+            .orderBy("id_a", "id_b").collect())
+    got = {(r.id_a, r.id_b): round(r.jaccard, 4) for r in rows}
+    assert (0, 100) in got and got[(0, 100)] == 1.0
+    assert all(a < 100 <= b for a, b in got)        # never new x new
+    assert (0, 102) not in got and (1, 102) not in got
+
+
+def test_incremental_dedup_ids_never_pair_within_one_side(spark):
+    # two identical docs INSIDE the new batch must not pair with each
+    # other (that's the self-join op's job), only with the index
+    text = "same words repeated across the whole batch of documents here"
+    index = _docs(spark, [text])
+    new = spark.createDataFrame([(100, text), (101, text)],
+                                "doc_id long, text string")
+    rows = D.minhash_lsh_dedup_incremental(index, new).collect()
+    assert sorted((r.id_a, r.id_b) for r in rows) == [(0, 100), (0, 101)]
