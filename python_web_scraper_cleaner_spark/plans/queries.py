@@ -1372,8 +1372,10 @@ def q_dedup_incremental(spark, sf_dir):
     docs) — candidates scale with the batch, not the corpus, and there is
     no self-join. Same signature/band/verify arithmetic as
     dedup_minhash_lsh, so the oracle reuses that CTE chain with the
-    candidate join restricted to index x new."""
-    docs = _t(spark, sf_dir, "documents")
+    candidate join restricted to index x new. Demo corpus bounded at
+    2000 base docs (like paragraph_dedup) — the op itself is
+    corpus-size-free; the bound keeps the registry gate cheap."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
     dup = _dup_corpus(docs)
     index = dup.filter(F.col("doc_id") < 100000)
     new = dup.filter(F.col("doc_id") >= 100000)
@@ -1384,8 +1386,11 @@ def q_dedup_incremental(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+_DUP_CORPUS_2000_SQL = _DUP_CORPUS_SQL.replace(
+    "from documents", "from (select * from documents where doc_id < 2000)")
+
 SQL_DEDUP_INCREMENTAL = f"""
-with corpus as ({_DUP_CORPUS_SQL}),
+with corpus as ({_DUP_CORPUS_2000_SQL}),
 toks as (select doc_id,
                list_filter(string_split(lower(trim(text)), ' '), t -> t <> '') as l
         from corpus),
