@@ -36,6 +36,7 @@ from pyspark.sql import types as T
 
 BLOOM_SCHEMA = T.StructType([
     T.StructField("bucket", T.IntegerType(), nullable=False),
+    T.StructField("n_buckets", T.IntegerType(), nullable=False),
     T.StructField("m_bits", T.LongType(), nullable=False),
     T.StructField("n_hashes", T.IntegerType(), nullable=False),
     T.StructField("n_items", T.LongType(), nullable=False),
@@ -106,6 +107,7 @@ def build_bloom(df: DataFrame, hash_col: str = "url_hash", *,
             yield pd.DataFrame({
                 "bucket": np.fromiter(bitmaps, dtype=np.int32,
                                       count=len(bitmaps)),
+                "n_buckets": np.full(len(bitmaps), n_buckets, dtype=np.int32),
                 "m_bits": np.full(len(bitmaps), m, dtype=np.int64),
                 "n_hashes": np.full(len(bitmaps), k, dtype=np.int32),
                 "n_items": np.fromiter((counts[b] for b in bitmaps),
@@ -128,9 +130,11 @@ def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
     corrupts membership."""
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        if pdf["m_bits"].nunique() > 1 or pdf["n_hashes"].nunique() > 1:
+        if (pdf["m_bits"].nunique() > 1 or pdf["n_hashes"].nunique() > 1
+                or pdf["n_buckets"].nunique() > 1):
             raise ValueError(
                 f"bloom geometry drift in bucket {int(pdf['bucket'].iloc[0])}:"
+                f" n_buckets {sorted(pdf['n_buckets'].unique())},"
                 f" m_bits {sorted(pdf['m_bits'].unique())}, n_hashes"
                 f" {sorted(pdf['n_hashes'].unique())} — filters built with"
                 " different sizing cannot be OR-merged")
@@ -146,6 +150,20 @@ def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
 
     return (a.unionByName(b)
             .groupBy("bucket").applyInPandas(merge, schema=BLOOM_SCHEMA))
+
+
+def bloom_geometry(bloom: DataFrame) -> tuple[int, int, int] | None:
+    """(n_buckets, m_bits, n_hashes) stamped on a persisted BLOOM_SCHEMA
+    table (every row carries the same values — merge_blooms enforces it),
+    or None for an empty table. One first() over parquet metadata-sized
+    rows; used to detect config drift between engine runs: probing with a
+    different n_buckets remaps hashes to the wrong bucket and yields
+    silent FALSE NEGATIVES, so mismatched geometry must trigger a full
+    rebuild, never a probe."""
+    row = bloom.select("n_buckets", "m_bits", "n_hashes").first()
+    if row is None:
+        return None
+    return (int(row["n_buckets"]), int(row["m_bits"]), int(row["n_hashes"]))
 
 
 def bloom_probe(candidates: DataFrame, bloom: DataFrame,

@@ -543,9 +543,10 @@ def keep_best(docs: DataFrame, clusters: DataFrame, *, id_col: str = "id",
     component_id (partial map-side, no window exchange — the same
     argmax-not-window rule applied to IVF assignment), then a join of the
     per-component best back to members. Never materializes member lists.
-    The argmax key ``quality * 10^7 - id`` is single-column bigint so the
-    partial aggregate state is 16 bytes; it is exact while id < 10^7 and
-    quality*10^7 < 2^63 — callers at larger id-spaces re-scale.
+    The argmax key is ``struct(quality, -id)`` — struct comparison is
+    lexicographic fieldwise, so (quality desc, id asc) is exact over the
+    FULL bigint domain (no scale factor to overflow at 10^10-doc id
+    spaces), and struct-keyed max_by still combines map-side.
     """
     members = (docs.select(F.col(id_col).alias("id"),
                            F.col(quality_col).cast("long").alias("quality"))
@@ -555,7 +556,8 @@ def keep_best(docs: DataFrame, clusters: DataFrame, *, id_col: str = "id",
     best = (members
             .groupBy("component_id")
             .agg(F.max_by(
-                "id", F.col("quality") * F.lit(10_000_000) - F.col("id"))
+                "id", F.struct(F.col("quality").alias("q"),
+                               (-F.col("id")).alias("neg_id")))
                 .alias("best_id")))
     return (members.join(best, "component_id")
             .select("id", "component_id", "quality",
@@ -666,23 +668,69 @@ def minhash_lsh_dedup_incremental(index: DataFrame, new: DataFrame, *,
 
     Scale shape: candidates come from an index×new BAND join — new-batch
     bands probe the index bands, so candidate count scales with the batch,
-    not the corpus; there is no corpus self-join anywhere. The index side
-    of the band join is exactly the output of ``banded_signatures`` —
-    per-doc and append-only — so a production crawl persists it as a
-    signature TABLE and each round computes signatures for the new batch
-    only (the 100-TB index is scanned zero times per round); this
-    function recomputes it only because it takes raw text frames. The
-    Jaccard verify stage is candidate-driven (jaccard_for_pairs): only
-    shingles of docs appearing in some candidate pair join.
+    not the corpus; there is no corpus self-join anywhere. This raw-text
+    convenience wrapper computes the index band frame in-plan; the
+    production path is ``minhash_lsh_probe_index`` with a PERSISTED band
+    table (exactly ``banded_signatures`` output — per-doc, append-only),
+    where each round computes signatures for the new batch only and the
+    100-TB index text is touched only for the few candidate docs.
     """
-    sh_i = exploded_shingles(index, id_col, text_col, k)
-    sh_n = exploded_shingles(new, id_col, text_col, k)
-    b_i = _band_explode(minhash_wide(sh_i, n_hashes), n_hashes, band_size)
+    bands_i = banded_signatures(index, id_col, text_col, k=k,
+                                n_hashes=n_hashes, band_size=band_size)
+    return minhash_lsh_probe_index(
+        bands_i, index, new, id_col=id_col, text_col=text_col, k=k,
+        n_hashes=n_hashes, band_size=band_size, threshold=threshold)
+
+
+def minhash_lsh_probe_index(index_bands: DataFrame, index_docs: DataFrame,
+                            new: DataFrame, *, id_col: str = "doc_id",
+                            text_col: str = "text", k: int = 3,
+                            n_hashes: int = 16, band_size: int = 4,
+                            threshold: float = 0.7) -> DataFrame:
+    """Production incremental near-dup: probe a PERSISTED signature index
+    with a new crawl batch.
+
+    ``index_bands`` is a previously-built (and in production, stored)
+    ``banded_signatures`` frame over the corpus — (id, band, band_key),
+    per-doc and append-only, so each crawl round appends the new batch's
+    bands after dedup and never recomputes the corpus side.
+    ``index_docs`` is the corpus (id, text) table, consulted ONLY for docs
+    that appear in some candidate pair (a left_semi prefilter inside the
+    verify stage — point-ish lookups that scale with candidates, not with
+    the corpus). ``new`` is the raw new batch.
+
+    Scale shape per round: shingle+minhash the BATCH only; one band join
+    batch-bands × index-bands (broadcast the batch side at typical batch
+    ≪ index sizes is Catalyst/AQE's call — both sides are (band,
+    band_key)-keyed); candidate-driven exact-Jaccard verify re-shingles
+    only candidate index docs. The full index text is scanned zero times.
+    """
+    from ..caching import bounded_persist
+
+    par = new.sparkSession.sparkContext.defaultParallelism
+    new = new.repartition(par, F.col(id_col))
+    # batch shingles feed BOTH the signature and the verify stage; the
+    # candidate-pair frame is consumed three times downstream (index-doc
+    # semi-join + the two jaccard_for_pairs joins) — persist both so the
+    # band probe runs once, not per consumer
+    sh_n = bounded_persist(exploded_shingles(new, id_col, text_col, k),
+                           tag="lsh_probe_shingles")
     b_n = _band_explode(minhash_wide(sh_n, n_hashes), n_hashes, band_size)
-    pairs = (b_i.alias("a").join(b_n.alias("b"), ["band", "band_key"])
-             .select(F.col("a.id").alias("id_a"),
-                     F.col("b.id").alias("id_b"))
-             .distinct())
-    sh_all = sh_i.unionByName(sh_n)
+    pairs = bounded_persist(
+        (index_bands.alias("a").join(b_n.alias("b"), ["band", "band_key"])
+         .select(F.col("a.id").alias("id_a"),
+                 F.col("b.id").alias("id_b"))
+         .distinct()),
+        tag="lsh_probe_pairs")
+    cand_index = index_docs.join(
+        pairs.select(F.col("id_a").alias(id_col)).distinct(),
+        id_col, "left_semi")
+    sh_i = exploded_shingles(cand_index, id_col, text_col, k)
+    # the verify-stage shingle frame is consumed three times inside
+    # jaccard_for_pairs (sizes + both sides of the intersection join);
+    # without the cache the candidate semi-join + re-shingling lineage
+    # re-runs per consumer. It is candidate-sized, so caching it is cheap.
+    sh_all = bounded_persist(sh_i.unionByName(sh_n),
+                             tag="lsh_probe_verify_shingles")
     return (jaccard_for_pairs(sh_all, pairs)
             .filter(F.col("jaccard") >= threshold))

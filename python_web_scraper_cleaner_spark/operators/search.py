@@ -122,6 +122,12 @@ def bm25_topk(df: DataFrame, query: str, *, k: int = 20,
     runs as TakeOrderedAndProject. Two corpus scans, no wide shuffle.
     """
     terms = meaningful_terms(query)
+    if not terms:
+        # empty / stopword-only / punctuation-only query: nothing can
+        # score > 0, so return an empty (id, score) frame with the same
+        # schema instead of crashing on an un-built score expression
+        return df.select(F.col(id_col).alias("id"),
+                         F.lit(0).cast("long").alias("score")).limit(0)
     per_doc = df.select(
         F.col(id_col).alias("id"),
         *[occurrences(F.col(text_col), t).alias(f"tf{i}")

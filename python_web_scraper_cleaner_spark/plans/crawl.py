@@ -205,11 +205,23 @@ class CrawlEngine:
         table when it is in sync with url_seen (the per-round fast path —
         no url_seen rescan), else a one-time full rebuild (first round
         after upgrade, or a crash landed between the url_seen and bloom
-        commits — bloom must never MISS a seen hash, or a dup re-crawls)."""
+        commits — bloom must never MISS a seen hash, or a dup re-crawls).
+
+        Sync means BOTH round id AND filter geometry. Every bloom row is
+        stamped with (n_buckets, m_bits, n_hashes); if this engine's
+        config differs from what built the committed filter, the table is
+        unusable — a different n_buckets remaps hashes to other buckets
+        (probe would return silent false negatives → duplicate crawls),
+        and a different m/k would wedge merge_blooms at commit time on
+        every retry. Either drift falls back to a full rebuild with the
+        CURRENT geometry, which the commit then overwrites."""
         io = self.io
         if (io.exists("bloom")
                 and io.latest_round("bloom") == io.latest_round("url_seen")):
-            return io.read("bloom")
+            committed = io.read("bloom")
+            if B.bloom_geometry(committed) == (
+                    self.n_bloom_buckets, self._bloom_m, self._bloom_k):
+                return committed
         return B.build_bloom(seen.select("url_hash"),
                              n_buckets=self.n_bloom_buckets,
                              m_bits=self._bloom_m, n_hashes=self._bloom_k)

@@ -363,3 +363,38 @@ def test_discovery_crawls_link_closure(spark, tmp_path):
     # determinism: a fresh run reproduces the same crawl order
     eng2 = run(tmp_path / "d2")
     assert eng.crawl_order() == eng2.crawl_order()
+
+
+def test_bloom_geometry_drift_triggers_full_rebuild(spark, tmp_path):
+    """Changing any bloom geometry knob between engine runs on the same
+    store must NOT be trusted: a different n_buckets remaps hashes to
+    other buckets (probe → silent false negatives → duplicate crawls);
+    different m/k wedges merge_blooms at commit. _bloom() must detect the
+    stamped-geometry mismatch and fall back to a full rebuild, after
+    which rounds proceed and still never fetch a URL twice."""
+    from python_web_scraper_cleaner_spark.operators import bloom as B
+
+    root = str(tmp_path / "c")
+    eng1 = CrawlEngine(spark, root, per_host_budget=10, n_bloom_buckets=16)
+    eng1.bootstrap(make_seeds(spark), make_robots(spark))
+    eng1.run(max_rounds=3)           # leaves a committed 16-bucket filter
+    done1 = eng1.io.read("pages").count()
+    assert done1 > 0
+
+    # same store, different geometry — bucket count AND per-bucket sizing
+    eng2 = CrawlEngine(spark, root, per_host_budget=10, n_bloom_buckets=8,
+                       bloom_capacity_per_bucket=50_000)
+    seen = eng2.io.read("url_seen")
+    rebuilt = eng2._bloom(seen)
+    assert B.bloom_geometry(rebuilt) == (8, eng2._bloom_m, eng2._bloom_k)
+
+    # engine keeps crawling under the new geometry: commits don't wedge
+    # and no URL is ever fetched twice across the geometry change
+    eng2.run(max_rounds=30)
+    pages = eng2.io.read("pages")
+    assert pages.count() > done1
+    assert (pages.groupBy("canonical_url").count()
+            .filter("count > 1").count()) == 0
+    # the committed filter now carries the new stamp
+    assert B.bloom_geometry(eng2.io.read("bloom")) == (
+        8, eng2._bloom_m, eng2._bloom_k)

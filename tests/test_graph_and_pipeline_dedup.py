@@ -129,3 +129,18 @@ def test_paragraph_dedup_whitespace_variants_collapse(spark):
         _docs(spark, [(1, text), (2, text + "  "), (3, "  " + text)]),
         chunk_words=8).collect()
     assert {r.id for r in out} == {1}
+
+
+def test_keep_best_exact_beyond_ten_million_ids(spark):
+    # struct-keyed argmax (quality desc, id asc) must stay exact at id
+    # spaces past 10^7 where the old single-column quality*10^7 - id key
+    # would overflow/mis-rank
+    big = 10_000_000_007
+    docs = spark.createDataFrame(
+        [(big, 50), (big + 1, 50), (big + 2, 99)], "id long, quality long")
+    clusters = spark.createDataFrame(
+        [(big, big), (big + 1, big), (big + 2, big)],
+        "id long, component_id long")
+    rows = {r.id: r for r in D.keep_best(docs, clusters).collect()}
+    assert rows[big + 2].kept            # highest quality wins
+    assert not rows[big].kept and not rows[big + 1].kept

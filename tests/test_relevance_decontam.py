@@ -111,3 +111,14 @@ def test_incremental_dedup_ids_never_pair_within_one_side(spark):
                                 "doc_id long, text string")
     rows = D.minhash_lsh_dedup_incremental(index, new).collect()
     assert sorted((r.id_a, r.id_b) for r in rows) == [(0, 100), (0, 101)]
+
+
+def test_bm25_empty_query_returns_empty_frame(spark):
+    # empty / stopword-only / punctuation-only queries have no meaningful
+    # terms; the operator must return an empty (id, score) frame, not
+    # crash building a score expression over zero terms
+    docs = _docs(spark, ["some text", "more text"])
+    for q in ("", "   ", "the and of", "!!! ???"):
+        out = S.bm25_topk(docs, q, k=5)
+        assert [f.name for f in out.schema.fields] == ["id", "score"]
+        assert out.count() == 0
