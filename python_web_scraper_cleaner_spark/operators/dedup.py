@@ -392,20 +392,41 @@ def simhash64_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return halves.select("id", signed.alias("simhash"))
 
 
-def simhash_near_pairs(sim: DataFrame, *, max_hamming: int = 3) -> DataFrame:
-    """Candidate pairs by 4×16-bit band bucketing over 64-bit signatures,
-    verified by exact Hamming distance (popcount via bit_count on XOR).
+def simhash_near_pairs(sim: DataFrame, *, max_hamming: int = 3,
+                       n_bands: int = 4) -> DataFrame:
+    """Candidate pairs by band bucketing over 64-bit signatures, verified
+    by exact Hamming distance (popcount via bit_count on XOR). The
+    signature is tiled into ``n_bands`` contiguous bands of 64/n_bands
+    bits each.
 
-    Pigeonhole: hamming < 4 ⟹ the pair agrees on ≥1 full band, so the
-    candidate set is lossless for max_hamming ≤ 3. 16-bit bands give
-    65 536 values per band — 256× the selectivity of the former 32-bit/
-    8-bit scheme, whose ≤1024 total buckets degenerated toward n²/1024
-    candidate pairs at web-corpus size. shiftright is arithmetic, but the
-    & 0xFFFF mask makes each band the exact two's-complement bit field
-    regardless of sign."""
+    Pigeonhole: hamming ≤ max_hamming ⟹ the pair agrees on ≥
+    n_bands − max_hamming full bands, so the candidate set is lossless
+    iff n_bands ≥ max_hamming + 1 — asserted below, because a silent
+    violation would DROP true near-dup pairs, not just slow down.
+
+    SCALE CEILING (choose n_bands accordingly): each band has
+    2^(64/n_bands) buckets, so expected candidates grow ~ n_bands ·
+    n² / 2^(64/n_bands). The default 4×16-bit geometry (65 536 buckets
+    per band) is comfortable to ~10^7 docs; beyond that either tighten
+    to max_hamming=1 with n_bands=2 (32-bit bands, 4·10^9 buckets) or —
+    the intended 10^9-doc path in this engine — use MinHash-LSH
+    (:func:`minhash_lsh_dedup` / :func:`minhash_lsh_probe_index`) as
+    the primary tier and SimHash only to re-verify its candidates.
+
+    shiftright is arithmetic, but the mask makes each band the exact
+    two's-complement bit field regardless of sign."""
+    if 64 % n_bands != 0:
+        raise ValueError(f"n_bands={n_bands} must divide 64")
+    if n_bands < max_hamming + 1:
+        raise ValueError(
+            f"pigeonhole violated: n_bands={n_bands} < max_hamming+1="
+            f"{max_hamming + 1} would silently drop true near-dup pairs")
+    band_bits = 64 // n_bands
+    mask = (1 << band_bits) - 1
     bands = F.array(*[
-        F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
-        for i in range(4)])
+        F.shiftright(F.col("simhash"), band_bits * i)
+        .bitwiseAND(F.lit(mask))
+        for i in range(n_bands)])
     banded = sim.select(
         "id", "simhash", F.posexplode(bands).alias("band", "band_val"))
     a, b = banded.alias("a"), banded.alias("b")
@@ -492,26 +513,31 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     (max_iter=15 covers diameters up to ~2^15 via path halving).
     """
     src, dst = F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    # localCheckpoint (not just persist): ``pairs`` often arrives with a
+    # deep lineage (LSH probe trees reference their shingle frames several
+    # times via self-joins, so the analyzed plan grows combinatorially),
+    # and every propagation round re-ANALYZES the edges subtree inside its
+    # joins. persist() caches the data but not the plan tree — measured
+    # 25 s/round of pure driver-side Catalyst analysis on an LSH-derived
+    # pairs frame vs 0.1 s of compute. Truncating to an RDD scan makes
+    # per-round planning O(1) in upstream plan depth.
     edges = (pairs.select(src, dst)
              .unionByName(pairs.select(F.col(id_b).alias("src"),
                                        F.col(id_a).alias("dst")))
              .distinct()
-             .persist())
+             .localCheckpoint(eager=True))
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .select("id", F.col("id").alias("comp")))
-    try:
-        for _ in range(max_iter):
-            nxt = cc_propagation_round(edges, labels) \
-                .localCheckpoint(eager=True)
-            changed = nxt.filter(F.col("comp") != F.col("ncomp")).count()
-            labels = nxt.select("id", F.col("ncomp").alias("comp"))
-            if changed == 0:
-                break
-        else:
-            raise RuntimeError(
-                f"connected_components: no convergence in {max_iter} rounds")
-    finally:
-        edges.unpersist()
+    for _ in range(max_iter):
+        nxt = cc_propagation_round(edges, labels) \
+            .localCheckpoint(eager=True)
+        changed = nxt.filter(F.col("comp") != F.col("ncomp")).count()
+        labels = nxt.select("id", F.col("ncomp").alias("comp"))
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components: no convergence in {max_iter} rounds")
     return labels.select("id", F.col("comp").alias("component_id"))
 
 
@@ -716,12 +742,19 @@ def minhash_lsh_probe_index(index_bands: DataFrame, index_docs: DataFrame,
     sh_n = bounded_persist(exploded_shingles(new, id_col, text_col, k),
                            tag="lsh_probe_shingles")
     b_n = _band_explode(minhash_wide(sh_n, n_hashes), n_hashes, band_size)
-    pairs = bounded_persist(
-        (index_bands.alias("a").join(b_n.alias("b"), ["band", "band_key"])
-         .select(F.col("a.id").alias("id_a"),
-                 F.col("b.id").alias("id_b"))
-         .distinct()),
-        tag="lsh_probe_pairs")
+    # localCheckpoint, not persist: the candidate frame is re-entered by
+    # the verify stage (index semi-join + both jaccard joins), so with a
+    # plain persist its deep band-probe lineage is re-ANALYZED inside
+    # every consumer and the downstream analyzed tree grows ~quadratically
+    # (measured ~30 s of driver-side Catalyst time on a 58-pair result).
+    # The frame is candidate-sized — truncating it to an RDD scan is
+    # cheap and makes all consumers plan in O(1) of the probe tree.
+    pairs = (index_bands.alias("a").join(b_n.alias("b"),
+                                         ["band", "band_key"])
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"))
+             .distinct()
+             .localCheckpoint(eager=True))
     cand_index = index_docs.join(
         pairs.select(F.col("id_a").alias(id_col)).distinct(),
         id_col, "left_semi")

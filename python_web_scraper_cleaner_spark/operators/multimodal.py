@@ -4,10 +4,12 @@ over opaque ``binary`` media columns.
 Engine extension for training-data pipelines (the reference repo at
 /root/reference is text-only; the brief mandates multimodal plumbing as a
 first-class component). The Spark-side plumbing — schemas, Arrow batch
-shapes, ``mapInPandas`` signatures, partitioning — is real and tested; the
-actual codec step is stubbed behind :func:`decode_media` because no
-image/audio library ships in this container. Swap in PIL / soundfile /
-pyav there and everything downstream keeps working.
+shapes, ``mapInPandas`` signatures, partitioning — is real and tested.
+:func:`decode_media` fully decodes the repo's synthetic envelope
+(sources/media.py) into pixel/sample/frame numpy arrays; real container
+formats raise there until PIL / soundfile / pyav are wired in at that
+exact seam (none ship in this container) — swapping them in changes no
+downstream schema.
 
 All batch work is vectorized pandas (``.str`` ops on Arrow-delivered bytes
 Series) — never row-at-a-time Python UDFs. At 100 TB the media column is
@@ -33,15 +35,90 @@ MEDIA_FEATURES_SCHEMA = (
 FRAME_SCHEMA = "id long, frame_idx int, frame_md5 string"
 
 
-def decode_media(data: bytes, kind: str):
-    """Full pixel/sample decode — intentionally stubbed (no codec libs in
-    this container). Production wiring: PIL.Image.open for images,
-    soundfile/librosa for audio, pyav frame iteration for video. The
-    surrounding operators only touch envelope metadata and payload bytes,
-    so swapping this in changes no schema."""
-    raise NotImplementedError(
-        "codec libraries are not available in this environment; "
-        "media_features/sample_video_frames use envelope metadata only")
+def decode_media(data: bytes, kind: str) -> dict:
+    """Decode ONE media blob into its pixel / sample / frame representation.
+
+    The synthetic ASCII envelope (sources/media.py) is decoded for real:
+    header parse, then payload expansion into numpy arrays — images tile
+    the payload bytes into an (height, width, 3) uint8 tensor, audio
+    exposes payload bytes as the sample vector, video reshapes the
+    payload into an (n_frames, frame_size) stack. Real container formats
+    (JPEG/WAV/MP4 — foreign magic bytes) still raise here with a clear
+    message: this function is the exact seam where PIL / soundfile / pyav
+    plug in, and swapping them in changes no downstream schema.
+    """
+    import numpy as np
+
+    magic = bytes(data[:3])
+    if kind == "image":
+        if magic != b"IMG":
+            raise NotImplementedError(
+                f"image container {magic!r} needs a real codec (PIL) — "
+                "only the synthetic IMG envelope decodes in this build")
+        w, h = int(data[3:7]), int(data[7:11])
+        if bytes(data[11:13]) != b"C3":
+            raise ValueError("corrupt image envelope: missing channel tag")
+        payload = np.frombuffer(data, np.uint8, offset=IMG_HEADER_LEN)
+        n = w * h * 3
+        pixels = np.tile(payload, -(-n // payload.size))[:n].reshape(h, w, 3)
+        return {"width": w, "height": h, "channels": 3, "pixels": pixels}
+    if kind == "audio":
+        if magic != b"AUD":
+            raise NotImplementedError(
+                f"audio container {magic!r} needs a real codec (soundfile)")
+        rate = int(data[3:8])
+        samples = np.frombuffer(data, np.uint8, offset=AUD_HEADER_LEN)
+        return {"sample_rate": rate, "samples": samples}
+    if kind == "video":
+        if magic != b"VID":
+            raise NotImplementedError(
+                f"video container {magic!r} needs a real codec (pyav)")
+        nf, fsize = int(data[3:7]), int(data[7:11])
+        frames = (np.frombuffer(data, np.uint8, offset=VID_HEADER_LEN)
+                  [:nf * fsize].reshape(nf, fsize))
+        return {"n_frames": nf, "frame_size": fsize, "frames": frames}
+    raise ValueError(f"unknown media kind {kind!r}")
+
+
+DECODE_FEATURES_SCHEMA = ("id long, kind string, n_units long, "
+                          "byte_sum long, byte_min int, byte_max int")
+
+
+def decode_features(df: DataFrame, *, id_col: str = "media_id",
+                    kind_col: str = "kind",
+                    media_col: str = "media") -> DataFrame:
+    """Features over the DECODED representation (decode_media output), not
+    the raw envelope: per blob the decoded unit count (pixels×channels /
+    samples / frames) and byte statistics of the pixel tensor / sample
+    vector / frame stack. Decoding is inherently per-blob, so the loop
+    runs per element INSIDE the Arrow batch (same pattern as the md5
+    loops above); the blob is dropped on output and only six narrow
+    columns leave the stage."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for i, k, blob in zip(pdf[id_col], pdf[kind_col],
+                                  pdf[media_col]):
+                d = decode_media(blob, k)
+                if k == "image":
+                    arr, n_units = d["pixels"], d["pixels"].size
+                elif k == "audio":
+                    arr, n_units = d["samples"], d["samples"].size
+                else:
+                    arr, n_units = d["frames"], d["n_frames"]
+                rows.append((int(i), k, int(n_units),
+                             int(arr.sum(dtype=np.int64)),
+                             int(arr.min()), int(arr.max())))
+            yield pd.DataFrame(rows, columns=["id", "kind", "n_units",
+                                              "byte_sum", "byte_min",
+                                              "byte_max"])
+
+    return df.mapInPandas(gen, schema=DECODE_FEATURES_SCHEMA)
 
 
 def _decoded(pdf, media_col: str):

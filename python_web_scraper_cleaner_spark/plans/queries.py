@@ -2074,6 +2074,48 @@ from m where kind = 'image' order by id
 """
 
 
+def q_mm_decode_features(spark, sf_dir):
+    """Features over the DECODED media representation (operators/
+    multimodal.py:decode_media — the former codec stub, now a real decoder
+    for the synthetic envelope): pixel-tensor / sample-vector / frame-stack
+    byte statistics. Images tile the payload into an (h, w, 3) uint8
+    tensor, so the oracle must reproduce the tiling arithmetic
+    (full-repeat sum + partial-prefix sum), which pins the decode path
+    bit-exactly, not just the header parse."""
+    from ..operators.multimodal import decode_features
+    return decode_features(_media(spark, sf_dir)).orderBy("id")
+
+
+SQL_MM_DECODE = f"""
+with m as ({_MEDIA_SQL}),
+p as (select id, kind, w, ht, nf,
+             case kind when 'image' then repeat(h, 2)
+                       when 'audio' then substr(repeat(h, 7), 1, nrep*32)
+                       else substr(repeat(h, 8), 1, nf*16) end as payload
+      from m),
+s as (select id, kind, w, ht, nf, payload, length(payload) as plen,
+             list_transform(range(1, length(payload) + 1),
+                            i -> ascii(substr(payload, i, 1))) as bytes
+      from p),
+agg as (select id, kind, w, ht, nf, payload, plen,
+               list_sum(bytes) as psum,
+               list_min(bytes) as pmin, list_max(bytes) as pmax,
+               cast(w as bigint) * ht * 3 as n_px
+        from s)
+select id, kind,
+  cast(case kind when 'image' then n_px
+                 when 'audio' then plen else nf end as bigint) as n_units,
+  cast(case kind when 'image' then (n_px // plen) * psum
+        + coalesce(list_sum(list_transform(
+            range(1, cast(n_px % plen as int) + 1),
+            i -> ascii(substr(payload, i, 1)))), 0)
+       else psum end as bigint) as byte_sum,
+  cast(pmin as int) as byte_min,
+  cast(pmax as int) as byte_max
+from agg order by id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Set ops / remaining scalar coverage (SURVEY §2.6, F2, O5)
 # ---------------------------------------------------------------------------
@@ -2750,6 +2792,224 @@ from documents where doc_id < 300 order by name
 
 
 # ---------------------------------------------------------------------------
+# Composed LLM training-data pipeline (end-to-end, one oracled entry)
+# ---------------------------------------------------------------------------
+
+
+def q_pipeline_llm_corpus(spark, sf_dir):
+    """The full training-data pipeline composed end-to-end — the shape a
+    production corpus build actually runs, proving the stages share
+    schemas and semantics:
+
+      gopher quality gates → exact dedup (min-id rep per md5) →
+      incremental near-dup: re-crawl batch band-probes the kept index →
+      quality-aware keep-best over the near-dup clusters (chars, so a
+      longer re-crawl copy can beat its original) → benchmark
+      decontamination (8-gram overlap vs the eval probe set).
+
+    Returns one row per input doc with its disposition: failed_gopher |
+    exact_dup | near_dup_dropped | contaminated | kept — the per-doc
+    audit trail a 100-TB corpus build logs next to the kept set.
+
+    Scale shape: each stage is its own audited operator (textstats.
+    gopher_quality JVM exprs; dedup.exact fingerprint groupBy;
+    minhash_lsh_probe_index batch-vs-index, no self-join;
+    connected_components log-rounds; keep_best map-side argmax;
+    contamination_check broadcast probe shingles). The disposition
+    assembly adds only id-keyed left joins (8-byte keys) — no stage
+    shuffles text beyond its own documented plan."""
+    from ..caching import bounded_persist
+
+    par = spark.sparkContext.defaultParallelism
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    corpus = bounded_persist(
+        _dup_corpus(docs).repartition(par, F.col("doc_id")),
+        tag="llm_pipe_corpus")
+
+    # 1. Gopher gates on raw text (default thresholds; the synthetic
+    #    corpus fails ~45% on the word-count floor, so the gate is live)
+    gq = TS.gopher_quality(corpus, "doc_id", "text") \
+        .select(F.col("id").alias("doc_id"), "passes_gopher")
+    pass1 = bounded_persist(
+        corpus.join(gq.filter("passes_gopher").select("doc_id"),
+                    "doc_id", "left_semi"),
+        tag="llm_pipe_pass1")
+
+    # 2. exact dedup: min-id representative per content digest
+    reps = (pass1.select(F.md5("text").alias("fp"), "doc_id")
+            .groupBy("fp").agg(F.min("doc_id").alias("doc_id")))
+    pass2 = bounded_persist(
+        pass1.join(reps.select("doc_id"), "doc_id", "left_semi"),
+        tag="llm_pipe_pass2")
+
+    # 3. incremental near-dup (new crawl ids >= 100000 probe the index)
+    #    + keep-best canonicalization by char-length quality
+    index = pass2.filter(F.col("doc_id") < 100000)
+    new = pass2.filter(F.col("doc_id") >= 100000)
+    bands = D.banded_signatures(index, "doc_id", "text",
+                                k=3, n_hashes=16, band_size=4)
+    pairs = D.minhash_lsh_probe_index(
+        bands, index, new, k=3, n_hashes=16, band_size=4,
+        threshold=0.7).select("id_a", "id_b")
+    comp = D.connected_components(pairs)
+    quality = pass2.select(F.col("doc_id").alias("id"),
+                           F.length("text").cast("long").alias("quality"))
+    kept_best = (D.keep_best(quality, comp).filter("kept")
+                 .select(F.col("id").alias("doc_id")))
+    pass3 = bounded_persist(
+        pass2.join(kept_best, "doc_id", "left_semi"),
+        tag="llm_pipe_pass3")
+
+    # 4. decontamination vs the held-out eval probes
+    probes = docs.filter(F.col("doc_id") % 10 == 2)
+    contam = (D.contamination_check(pass3, probes, id_col="doc_id",
+                                    text_col="text", k=8)
+              .select(F.col("id").alias("doc_id")))
+
+    flag = lambda df, name: df.select("doc_id").withColumn(name,
+                                                           F.lit(True))
+    return (corpus.select("doc_id")
+            .join(flag(pass1, "p1"), "doc_id", "left")
+            .join(flag(pass2, "p2"), "doc_id", "left")
+            .join(flag(pass3, "p3"), "doc_id", "left")
+            .join(flag(contam, "c"), "doc_id", "left")
+            .select("doc_id",
+                    F.when(F.col("p1").isNull(), "failed_gopher")
+                    .when(F.col("p2").isNull(), "exact_dup")
+                    .when(F.col("p3").isNull(), "near_dup_dropped")
+                    .when(F.col("c").isNotNull(), "contaminated")
+                    .otherwise("kept").alias("disposition"))
+            .orderBy("doc_id"))
+
+
+_DUP_CORPUS_1000_SQL = _DUP_CORPUS_SQL.replace(
+    "from documents", "from (select * from documents where doc_id < 1000)")
+
+SQL_PIPELINE_LLM = f"""
+with recursive corpus as ({_DUP_CORPUS_1000_SQL}),
+-- stage 1: gopher gates (same arithmetic as SQL_GOPHER, raw text)
+gfeats as (
+  select doc_id,
+    regexp_split_to_array(lower(trim(text)), '\\s+') as toks,
+    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                x -> x <> '') as lines,
+    cast(len(regexp_extract_all(text, '#|\\.\\.\\.')) as bigint) as n_symbols
+  from corpus),
+gm as (
+  select doc_id,
+    cast(len(toks) as bigint) as n_words,
+    cast(list_sum(list_transform(toks, t -> length(t))) as bigint) as total_wl,
+    n_symbols,
+    cast(len(lines) as bigint) as n_lines,
+    cast(len(list_filter(lines, x -> starts_with(x, '-')
+             or starts_with(x, '*') or starts_with(x, '•'))) as bigint) as n_bullets,
+    cast(len(lines) - len(list_distinct(lines)) as bigint) as n_dup_lines
+  from gfeats),
+gr as (
+  select doc_id, n_words,
+    round(case when n_words > 0 then total_wl / n_words else 0.0 end, 4) as mwl,
+    round(case when n_words > 0 then n_symbols / n_words else 0.0 end, 4) as sym,
+    round(case when n_lines > 0 then n_bullets / n_lines else 0.0 end, 4) as bullet,
+    round(case when n_lines > 0 then n_dup_lines / n_lines else 0.0 end, 4) as dup
+  from gm),
+gpass as (select doc_id from gr
+          where n_words >= 50 and n_words <= 100000
+            and mwl >= 3.0 and mwl <= 10.0
+            and sym <= 0.1 and bullet <= 0.9 and dup <= 0.3),
+p1 as (select c.doc_id, c.text from corpus c
+       where c.doc_id in (select doc_id from gpass)),
+-- stage 2: exact dedup, min-id rep per md5
+reps as (select min(doc_id) as doc_id from p1 group by md5(text)),
+p2 as (select * from p1 where doc_id in (select doc_id from reps)),
+-- stage 3a: minhash-LSH incremental candidates + exact-Jaccard verify
+toks3 as (select doc_id,
+               list_filter(string_split(lower(trim(text)), ' '), t -> t <> '') as l
+        from p2),
+sh0 as (select doc_id,
+               unnest(case when len(l) <= 3 then [array_to_string(l, ' ')]
+                      else list_transform(range(1, len(l) - 1),
+                                          i -> array_to_string(l[i:i+2], ' '))
+                      end) as shingle
+        from toks3),
+sh as (select distinct doc_id as id, shingle from sh0),
+hs as (select id, md5(shingle) as h from sh),
+ab as (select id, {_hex_int_sql('h', 1)} as a, {_hex_int_sql('h', 9)} as b
+       from hs),
+mh as (select id, seed, min((a + seed * b) % 2147483647) as minhash
+       from ab, range(0, 16) t(seed) group by id, seed),
+banded as (select id, seed // 4 as band,
+                  array_to_string(list_sort(list(cast(seed as varchar) || '#' || cast(minhash as varchar))), '|') as band_key
+           from mh group by id, seed // 4),
+cand as (select distinct a.id as id_a, b.id as id_b
+         from banded a join banded b
+           on a.band = b.band and a.band_key = b.band_key
+          and a.id < 100000 and b.id >= 100000),
+sizes as (select id, count(*) as n_sh from sh group by id),
+inter as (select a.id as id_a, b.id as id_b, count(*) as n_inter
+          from sh a join sh b on a.shingle = b.shingle
+            and a.id < 100000 and b.id >= 100000
+          where exists (select 1 from cand c
+                        where c.id_a = a.id and c.id_b = b.id)
+          group by a.id, b.id),
+near as (select i.id_a, i.id_b from inter i
+         join sizes sa on sa.id = i.id_a
+         join sizes sb on sb.id = i.id_b
+         where i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.7),
+-- stage 3b: connected components + keep-best by char-length quality
+nodes as (select distinct id
+          from (select id_a as id from near
+                union all select id_b as id from near) t),
+edges as (select id_a as src, id_b as dst from near
+          union all select id_b, id_a from near),
+reach(id, comp) as (
+  select id, id from nodes
+  union
+  select e.dst, r.comp from reach r join edges e on e.src = r.id),
+comps as (select id, min(comp) as component_id from reach group by id),
+members as (select p.doc_id as id,
+                   coalesce(m.component_id, p.doc_id) as component_id,
+                   cast(length(p.text) as bigint) as quality
+            from p2 p left join comps m on m.id = p.doc_id),
+best as (select component_id, id as best_id from (
+           select component_id, id,
+                  row_number() over (partition by component_id
+                                     order by quality desc, id asc) as rn
+           from members) where rn = 1),
+p3 as (select p.doc_id, p.text from p2 p
+       join best b on b.best_id = p.doc_id),
+-- stage 4: decontamination vs eval probes (8-gram overlap)
+ctoks as (select doc_id, 0 as is_probe,
+                 list_filter(string_split(lower(trim(text)), ' '),
+                             t -> t <> '') as l
+          from p3
+          union all
+          select doc_id, 1,
+                 list_filter(string_split(lower(trim(text)), ' '),
+                             t -> t <> '')
+          from documents where doc_id % 10 = 2 and doc_id < 1000),
+csh0 as (select doc_id as id, is_probe,
+                unnest(case when len(l) <= 8 then [array_to_string(l, ' ')]
+                       else list_transform(range(1, len(l) - 6),
+                                           i -> array_to_string(l[i:i+7], ' '))
+                       end) as shingle
+         from ctoks),
+csh as (select distinct id, is_probe, shingle from csh0),
+contam as (select distinct c.id as doc_id
+           from csh c join (select distinct shingle from csh
+                            where is_probe = 1) pr
+             on c.shingle = pr.shingle
+           where c.is_probe = 0)
+select c.doc_id,
+  case when c.doc_id not in (select doc_id from p1) then 'failed_gopher'
+       when c.doc_id not in (select doc_id from p2) then 'exact_dup'
+       when c.doc_id not in (select doc_id from p3) then 'near_dup_dropped'
+       when c.doc_id in (select doc_id from contam) then 'contaminated'
+       else 'kept' end as disposition
+from corpus c order by doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2757,14 +3017,48 @@ from documents where doc_id < 300 order by name
 def registry():
     """name → (spark_fn, oracle_sql | None).
 
-    ORDER CONTRACT: the driver's correctness gate iterates this dict in
-    insertion order under a time budget and may truncate the tail
-    (CORRECTNESS_r02.json stopped at entry 50). Entries with no prior
-    driver-green row therefore come FIRST — the tail is reserved for
-    queries already green in earlier rounds. Keep new entries at the top.
+    ORDER CONTRACT — ROTATION POLICY (keep for round 5+): the driver's
+    correctness gate iterates this dict in insertion order under a time
+    budget and may truncate the tail (r02 and r03 each stopped at entry
+    50). Order is therefore "least-recently driver-checked first":
+      1. entries with NO driver-green row yet (new this round) lead;
+      2. then entries whose last driver-green row is OLDEST (round 4:
+         the 22 entries absent from CORRECTNESS_r03.json, last green r02);
+      3. the freshest-checked block rides at the tail.
+    After each round, rotate: move the entries that made it into
+    CORRECTNESS_r{N}.json to the tail (keeping their relative order) and
+    promote the truncated remainder. Every entry re-earns a driver row
+    within ceil(len/50) rounds.
     """
     return {
-        # -- never driver-checked before round 3 (new + r2-truncated tail) --
+        # -- 1. never driver-checked (new in round 4) --
+        "pipeline_llm_corpus": (q_pipeline_llm_corpus, SQL_PIPELINE_LLM),
+        "mm_decode_features": (q_mm_decode_features, SQL_MM_DECODE),
+        # -- 2. last driver-green in round 2 (absent from r03's 50) --
+        "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+        "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
+        "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
+        "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+        "simhash_near_pairs": (q_simhash_near_pairs, SQL_SIMHASH_PAIRS),
+        "p8_conditional_projection": (q_p8_conditional_projection, SQL_P8),
+        "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_BRUTE),
+        "ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_LSH),
+        "ann_lsh_multiprobe": (q_ann_lsh_multiprobe, SQL_ANN_MULTIPROBE),
+        "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
+        "ann_ivf_kmeans": (q_ann_ivf_kmeans, _sql_ann_ivf_kmeans),
+        "emb_near_dup": (q_emb_near_dup, SQL_EMB_NEAR_DUP),
+        "lang_id": (q_lang_id, _sql_lang_id()),
+        "quality_features": (q_quality_features, SQL_QUALITY),
+        "quality_gopher": (q_quality_gopher, SQL_GOPHER),
+        "pii_scrub": (q_pii_scrub, SQL_PII),
+        "fingerprint_groups": (q_fingerprint_groups, SQL_FINGERPRINT),
+        "mm_media_features": (q_mm_media_features, SQL_MM_FEATURES),
+        "mm_video_frames": (q_mm_video_frames, SQL_MM_FRAMES),
+        "mm_resize_plan": (q_mm_resize_plan, SQL_MM_RESIZE),
+        "setop_recrawl_diff": (q_setop_recrawl_diff, SQL_SETOP),
+        "f2_normalize_markdown": (q_f2_normalize_markdown, SQL_F2),
+        # -- 3. driver-green in round 3 (CORRECTNESS_r03.json), in its
+        #       gate order --
         "bm25_topk": (q_bm25_topk, SQL_BM25),
         "decontaminate_ngram": (q_decontaminate, SQL_DECONTAMINATE),
         "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
@@ -2790,7 +3084,6 @@ def registry():
         "stream_urlseen_dedup": (q_stream_urlseen, SQL_STREAM_URLSEEN),
         "stream_windowed_rollup": (q_stream_windowed_rollup,
                                    _sql_stream_windowed),
-        # -- driver-green in round 2 (CORRECTNESS_r02.json) --
         "p1_scan_filter_project": (q_p1_scan_filter_project, SQL_P1),
         "a1_manifest_counts": (q_a1_manifest_counts, SQL_A1),
         "a3_token_counts": (q_a3_token_counts, SQL_A3),
@@ -2819,26 +3112,4 @@ def registry():
         "tpch_q5_local_supplier": (q_tpch_q5_local_supplier, SQL_TPCH_Q5),
         "window_top_orders": (q_window_top_orders_per_cust, SQL_WINDOW_TOPO),
         "sql_api_segment_revenue": (q_sql_api_segment_revenue, SQL_SQL_API),
-        "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-        "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
-        "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
-        "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
-        "simhash_near_pairs": (q_simhash_near_pairs, SQL_SIMHASH_PAIRS),
-        "p8_conditional_projection": (q_p8_conditional_projection, SQL_P8),
-        "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_BRUTE),
-        "ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_LSH),
-        "ann_lsh_multiprobe": (q_ann_lsh_multiprobe, SQL_ANN_MULTIPROBE),
-        "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
-        "ann_ivf_kmeans": (q_ann_ivf_kmeans, _sql_ann_ivf_kmeans),
-        "emb_near_dup": (q_emb_near_dup, SQL_EMB_NEAR_DUP),
-        "lang_id": (q_lang_id, _sql_lang_id()),
-        "quality_features": (q_quality_features, SQL_QUALITY),
-        "quality_gopher": (q_quality_gopher, SQL_GOPHER),
-        "pii_scrub": (q_pii_scrub, SQL_PII),
-        "fingerprint_groups": (q_fingerprint_groups, SQL_FINGERPRINT),
-        "mm_media_features": (q_mm_media_features, SQL_MM_FEATURES),
-        "mm_video_frames": (q_mm_video_frames, SQL_MM_FRAMES),
-        "mm_resize_plan": (q_mm_resize_plan, SQL_MM_RESIZE),
-        "setop_recrawl_diff": (q_setop_recrawl_diff, SQL_SETOP),
-        "f2_normalize_markdown": (q_f2_normalize_markdown, SQL_F2),
     }

@@ -16,8 +16,9 @@ Envelope layout (all ASCII so both engines can reason about bytes):
   video: b"VID" + 4-digit n_frames + 4-digit frame_size
          + substr(repeat(md5(text), 8), 1, n_frames*frame_size)
 
-Real decoders (PIL/ffmpeg/librosa) plug in behind
-operators.multimodal.decode_media — stubbed here per the brief.
+operators.multimodal.decode_media decodes this envelope for real (pixel
+tiling / sample vector / frame stack); real container formats (JPEG/WAV/
+MP4) raise there until PIL/soundfile/pyav plug in at that exact seam.
 """
 
 from __future__ import annotations

@@ -144,3 +144,42 @@ def test_keep_best_exact_beyond_ten_million_ids(spark):
     rows = {r.id: r for r in D.keep_best(docs, clusters).collect()}
     assert rows[big + 2].kept            # highest quality wins
     assert not rows[big].kept and not rows[big + 1].kept
+
+
+# ---------------------------------------------------------------------------
+# simhash_near_pairs banding geometry (configurable n_bands + pigeonhole)
+# ---------------------------------------------------------------------------
+
+
+def _sig(spark, sigs):
+    return spark.createDataFrame(list(enumerate(sigs)),
+                                 "id long, simhash long")
+
+
+def test_simhash_pigeonhole_violation_raises(spark):
+    sim = _sig(spark, [0, 1])
+    with pytest.raises(ValueError, match="pigeonhole"):
+        D.simhash_near_pairs(sim, max_hamming=3, n_bands=2)
+    with pytest.raises(ValueError, match="divide 64"):
+        D.simhash_near_pairs(sim, n_bands=5, max_hamming=3)
+
+
+def test_simhash_band_geometries_agree_with_brute_force(spark):
+    # signatures spanning sign bit, adjacent bits, cross-band flips
+    sigs = [0, 1, 3, 1 << 17, (1 << 17) | 1, -1, -2, (1 << 63) - 1,
+            -(1 << 63), 0b111, (1 << 48) | (1 << 16)]
+    sim = _sig(spark, sigs)
+
+    def brute(h):
+        out = set()
+        for i, a in enumerate(sigs):
+            for j, b in enumerate(sigs):
+                if i < j and bin((a ^ b) & ((1 << 64) - 1)).count("1") <= h:
+                    out.add((i, j))
+        return out
+
+    for n_bands, h in [(4, 3), (8, 3), (2, 1), (16, 7)]:
+        got = {(r.id_a, r.id_b) for r in
+               D.simhash_near_pairs(sim, max_hamming=h,
+                                    n_bands=n_bands).collect()}
+        assert got == brute(h), (n_bands, h)

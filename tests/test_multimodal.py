@@ -1,5 +1,6 @@
 """Multimodal plumbing tests: binary envelopes, mapInPandas feature
-extraction, frame sampling, resize planning, stubbed codec boundary.
+extraction, frame sampling, resize planning, synthetic-envelope decode
+(real container formats still raise at the codec seam).
 
 The oracle here is a plain-Python loop over the *same collected blobs* —
 independent of the SQL twin in plans/queries.py (which the driver harness
@@ -91,9 +92,52 @@ def test_resize_plan_clamps_longest_side(media):
             assert r.target_h == max(int(r.height * scale), 1)
 
 
-def test_decode_is_stubbed():
+def test_decode_media_image():
+    d = MM.decode_media(b"IMG00160008C3" + b"ab" * 32, "image")
+    assert (d["width"], d["height"], d["channels"]) == (16, 8, 3)
+    assert d["pixels"].shape == (8, 16, 3)
+    # payload tiles row-major: first bytes are the payload itself
+    assert bytes(d["pixels"].reshape(-1)[:4]) == b"abab"
+
+
+def test_decode_media_audio_and_video():
+    a = MM.decode_media(b"AUD16000" + b"xyz" * 8, "audio")
+    assert a["sample_rate"] == 16000 and a["samples"].size == 24
+    assert bytes(a["samples"][:3]) == b"xyz"
+    v = MM.decode_media(b"VID00020004" + b"wxyzWXYZ", "video")
+    assert v["n_frames"] == 2 and v["frame_size"] == 4
+    assert v["frames"].shape == (2, 4)
+    assert bytes(v["frames"][1]) == b"WXYZ"
+
+
+def test_decode_foreign_container_still_raises():
+    """Real container formats (JPEG/WAV/MP4 magic) hit the declared codec
+    seam: NotImplementedError until PIL/soundfile/pyav are wired in."""
     with pytest.raises(NotImplementedError):
-        MM.decode_media(b"IMG00160016C3" + b"a" * 64, "image")
+        MM.decode_media(b"\xff\xd8\xff" + b"a" * 64, "image")
+    with pytest.raises(NotImplementedError):
+        MM.decode_media(b"RIF" + b"F" * 64, "audio")
+    with pytest.raises(NotImplementedError):
+        MM.decode_media(b"\x00\x00\x00 ftypmp4", "video")
+
+
+def test_decode_features_matches_python_loop(media):
+    got = {r.id: r for r in MM.decode_features(media).collect()}
+    rows = media.collect()
+    assert len(got) == len(rows)
+    import numpy as np
+    for r in rows:
+        d = MM.decode_media(bytes(r.media), r.kind)
+        if r.kind == "image":
+            arr, n_units = d["pixels"], d["pixels"].size
+        elif r.kind == "audio":
+            arr, n_units = d["samples"], d["samples"].size
+        else:
+            arr, n_units = d["frames"], d["n_frames"]
+        g = got[r.media_id]
+        assert (g.n_units, g.byte_sum, g.byte_min, g.byte_max) == (
+            n_units, int(arr.sum(dtype=np.int64)),
+            int(arr.min()), int(arr.max())), r.media_id
 
 
 def test_blob_stays_out_of_feature_plan(media):
