@@ -159,3 +159,46 @@ def politeness_schedule(batch: DataFrame, *,
         "scheduled_offset_ms",
         ((F.col("fetch_slot") - 1)
          * F.coalesce(F.col("crawl_delay_ms"), F.lit(0))).cast("long"))
+
+
+def revisit_schedule(history: DataFrame, *, page_col: str = "page_id",
+                     ts_col: str = "ts", id_col: str = "fetch_id",
+                     changed_col: str = "changed", base_hours: int = 1,
+                     cap: int = 10, max_hours: int = 720) -> DataFrame:
+    """Freshness-aware recrawl priority: per page, exponential backoff on
+    consecutive unchanged fetches (cf. Cho & Garcia-Molina, "Effective
+    Page Refresh Policies for Web Crawlers" — the multiplicative
+    adjust-on-no-change family).
+
+    Input: one row per historical fetch with a ``changed`` boolean
+    (content hash differed from the previous fetch). Output per page:
+      n_fetches, n_changes,
+      unchanged_tail   — fetches since the last observed change
+                         (= n_fetches if the page never changed),
+      next_interval_hours = min(max_hours,
+                                base_hours * 2^min(unchanged_tail, cap)).
+    A page that changed on its latest fetch goes back to ``base_hours``;
+    a dead-still page backs off geometrically to the ``max_hours`` clamp.
+
+    Scale shape: ONE hash exchange total. The row_number window and the
+    per-page aggregate use the same partitioning key, so Catalyst reuses
+    the window's shuffle for the groupBy (no second exchange); integer
+    backoff math is a JVM expression (2^k exact in double for k ≤ cap ≤
+    52). Ordering ties on ``ts`` break by ``id_col`` so replays are
+    bit-deterministic.
+    """
+    w = Window.partitionBy(page_col).orderBy(F.desc(ts_col), F.desc(id_col))
+    ranked = history.withColumn("_rn_from_latest", F.row_number().over(w))
+    agg = (ranked.groupBy(F.col(page_col).alias("page_id"))
+           .agg(F.count("*").alias("n_fetches"),
+                F.sum(F.col(changed_col).cast("long")).alias("n_changes"),
+                F.coalesce(
+                    F.min(F.when(F.col(changed_col),
+                                 F.col("_rn_from_latest"))) - 1,
+                    F.count("*")).alias("unchanged_tail")))
+    backoff = F.lit(base_hours) * F.pow(
+        F.lit(2.0), F.least(F.col("unchanged_tail"),
+                            F.lit(cap))).cast("long")
+    return agg.withColumn(
+        "next_interval_hours",
+        F.least(F.lit(max_hours).cast("long"), backoff))

@@ -1,0 +1,120 @@
+"""Deterministic corpus sampling + training-shard packing.
+
+Engine extensions for large-scale training-data pipelines (the reference
+repo at /root/reference is a scraper/cleaner; these are the downstream
+corpus-assembly steps the build brief mandates as first-class
+components). Two operators:
+
+``stratified_sample`` — rebalance a skewed language/source mix by keeping
+at most ``target`` docs per stratum, chosen DETERMINISTICALLY by a
+content-independent hash of the doc id. The keep/drop decision is a pure
+filter (md5-derived uniform in [0, 10000) compared against a per-stratum
+threshold), so at 100 TB the corpus scan stays shuffle-free: the only
+exchange is the tiny per-stratum count aggregate, which is then broadcast
+back. No window functions, no per-stratum sorting, no text movement.
+
+``pack_shards`` — assign docs (in a stable global order) to fixed
+token-budget training shards: shard_id = floor(tokens_before / budget).
+A single global cumulative-sum window would serialize the corpus through
+ONE task, so the prefix sum is distributed classically: per-bucket
+cumulative sums run in parallel (window partitioned by bucket), bucket
+TOTALS — thousands of rows, not billions — take the only global window,
+and each doc's global prefix = bucket offset + within-bucket prefix.
+Exchanges: one hash shuffle on bucket for the window, one tiny aggregate,
+one broadcast join back. The bucket width trades parallelism against the
+offset-frame size; any value keeps the result bit-identical.
+
+md5 rather than xxhash64 for the sampling key so the DuckDB oracle can
+reproduce the exact decision; in production xxhash64(id) drops in with
+the same plan shape and a cheaper hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _hash_bp(col):
+    """Deterministic uniform in [0, 10000) from the first 8 md5 hex chars
+    of the stringified column — bit-identical in Spark and DuckDB."""
+    return (F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+            .cast("long") % 10000)
+
+
+def stratified_sample(df: DataFrame, *, strata_cols: list[str],
+                      id_col: str, target: int) -> DataFrame:
+    """Keep ~``target`` rows per stratum, deterministically.
+
+    Returns the input rows plus a ``sampled`` boolean — callers filter on
+    it (kept separate so the same pass can emit the audit aggregate).
+    Per stratum the keep threshold is floor(10000 * target / n_total)
+    basis points, so expected kept ≈ target with each row's fate a pure
+    function of its id — re-runs, retries, and different cluster sizes
+    all keep the SAME rows (the property that makes corpus builds
+    reproducible).
+    """
+    counts = (df.groupBy(*strata_cols)
+              .agg(F.count("*").alias("stratum_total")))
+    thresh = counts.withColumn(
+        "keep_bp",
+        F.least(F.lit(10000),
+                F.floor(F.lit(10000.0) * target / F.col("stratum_total"))
+                .cast("long")))
+    return (df.join(F.broadcast(thresh), strata_cols)
+            .withColumn("sampled", _hash_bp(F.col(id_col)) < F.col("keep_bp")))
+
+
+def sample_audit(df: DataFrame, *, strata_cols: list[str],
+                 id_col: str, target: int) -> DataFrame:
+    """(strata…, n_total, n_kept): the rebalancing audit a corpus build
+    logs — one tiny aggregate over the sampled flag."""
+    s = stratified_sample(df, strata_cols=strata_cols, id_col=id_col,
+                          target=target)
+    return (s.groupBy(*strata_cols)
+            .agg(F.count("*").alias("n_total"),
+                 F.sum(F.col("sampled").cast("long")).alias("n_kept")))
+
+
+def pack_shards(df: DataFrame, *, id_col: str, tokens_col: str,
+                budget: int, bucket_width: int = 1000) -> DataFrame:
+    """(id, n_tokens, shard_id): fixed token-budget shard assignment in
+    ``id_col`` order via a distributed prefix sum.
+
+    shard_id = floor(prefix_tokens_before_this_doc / budget) — the greedy
+    sequential packing a training-data writer uses, computed without ever
+    funneling the corpus through a single-task global window:
+
+      1. bucket = id // bucket_width; within-bucket cumulative sum
+         (window PARTITIONED by bucket — parallel).
+      2. bucket totals (n_docs/bucket_width rows) get the only
+         unpartitioned window — thousands of rows at 10^10 docs with a
+         wide enough bucket, safely single-task.
+      3. global prefix = bucket offset (broadcast join) + local prefix.
+
+    Docs longer than ``budget`` get a shard to themselves (floor math
+    handles it; the NEXT doc starts a fresh shard).
+    """
+    w_local = (Window.partitionBy("bucket").orderBy("id")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    local = (df.select(F.col(id_col).alias("id"),
+                       F.col(tokens_col).cast("long").alias("n_tokens"))
+             .withColumn("bucket", F.floor(F.col("id") / bucket_width)
+                         .cast("long"))
+             .withColumn("local_prefix",
+                         F.coalesce(F.sum("n_tokens").over(w_local),
+                                    F.lit(0))))
+    totals = (local.groupBy("bucket")
+              .agg(F.sum("n_tokens").alias("bucket_tokens")))
+    w_bucket = (Window.orderBy("bucket")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.withColumn(
+        "bucket_offset",
+        F.coalesce(F.sum("bucket_tokens").over(w_bucket), F.lit(0)))
+    return (local.join(F.broadcast(offsets.select("bucket", "bucket_offset")),
+                       "bucket")
+            .select("id", "n_tokens",
+                    F.floor((F.col("bucket_offset")
+                             + F.col("local_prefix")) / budget)
+                    .cast("long").alias("shard_id")))

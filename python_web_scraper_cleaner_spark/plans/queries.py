@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
+from ..operators import frontier as FR
 from ..operators import search as S
 from ..operators import similarity as SIM
 from ..operators import textstats as TS
@@ -3010,6 +3011,96 @@ from corpus c order by doc_id
 
 
 # ---------------------------------------------------------------------------
+# Corpus assembly: stratified sampling, shard packing, revisit scheduling
+# ---------------------------------------------------------------------------
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-language rebalancing (operators/sampling.py):
+    keep ~60 docs per lang stratum via an md5-keyed pure filter — the
+    corpus scan is shuffle-free; only the tiny stratum-count aggregate
+    exchanges. Returns the audit frame (lang, n_total, n_kept)."""
+    from ..operators.sampling import sample_audit
+    docs = _t(spark, sf_dir, "documents")
+    return sample_audit(docs, strata_cols=["lang"], id_col="doc_id",
+                        target=60).orderBy("lang")
+
+
+_BP_SQL = _hex_int_sql("md5(cast(doc_id as varchar))", 1) + " % 10000"
+
+SQL_SAMPLE_STRATIFIED = f"""
+with counts as (select lang, count(*) as stratum_total
+                from documents group by lang),
+t as (select lang,
+             least(10000, cast(floor(10000.0 * 60 / stratum_total)
+                               as bigint)) as keep_bp
+      from counts),
+k as (select d.lang, ({_BP_SQL}) < t.keep_bp as sampled
+      from documents d join t using (lang))
+select lang, cast(count(*) as bigint) as n_total,
+       cast(sum(case when sampled then 1 else 0 end) as bigint) as n_kept
+from k group by lang order by lang
+"""
+
+
+def q_pack_shards(spark, sf_dir):
+    """Token-budget training-shard packing (operators/sampling.py):
+    distributed prefix sum — parallel per-bucket cumulative sums, the
+    only global window runs over BUCKET TOTALS (n/bucket_width rows)."""
+    from ..operators.sampling import pack_shards
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", TS.token_count_col(F.col("text")).alias("n_toks"))
+    return pack_shards(docs, id_col="doc_id", tokens_col="n_toks",
+                       budget=20000, bucket_width=100).orderBy("id")
+
+
+SQL_PACK_SHARDS = """
+with t as (select doc_id as id,
+                  cast(len(string_split(text, ' ')) as bigint) as n_tokens
+           from documents),
+p as (select id, n_tokens,
+             coalesce(sum(n_tokens) over (order by id
+                      rows between unbounded preceding and 1 preceding),
+                      0) as prefix
+      from t)
+select id, n_tokens, cast(prefix // 20000 as bigint) as shard_id
+from p order by id
+"""
+
+
+def q_frontier_revisit(spark, sf_dir):
+    """Freshness-aware recrawl backoff (operators/frontier.py:
+    revisit_schedule): per page, fetches since the last observed change
+    drive an exponential next-visit interval — one hash exchange total
+    (the row_number window and the aggregate share a partitioning)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("page_id"), "ts",
+        F.col("event_id").alias("fetch_id"),
+        F.col("event_type").isin("click", "purchase").alias("changed"))
+    return FR.revisit_schedule(ev).orderBy("page_id")
+
+
+SQL_FRONTIER_REVISIT = """
+with h as (select user_id as page_id, ts, event_id,
+                  event_type in ('click', 'purchase') as changed
+           from events),
+r as (select *, row_number() over (partition by page_id
+                                   order by ts desc, event_id desc) as rn
+      from h),
+a as (select page_id, cast(count(*) as bigint) as n_fetches,
+             cast(sum(case when changed then 1 else 0 end) as bigint)
+               as n_changes,
+             cast(coalesce(min(case when changed then rn end) - 1,
+                           count(*)) as bigint) as unchanged_tail
+      from r group by page_id)
+select page_id, n_fetches, n_changes, unchanged_tail,
+       cast(least(720, cast(pow(2, least(unchanged_tail, 10)) as bigint))
+            as bigint) as next_interval_hours
+from a order by page_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -3034,6 +3125,9 @@ def registry():
         # -- 1. never driver-checked (new in round 4) --
         "pipeline_llm_corpus": (q_pipeline_llm_corpus, SQL_PIPELINE_LLM),
         "mm_decode_features": (q_mm_decode_features, SQL_MM_DECODE),
+        "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
+        "pack_shards": (q_pack_shards, SQL_PACK_SHARDS),
+        "frontier_revisit": (q_frontier_revisit, SQL_FRONTIER_REVISIT),
         # -- 2. last driver-green in round 2 (absent from r03's 50) --
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),

@@ -33,7 +33,10 @@ def loadavg() -> float:
     return round(os.getloadavg()[0], 2)
 
 
-def integrated_round(spark, n_seeds: int) -> float:
+def integrated_round(spark, n_seeds: int) -> tuple:
+    """(wall_sec, n_fetched) — n_fetched, not n_seeds, is the numerator
+    bench.py's full_round metric uses (the politeness budget admits only
+    part of the frontier into a round's batch)."""
     from python_web_scraper_cleaner_spark.plans.crawl import (
         CrawlEngine, default_robots, synthesize_seeds)
     root = tempfile.mkdtemp(prefix="spark_graft_rdec_")
@@ -44,7 +47,7 @@ def integrated_round(spark, n_seeds: int) -> float:
     stats = eng.run_round(0)
     dt = time.time() - t0
     assert stats["n_fetched"] > 0
-    return dt
+    return dt, stats["n_fetched"]
 
 
 def staged_round(spark, n_seeds: int) -> dict:
@@ -140,24 +143,32 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     integrated_round(spark, n_seeds)          # warm-up (codegen, page-in)
-    walls = [integrated_round(spark, n_seeds) for _ in range(reps)]
-    best = min(walls)
+    runs = [integrated_round(spark, n_seeds) for _ in range(reps)]
+    best, n_fetched = min(runs)
     out["integrated"] = {
-        "n_seeds": n_seeds, "runs_sec": [round(w, 3) for w in walls],
+        "n_seeds": n_seeds, "n_fetched": n_fetched,
+        "runs_sec": [round(w, 3) for w, _ in runs],
         "best_sec": round(best, 3),
-        "urls_per_sec": round(n_seeds / best, 1)}
+        "fetched_urls_per_sec": round(n_fetched / best, 1),
+        "loadavg_1m": loadavg(),
+        "note": "fetched_urls_per_sec is bench.py full_round's metric "
+                "(n_fetched/wall, politeness-admitted batch only)"}
 
     stages = [staged_round(spark, n_seeds) for _ in range(reps)]
     out["staged"] = min(stages, key=lambda s: (s["select_s"]
                                                + s["extract_s"]
                                                + s["commits_s"]))
 
-    fit_runs = {}
+    fit_runs, fetched_at = {}, {}
     for n in (n_seeds // 4, n_seeds, n_seeds * 4):
-        fit_runs[n] = [round(integrated_round(spark, n), 3)
-                       for _ in range(reps)]
+        rs = [integrated_round(spark, n) for _ in range(reps)]
+        fit_runs[n] = [round(w, 3) for w, _ in rs]
+        fetched_at[n] = rs[0][1]
+    # fit over FETCHED urls (the work actually done), not seed count
     xs = sorted(fit_runs)
     ys = [min(fit_runs[x]) for x in xs]
+    out["fetched_at"] = {str(k): v for k, v in fetched_at.items()}
+    xs = [fetched_at[x] for x in xs]
     n_ = len(xs)
     sx, sy = sum(xs), sum(ys)
     sxx = sum(x * x for x in xs)
