@@ -244,3 +244,76 @@ def ngram_repetition(df: DataFrame, id_col: str, text_col: str, *,
         F.col(id_col).alias("id"),
         frac(top_mass).alias(f"top{top_n}gram_char_frac"),
         frac(dup_mass).alias(f"dup{dup_n}gram_char_frac"))
+
+
+# ---------------------------------------------------------------------------
+# Character-trigram LM familiarity (CCNet-style quality tier, bit-exact)
+# ---------------------------------------------------------------------------
+
+LM_SCALE = 10_000_000  # fixed-point scale for familiarity scores
+
+
+def char_trigrams(text: Column) -> Column:
+    """Array of character trigrams over lower(trim(text)) — expressed so
+    the DuckDB twin (list_transform(range(1, length-1), i -> substr(s,i,3)))
+    produces the identical list. Texts shorter than 3 chars → empty."""
+    s = F.lower(F.trim(text))
+    return F.when(
+        F.length(s) < 3, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(F.sequence(F.lit(1), F.length(s) - 2),
+                    lambda i: F.substring(s, i, F.lit(3))))
+
+
+def trigram_lm_train(ref: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(trigram, n): character-trigram counts over a REFERENCE corpus —
+    the 'LM' of the CCNet quality tier, reduced to what stays bit-exact
+    across engines (raw counts, no smoothing, no floats).
+
+    Scale shape: the explode is wide but collapses map-side — the model
+    vocabulary is bounded by |charset|³, so partial aggregation shrinks
+    each task's output to ≤ vocab rows before the one hash exchange. The
+    trained model is vocab-sized (MBs), i.e. broadcastable by design.
+    """
+    return (ref.select(F.explode(char_trigrams(F.col(text_col)))
+                       .alias("trigram"))
+            .groupBy("trigram").agg(F.count("*").alias("n")))
+
+
+def lm_familiarity(docs: DataFrame, model: DataFrame, *,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(id, n_trigrams, familiarity_fp): mean reference-corpus frequency
+    of the doc's trigrams, in LM_SCALE fixed point — the rank-preserving,
+    log-free stand-in for CCNet's LM-perplexity quality score (docs whose
+    character distribution matches the reference score high; gibberish,
+    boilerplate soup, and wrong-language text score low). Integer-only:
+    floor(LM_SCALE · Σ_t n_ref(t) / (N_ref · n_trigrams_doc)), so Spark
+    and any SQL engine agree bit-for-bit.
+
+    Scale shape: the model (vocab-bounded, MBs) is BROADCAST onto the
+    exploded doc-trigram stream; the left join keeps out-of-vocab
+    trigrams as zeros (they must drag the mean down, not vanish); one
+    per-doc sum is the only exchange of doc-keyed data. The total-count
+    aggregate is 1 row. Corpus text never shuffles.
+    """
+    total = model.agg(F.sum("n").alias("n_total"))
+    tri = (docs.select(F.col(id_col).alias("id"),
+                       F.explode_outer(char_trigrams(F.col(text_col)))
+                       .alias("trigram")))
+    scored = (tri.join(F.broadcast(model), "trigram", "left")
+              .groupBy("id")
+              .agg(F.count(F.col("trigram")).alias("n_trigrams"),
+                   F.sum(F.coalesce(F.col("n"), F.lit(0)))
+                   .alias("hit_mass")))
+    # integer `div`, not `/`: float division is only exact below 2^53 and
+    # LM_SCALE·hit_mass crosses that at web-corpus counts
+    return (scored.crossJoin(F.broadcast(total))
+            .select("id",
+                    F.col("n_trigrams").cast("long").alias("n_trigrams"),
+                    F.when(F.col("n_trigrams") == 0,
+                           F.lit(0).cast("long"))
+                    .otherwise(
+                        F.expr(f"(cast({LM_SCALE} as bigint) * hit_mass) "
+                               "div (n_total * n_trigrams)"))
+                    .cast("long").alias("familiarity_fp")))

@@ -3100,6 +3100,45 @@ from a order by page_id
 """
 
 
+def q_lm_familiarity(spark, sf_dir):
+    """CCNet-style LM quality tier, log-free (operators/textstats.py):
+    train = char-trigram counts over the 'src0' reference slice (vocab-
+    bounded model, broadcastable); score = mean reference frequency of
+    each doc's trigrams in bigint fixed point — integer `div`, no libm,
+    so the DuckDB oracle matches bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    model = TS.trigram_lm_train(docs.filter(F.col("source") == "src0"))
+    return TS.lm_familiarity(docs, model).orderBy("id")
+
+
+SQL_LM_FAMILIARITY = """
+with s as (select doc_id, source, lower(trim(text)) as s from documents),
+tri as (select doc_id, source,
+               unnest(case when length(s) < 3 then []::varchar[]
+                      else list_transform(range(1, length(s) - 1),
+                                          i -> substr(s, i, 3)) end) as trigram
+        from s),
+model as (select trigram, cast(count(*) as bigint) as n
+          from tri where source = 'src0' group by trigram),
+total as (select cast(sum(n) as bigint) as n_total from model),
+scored as (select t.doc_id as id,
+                  cast(count(*) as bigint) as n_trigrams,
+                  cast(sum(coalesce(m.n, 0)) as bigint) as hit_mass
+           from tri t left join model m using (trigram)
+           group by t.doc_id)
+select d.doc_id as id,
+       cast(coalesce(sc.n_trigrams, 0) as bigint) as n_trigrams,
+       cast(case when coalesce(sc.n_trigrams, 0) = 0 then 0
+                 else (10000000 * sc.hit_mass)
+                      // (t.n_total * sc.n_trigrams) end
+            as bigint) as familiarity_fp
+from documents d
+left join scored sc on sc.id = d.doc_id
+cross join total t
+order by id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3128,6 +3167,7 @@ def registry():
         "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
         "pack_shards": (q_pack_shards, SQL_PACK_SHARDS),
         "frontier_revisit": (q_frontier_revisit, SQL_FRONTIER_REVISIT),
+        "lm_familiarity": (q_lm_familiarity, SQL_LM_FAMILIARITY),
         # -- 2. last driver-green in round 2 (absent from r03's 50) --
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),

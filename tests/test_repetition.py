@@ -36,3 +36,38 @@ def test_repetition_pure_spam_saturates(spark):
     # all 2-grams identical: top mass = 7 runs × 9 chars ≈>> n_chars
     assert r.top2gram_char_frac > 1.0
     assert r.dup3gram_char_frac > 1.0
+
+
+# ---------------------------------------------------------------------------
+# trigram-LM familiarity (textstats.trigram_lm_train / lm_familiarity)
+# ---------------------------------------------------------------------------
+
+
+def test_lm_familiarity_hand_computed(spark):
+    from python_web_scraper_cleaner_spark.operators.textstats import (
+        LM_SCALE, lm_familiarity, trigram_lm_train)
+    ref = spark.createDataFrame([(0, "aaab")], "doc_id long, text string")
+    model = trigram_lm_train(ref)               # {aaa:1, aab:1}, total 2
+    docs = spark.createDataFrame(
+        [(1, "aaaa"),   # trigrams aaa,aaa -> mass 2, n 2 -> SCALE/2
+         (2, "zzzz"),   # all out-of-vocab -> 0
+         (3, "ab")],    # too short -> n_trigrams 0, familiarity 0
+        "doc_id long, text string")
+    got = {r.id: r for r in lm_familiarity(docs, model).collect()}
+    assert (got[1].n_trigrams, got[1].familiarity_fp) == (2, LM_SCALE // 2)
+    assert (got[2].n_trigrams, got[2].familiarity_fp) == (2, 0)
+    assert (got[3].n_trigrams, got[3].familiarity_fp) == (0, 0)
+
+
+def test_lm_familiarity_oov_drags_score_down(spark):
+    from python_web_scraper_cleaner_spark.operators.textstats import (
+        lm_familiarity, trigram_lm_train)
+    ref = spark.createDataFrame([(0, "the cat sat on the mat")],
+                                "doc_id long, text string")
+    model = trigram_lm_train(ref)
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat sat qqxqzj")],
+        "doc_id long, text string")
+    got = {r.id: r.familiarity_fp for r in
+           lm_familiarity(docs, model).collect()}
+    assert got[1] > got[2] > 0
