@@ -57,6 +57,40 @@ AUDITED = [
      "keep/drop tail after component closure (CC rounds audited below): "
      "per-component argmax via partial_max_by on a single bigint key — "
      "map-side combine, no window exchange, no member lists"),
+    ("bm25_topk",
+     "corpus-relative relevance: ONE 1-row stats aggregate "
+     "(partial_count/partial_sum map-side, SinglePartition final), "
+     "IdentityBroadcastMode onto the scoring scan, score filter evaluated "
+     "inside the BroadcastNestedLoopJoin condition, top-20 via "
+     "TakeOrderedAndProject — no wide shuffle anywhere"),
+    ("decontaminate_ngram",
+     "probe shingle hashes broadcast (BuildRight HashedRelation); corpus "
+     "8-gram explode is narrow over the union-of-scans (dup-corpus "
+     "variants pushed as DataFilters); only HIT rows reach the "
+     "groupBy(id) partial_count — the corpus never shuffles a shingle"),
+    ("dedup_incremental",
+     "batch-vs-index LSH: the NEW-batch band frame is the broadcast build "
+     "side probing the index bands (no corpus self-join); signature "
+     "minhashes combine map-side (partial_min) before their per-doc "
+     "shuffle; Jaccard verify joins only candidate docs' shingles"),
+    ("sample_stratified",
+     "stratified corpus sampling: the keep decision is a PURE FILTER "
+     "(md5 basis points vs broadcast per-stratum threshold) — the only "
+     "exchanges are the tiny stratum-count aggregate and the audit "
+     "re-aggregate; no window, corpus scan itself shuffle-free"),
+    ("pack_shards",
+     "distributed prefix sum: per-bucket window cumsums after one hash "
+     "exchange; ONLY bucket totals cross the SinglePartition window; "
+     "global offsets broadcast back — the corpus never funnels through "
+     "one task"),
+    ("frontier_revisit",
+     "revisit backoff: the row_number window and the per-page aggregate "
+     "share one hashpartitioning(page_id) exchange — no second exchange "
+     "before the final presentation sort"),
+    ("lm_familiarity",
+     "trigram-LM scoring: vocab-bounded model broadcast onto the exploded "
+     "doc-trigram stream (BuildRight), per-doc sum is the only doc-keyed "
+     "exchange; 1-row total broadcast; integer div scoring stays codegen"),
 ]
 
 KEEP = re.compile(
