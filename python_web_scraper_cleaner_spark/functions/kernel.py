@@ -900,3 +900,62 @@ def extract_links(raw: bytes | str, base_url: str) -> list[str]:
             seen.add(url)
             out.append(url)
     return out
+
+
+class _AnchorExtractor(HTMLParser):
+    """Collect (href, anchor text) pairs of <a> tags, in document order.
+    The anchor text is the whitespace-normalized character data between
+    the start and end tag; an unclosed <a> at EOF still emits (forgiving
+    parse, same policy as _LinkExtractor)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.pairs: list[tuple[str, str]] = []
+        self._href: Optional[str] = None
+        self._buf: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "a":
+            self._flush()  # implicit close of an unclosed previous <a>
+            for name, value in attrs:
+                if name == "href" and value:
+                    self._href = value
+                    self._buf = []
+                    break
+
+    def handle_data(self, data: str) -> None:
+        if self._href is not None:
+            self._buf.append(data)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "a":
+            self._flush()
+
+    def _flush(self) -> None:
+        if self._href is not None:
+            self.pairs.append(
+                (self._href, " ".join("".join(self._buf).split())))
+        self._href = None
+        self._buf = []
+
+
+def extract_anchors(raw: bytes | str, base_url: str) -> list[tuple[str, str]]:
+    """(absolute url, anchor text) for every <a href> of a page, document
+    order, duplicates KEPT — anchor frequency is the ranking signal, so
+    the aggregation downstream decides what to collapse. Resolution and
+    scheme filtering match extract_links (_resolve_href); malformed HTML
+    never raises."""
+    text = decode_html(raw) if isinstance(raw, (bytes, bytearray)) else raw
+    parser = _AnchorExtractor()
+    try:
+        parser.feed(text)
+        parser.close()
+    except Exception:
+        pass  # keep what was collected before the parse error
+    parser._flush()  # unclosed trailing <a>
+    out: list[tuple[str, str]] = []
+    for href, anchor in parser.pairs:
+        url = _resolve_href(href, base_url or "")
+        if url is not None:
+            out.append((url, anchor))
+    return out

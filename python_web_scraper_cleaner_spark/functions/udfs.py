@@ -194,3 +194,18 @@ def with_clean_text(df, html_col: str = "html", output_format: str = "txt",
     if drop_html:
         out = out.drop(html_col)
     return out
+
+
+ANCHOR_PAIR_TYPE = T.ArrayType(T.StructType([
+    T.StructField("target", T.StringType()),
+    T.StructField("anchor", T.StringType())]))
+
+
+@pandas_udf(ANCHOR_PAIR_TYPE)
+def extract_anchors_udf(html: pd.Series, url: pd.Series) -> pd.Series:
+    """(target url, anchor text) pairs per page (kernel.extract_anchors) —
+    duplicates kept; the anchor-corpus aggregation downstream owns the
+    collapsing. Arrow-batched like every UDF in this module."""
+    return pd.Series([
+        K.extract_anchors(h if h is not None else b"", u)
+        for h, u in zip(html, url)])

@@ -66,3 +66,39 @@ def pagerank_fixed_point(edges: DataFrame, nodes: DataFrame, *,
                          (F.lit(teleport) + F.coalesce(F.col("s"), F.lit(0)))
                          .alias("rank_fp")))
     return ranks
+
+
+def anchor_rollup(pages: DataFrame, *, url_col: str = "url",
+                  html_col: str = "html") -> DataFrame:
+    """Per-target anchor-text corpus from the link graph — the classic
+    web-ranking signal (how OTHER pages describe a target), aggregated
+    from (page html, page url) without ever materializing per-target
+    member lists.
+
+    Output per target url: n_refs (total in-links), n_unique_anchors,
+    top_anchor (most frequent anchor string; ties break lexicographically
+    — bit-deterministic).
+
+    Scale shape: the anchor pairs leave the Arrow stage as narrow
+    (target, anchor) rows — the html blob never crosses an exchange.
+    Aggregation is two-stage: (target, anchor) counts collapse map-side
+    first (duplicate anchors are the common case: nav/footer links), then
+    the per-target roll-up picks top_anchor via min_by on a (−count,
+    anchor) struct — an aggregate, not a window, so no second sort and no
+    per-target row explosion.
+    """
+    from ..functions.udfs import extract_anchors_udf
+
+    pairs = (pages
+             .select(F.explode(extract_anchors_udf(
+                 F.col(html_col), F.col(url_col))).alias("p"))
+             .select(F.col("p.target").alias("target"),
+                     F.col("p.anchor").alias("anchor")))
+    per_anchor = (pairs.groupBy("target", "anchor")
+                  .agg(F.count("*").alias("n")))
+    return (per_anchor.groupBy("target")
+            .agg(F.sum("n").cast("long").alias("n_refs"),
+                 F.count("*").alias("n_unique_anchors"),
+                 F.min_by("anchor",
+                          F.struct((-F.col("n")).alias("neg_n"),
+                                   F.col("anchor"))).alias("top_anchor")))

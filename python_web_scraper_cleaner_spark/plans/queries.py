@@ -3100,6 +3100,45 @@ from a order by page_id
 """
 
 
+def q_anchor_text_rollup(spark, sf_dir):
+    """Per-target anchor-text corpus (operators/graph.py:anchor_rollup) —
+    how OTHER pages describe a target, the classic web-ranking signal the
+    reference's link harvesting (kernel.extract_links) stops short of.
+    Input is the deterministic synthetic pages corpus; the oracle is the
+    kernel twin (extract_anchors + a python Counter) emitted as VALUES,
+    same pattern as crawl_clean_extract."""
+    from ..operators.graph import anchor_rollup
+    from ..sources.pages import synthesize_pages
+    pages = synthesize_pages(spark, 1200)
+    return anchor_rollup(pages).orderBy("target")
+
+
+@lru_cache(maxsize=None)
+def _sql_anchor_rollup():
+    """Expected (target, n_refs, n_unique_anchors, top_anchor) via the
+    kernel anchor extractor over the same synthesized corpus."""
+    from collections import Counter
+
+    from ..functions import kernel as K
+    from ..sources.pages import pages_local
+
+    cnt = Counter()
+    for page in pages_local(1200):
+        for target, anchor in K.extract_anchors(page["html"], page["url"]):
+            cnt[(target, anchor)] += 1
+    per_target: dict = {}
+    for (target, anchor), n in sorted(cnt.items()):
+        refs, uniq, best = per_target.get(target, (0, 0, None))
+        cand = (-n, anchor)
+        per_target[target] = (refs + n, uniq + 1,
+                              cand if best is None or cand < best else best)
+    rows = [(t, refs, uniq, best[1])
+            for t, (refs, uniq, best) in sorted(per_target.items())]
+    return _values_sql(
+        rows, ["target", "n_refs", "n_unique_anchors", "top_anchor"],
+        bigint_cols={"n_refs", "n_unique_anchors"}, order_by="target")
+
+
 def q_lm_familiarity(spark, sf_dir):
     """CCNet-style LM quality tier, log-free (operators/textstats.py):
     train = char-trigram counts over the 'src0' reference slice (vocab-
@@ -3168,6 +3207,7 @@ def registry():
         "pack_shards": (q_pack_shards, SQL_PACK_SHARDS),
         "frontier_revisit": (q_frontier_revisit, SQL_FRONTIER_REVISIT),
         "lm_familiarity": (q_lm_familiarity, SQL_LM_FAMILIARITY),
+        "anchor_text_rollup": (q_anchor_text_rollup, _sql_anchor_rollup),
         # -- 2. last driver-green in round 2 (absent from r03's 50) --
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),

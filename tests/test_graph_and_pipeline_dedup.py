@@ -183,3 +183,44 @@ def test_simhash_band_geometries_agree_with_brute_force(spark):
                D.simhash_near_pairs(sim, max_hamming=h,
                                     n_bands=n_bands).collect()}
         assert got == brute(h), (n_bands, h)
+
+
+# ---------------------------------------------------------------------------
+# anchor-text extraction + per-target rollup (graph.anchor_rollup)
+# ---------------------------------------------------------------------------
+
+
+def test_extract_anchors_kernel():
+    from python_web_scraper_cleaner_spark.functions.kernel import (
+        extract_anchors)
+    h = ('<a href="/x">go <b>here</b></a>'
+         '<a href="http://e.com/y">y1</a><a href="http://e.com/y">y1</a>'
+         '<a href="mailto:a@b">skip</a><a href="#frag">skip</a>'
+         '<a href="/tail">unclosed trailing')
+    got = extract_anchors(h, "http://base.example/dir/")
+    assert got == [("http://base.example/x", "go here"),
+                   ("http://e.com/y", "y1"), ("http://e.com/y", "y1"),
+                   ("http://base.example/tail", "unclosed trailing")]
+
+
+def test_anchor_rollup_counts_and_top_anchor(spark):
+    from python_web_scraper_cleaner_spark.operators.graph import anchor_rollup
+    pages = spark.createDataFrame(
+        [("http://s1.example/", b'<a href="/t">alpha</a><a href="/t">beta</a>'),
+         ("http://s1.example/b", b'<a href="/t">beta</a>'),
+         ("http://s2.example/", b'<a href="http://s1.example/t">beta</a>'
+                                b'<a href="http://s1.example/t">gamma</a>')],
+        "url string, html binary")
+    got = {r.target: r for r in anchor_rollup(pages).collect()}
+    t = got["http://s1.example/t"]
+    # anchors: alpha×1, beta×3, gamma×1 → top = beta (max count)
+    assert (t.n_refs, t.n_unique_anchors, t.top_anchor) == (5, 3, "beta")
+
+
+def test_anchor_rollup_tie_breaks_lexicographically(spark):
+    from python_web_scraper_cleaner_spark.operators.graph import anchor_rollup
+    pages = spark.createDataFrame(
+        [("http://s.example/", b'<a href="/t">zeta</a><a href="/t">alpha</a>')],
+        "url string, html binary")
+    r = anchor_rollup(pages).collect()[0]
+    assert r.top_anchor == "alpha"  # counts tie at 1 → lexicographic min
