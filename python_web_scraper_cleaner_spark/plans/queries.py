@@ -3100,6 +3100,52 @@ from a order by page_id
 """
 
 
+def q_warc_scan_extract(spark, sf_dir):
+    """WARC ingestion round trip (sources/warc.py): deterministic segment
+    blobs → length-delimited record parse → vectorized extraction →
+    per-segment manifest. The oracle recomputes the expectation from the
+    LOGICAL pages that went into the segments (kernel clean_html twin), so
+    any byte corruption anywhere in the write→parse→extract chain flips
+    ok/extracted_chars and fails the hash — the strongest cheap proof the
+    WARC path is lossless."""
+    from ..functions.udfs import with_clean_text
+    from ..sources.warc import synthesize_warc_segments, warc_records
+    segs = synthesize_warc_segments(spark, 1200, pages_per_segment=50)
+    cleaned = with_clean_text(warc_records(segs), output_format="txt")
+    return (cleaned.groupBy("segment_id")
+            .agg(F.count("*").alias("n_records"),
+                 F.sum(F.col("ok").cast("int")).cast("long").alias("n_ok"),
+                 F.sum("extracted_chars").cast("long").alias("sum_chars"),
+                 F.countDistinct("url").alias("n_urls"))
+            .orderBy("segment_id"))
+
+
+@lru_cache(maxsize=None)
+def _sql_warc_scan():
+    """Per-segment expectation from the pages that were ENCODED into each
+    segment — independent of the WARC writer/parser under test."""
+    from ..functions import kernel as K
+    from ..sources.pages import page_record
+
+    rows = []
+    for seg in range(24):
+        lo, hi = seg * 50, min(seg * 50 + 50, 1200)
+        n_ok = sum_chars = 0
+        urls = set()
+        for i in range(lo, hi):
+            page = page_record(i)
+            out = K.clean_html(page["html"], output_format="txt")
+            n_ok += int(out.ok)
+            sum_chars += out.extracted_chars
+            urls.add(page["url"])
+        rows.append((seg, hi - lo, n_ok, sum_chars, len(urls)))
+    return _values_sql(
+        rows, ["segment_id", "n_records", "n_ok", "sum_chars", "n_urls"],
+        bigint_cols={"segment_id", "n_records", "n_ok", "sum_chars",
+                     "n_urls"},
+        order_by="segment_id")
+
+
 def q_anchor_text_rollup(spark, sf_dir):
     """Per-target anchor-text corpus (operators/graph.py:anchor_rollup) —
     how OTHER pages describe a target, the classic web-ranking signal the
@@ -3208,6 +3254,7 @@ def registry():
         "frontier_revisit": (q_frontier_revisit, SQL_FRONTIER_REVISIT),
         "lm_familiarity": (q_lm_familiarity, SQL_LM_FAMILIARITY),
         "anchor_text_rollup": (q_anchor_text_rollup, _sql_anchor_rollup),
+        "warc_scan_extract": (q_warc_scan_extract, _sql_warc_scan),
         # -- 2. last driver-green in round 2 (absent from r03's 50) --
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),

@@ -1,0 +1,163 @@
+"""WARC segment source: synthesize + parse Common-Crawl-style archives.
+
+The north-star input is "Common-Crawl-style web pages"; Common Crawl
+ships WARC (ISO 28500) segment files. This module provides the missing
+source format: a deterministic WARC writer (for fixtures — in production
+the segments already exist in object storage) and a record parser that
+turns opaque segment blobs into (url, warc_ts, html, status) rows.
+
+Parsing is length-delimited, not regex-split: each record declares
+``Content-Length``, so the parser never misfires on payload bytes that
+happen to contain "WARC/1.0" (a real failure mode of naive splitters —
+web pages QUOTE warc headers all the time). Malformed tails degrade to
+a truncated-record skip, never an exception: one corrupt segment must
+not fail a 100-TB scan.
+
+Scale shape: segments are opaque ``binary`` cells processed by
+``mapInPandas`` — one Arrow batch in, narrow rows out; the segment blob
+itself never crosses an exchange, and record extraction is
+embarrassingly parallel per segment (exactly how Common Crawl is laid
+out: ~1 GB segment files, one task each). Record rows carry html as
+binary for the downstream vectorized extraction stage.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WARC_RECORD_SCHEMA = ("segment_id long, rec_idx int, url string, "
+                      "warc_ts string, status int, html binary")
+
+
+def build_warc_record(url: str, ts: str, html: bytes,
+                      status: int = 200) -> bytes:
+    """One WARC/1.0 response record with an HTTP/1.1 payload."""
+    http = (f"HTTP/1.1 {status} OK\r\n"
+            f"Content-Type: text/html\r\n\r\n").encode("ascii") + html
+    head = (f"WARC/1.0\r\n"
+            f"WARC-Type: response\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {ts}\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n").encode("ascii")
+    return head + http + b"\r\n\r\n"
+
+
+def build_warcinfo(segment_id: int) -> bytes:
+    """Leading non-response record (real segments start with warcinfo);
+    parsers must skip it."""
+    body = f"software: spark-graft-synth segment {segment_id}\r\n".encode()
+    head = (f"WARC/1.0\r\n"
+            f"WARC-Type: warcinfo\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n").encode("ascii")
+    return head + body + b"\r\n\r\n"
+
+
+def parse_warc_segment(blob: bytes) -> list[tuple]:
+    """(rec_idx, url, warc_ts, status, html) for every WELL-FORMED
+    response record of one segment, in file order. Length-delimited walk;
+    truncated/malformed tails stop the walk (partial record dropped),
+    non-response records are skipped but consume their declared length."""
+    out: list[tuple] = []
+    pos, idx = 0, 0
+    n = len(blob)
+    while pos < n:
+        hdr_end = blob.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            break
+        head = blob[pos:hdr_end]
+        if not head.startswith(b"WARC/"):
+            break
+        fields = {}
+        for line in head.split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            fields[k.strip().lower()] = v.strip()
+        try:
+            clen = int(fields.get(b"content-length", b""))
+        except ValueError:
+            break
+        body_start = hdr_end + 4
+        body_end = body_start + clen
+        if body_end > n:
+            break  # truncated record
+        if fields.get(b"warc-type") == b"response":
+            body = blob[body_start:body_end]
+            http_end = body.find(b"\r\n\r\n")
+            status = 0
+            html = b""
+            if http_end >= 0:
+                status_line = body[:body.find(b"\r\n")].split(b" ")
+                if len(status_line) >= 2 and status_line[1].isdigit():
+                    status = int(status_line[1])
+                html = body[http_end + 4:]
+            out.append((idx,
+                        fields.get(b"warc-target-uri", b"").decode("utf-8",
+                                                                   "replace"),
+                        fields.get(b"warc-date", b"").decode("ascii",
+                                                             "replace"),
+                        status, html))
+        idx += 1
+        pos = body_end
+        while blob.startswith(b"\r\n", pos):
+            pos += 2
+    return out
+
+
+def synthesize_warc_segments(spark, n_pages: int, *,
+                             pages_per_segment: int = 50) -> DataFrame:
+    """(segment_id, warc:binary): deterministic WARC segments over the
+    synthetic pages corpus (sources/pages.py) — the fixture twin of a
+    Common-Crawl segment listing. Built inside mapInPandas so segment
+    assembly is distributed (one task builds its own segments; nothing
+    but the segment ids is exchanged)."""
+    import pandas as pd
+
+    from .pages import page_record
+
+    n_segments = -(-n_pages // pages_per_segment)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for seg in pdf["id"]:
+                seg = int(seg)
+                lo = seg * pages_per_segment
+                hi = min(lo + pages_per_segment, n_pages)
+                parts = [build_warcinfo(seg)]
+                for i in range(lo, hi):
+                    page = page_record(i)
+                    h = page["html"]  # str, or raw bytes for the
+                    # encoding-repair templates — pass bytes through so
+                    # the mojibake-repair path is exercised END TO END
+                    parts.append(build_warc_record(
+                        page["url"], "2026-06-01T00:00:00Z",
+                        h if isinstance(h, bytes) else h.encode("utf-8")))
+                rows.append((seg, b"".join(parts)))
+            yield pd.DataFrame(rows, columns=["segment_id", "warc"])
+
+    return (spark.range(n_segments)
+            .repartition(min(n_segments, 32))
+            .mapInPandas(gen, schema="segment_id long, warc binary"))
+
+
+def warc_records(segments: DataFrame, *,
+                 blob_col: str = "warc") -> DataFrame:
+    """Explode WARC segment blobs into response-record rows
+    (WARC_RECORD_SCHEMA). The blob is consumed inside the Arrow stage;
+    only narrow record rows (url, ts, status, html) leave it."""
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for seg_id, blob in zip(pdf["segment_id"], pdf[blob_col]):
+                for idx, url, ts, status, html in parse_warc_segment(
+                        bytes(blob)):
+                    rows.append((int(seg_id), idx, url, ts, status, html))
+            yield pd.DataFrame(rows, columns=[
+                "segment_id", "rec_idx", "url", "warc_ts", "status",
+                "html"])
+
+    return segments.mapInPandas(gen, schema=WARC_RECORD_SCHEMA)

@@ -1,0 +1,56 @@
+"""WARC source (sources/warc.py): record writer/parser round trip,
+length-delimited robustness, Spark segment explode."""
+
+from python_web_scraper_cleaner_spark.sources.warc import (
+    build_warc_record, build_warcinfo, parse_warc_segment,
+    synthesize_warc_segments, warc_records)
+
+TS = "2026-06-01T00:00:00Z"
+
+
+def test_roundtrip_payload_containing_warc_header_bytes():
+    # a page QUOTING a warc header must not split the record (the naive
+    # regex-splitter failure mode) — Content-Length delimits, not content
+    sneaky = b"<html>WARC/1.0\r\nWARC-Type: response\r\n\r\nquoted</html>"
+    seg = (build_warcinfo(0)
+           + build_warc_record("http://a.example/1", TS, sneaky)
+           + build_warc_record("http://a.example/2", TS, b"<html>b</html>",
+                               status=404))
+    recs = parse_warc_segment(seg)
+    assert [(r[1], r[3]) for r in recs] == [("http://a.example/1", 200),
+                                            ("http://a.example/2", 404)]
+    assert recs[0][4] == sneaky
+
+
+def test_truncated_tail_drops_partial_record_only():
+    seg = (build_warc_record("http://a.example/1", TS, b"<html>x</html>")
+           + build_warc_record("http://a.example/2", TS, b"<html>y</html>"))
+    recs = parse_warc_segment(seg[:-10])
+    assert len(recs) == 1 and recs[0][1] == "http://a.example/1"
+
+
+def test_garbage_and_bad_content_length_stop_cleanly():
+    assert parse_warc_segment(b"not a warc at all") == []
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"Content-Length: zzz\r\n\r\nbody")
+    assert parse_warc_segment(bad) == []
+
+
+def test_non_response_records_are_skipped_but_consumed():
+    seg = (build_warcinfo(7)
+           + build_warc_record("http://a.example/1", TS, b"<html>x</html>"))
+    recs = parse_warc_segment(seg)
+    assert len(recs) == 1
+    assert recs[0][0] == 1  # warcinfo consumed rec_idx 0
+
+
+def test_spark_segments_roundtrip_counts(spark):
+    segs = synthesize_warc_segments(spark, 120, pages_per_segment=40)
+    recs = warc_records(segs)
+    assert recs.count() == 120
+    by_seg = {r.segment_id: r.n for r in
+              recs.groupBy("segment_id").count()
+              .withColumnRenamed("count", "n").collect()}
+    assert by_seg == {0: 40, 1: 40, 2: 40}
+    urls = recs.select("url").distinct().count()
+    assert urls == 120
