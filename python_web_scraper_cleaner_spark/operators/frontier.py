@@ -202,3 +202,22 @@ def revisit_schedule(history: DataFrame, *, page_col: str = "page_id",
     return agg.withColumn(
         "next_interval_hours",
         F.least(F.lit(max_hours).cast("long"), backoff))
+
+
+def surt_key(url: Column) -> Column:
+    """CDX-style SURT key (Sort-friendly URI Reordering Transform) — the
+    Common-Crawl index ordering: host labels lowercased and REVERSED
+    (com,example,host3), then ')' + path, '?query' kept, fragment and
+    port dropped. All JVM expressions (parse_url + array ops), so a
+    10^10-row index builds inside whole-stage codegen and a prefix scan
+    over the stored-sorted key is a contiguous range read — the layout
+    that makes per-domain lookups on a Common-Crawl-scale index cheap.
+    """
+    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    path = F.lower(F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("")))
+    query = F.parse_url(url, F.lit("QUERY"))
+    return F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.lit(")"), path,
+        F.when(query.isNotNull() & (query != ""),
+               F.concat(F.lit("?"), F.lower(query))).otherwise(F.lit("")))

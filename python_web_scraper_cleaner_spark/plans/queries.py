@@ -3100,6 +3100,37 @@ from a order by page_id
 """
 
 
+def q_cdx_prefix_scan(spark, sf_dir):
+    """CDX index lookup (operators/frontier.py:surt_key): build the
+    SURT-keyed URL index and range-scan one domain prefix — the Common-
+    Crawl index access pattern. At 10^10 rows the index table is stored
+    sorted/bucketed by surt, so the startswith prefix is a contiguous
+    range read; here the predicate still prunes at the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    urls = _doc_urls(docs)
+    idx = urls.select("doc_id", FR.surt_key(F.col("url")).alias("surt"))
+    return (idx.filter(F.col("surt").startswith("com,example,host3)/"))
+            .orderBy("surt", "doc_id"))
+
+
+SQL_CDX_PREFIX = f"""
+with urls as ({_DOC_URLS_SQL}),
+parts as (select doc_id,
+    lower(regexp_extract(url, '^[a-zA-Z]+://([^/:#?]+)', 1)) as host,
+    lower(regexp_extract(url, '^[a-zA-Z]+://[^/]+(/[^?#]*)', 1)) as path,
+    regexp_extract(url, '\\?([^#]*)', 1) as query
+  from urls),
+surt as (select doc_id,
+    array_to_string(list_reverse(string_split(host, '.')), ',') || ')'
+      || path
+      || case when query <> '' then '?' || lower(query) else '' end as surt
+  from parts)
+select doc_id, surt from surt
+where starts_with(surt, 'com,example,host3)/')
+order by surt, doc_id
+"""
+
+
 def q_warc_scan_extract(spark, sf_dir):
     """WARC ingestion round trip (sources/warc.py): deterministic segment
     blobs → length-delimited record parse → vectorized extraction →
@@ -3255,6 +3286,7 @@ def registry():
         "lm_familiarity": (q_lm_familiarity, SQL_LM_FAMILIARITY),
         "anchor_text_rollup": (q_anchor_text_rollup, _sql_anchor_rollup),
         "warc_scan_extract": (q_warc_scan_extract, _sql_warc_scan),
+        "cdx_prefix_scan": (q_cdx_prefix_scan, SQL_CDX_PREFIX),
         # -- 2. last driver-green in round 2 (absent from r03's 50) --
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),

@@ -398,3 +398,20 @@ def test_bloom_geometry_drift_triggers_full_rebuild(spark, tmp_path):
     # the committed filter now carries the new stamp
     assert B.bloom_geometry(eng2.io.read("bloom")) == (
         8, eng2._bloom_m, eng2._bloom_k)
+
+
+def test_surt_key_edges(spark):
+    from pyspark.sql import functions as F
+
+    from python_web_scraper_cleaner_spark.operators.frontier import surt_key
+    rows = [("https://Host3.Example.COM:443/src5/A.html#ref",),
+            ("http://a.b.c/x?Q=1",),
+            ("http://single/",),
+            ("http://up.example/PATH/with/CAPS?b=2&A=1",)]
+    df = spark.createDataFrame(rows, "url string")
+    got = [r.surt for r in df.select(surt_key(F.col("url"))
+                                     .alias("surt")).collect()]
+    assert got == ["com,example,host3)/src5/a.html",  # port+frag dropped
+                   "c,b,a)/x?q=1",
+                   "single)/",
+                   "example,up)/path/with/caps?b=2&a=1"]
