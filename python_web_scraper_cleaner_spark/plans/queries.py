@@ -1512,6 +1512,67 @@ def _sql_link_pagerank(iters: int = 3) -> str:
 SQL_LINK_PAGERANK = _sql_link_pagerank()
 
 
+def q_frontier_priority(spark, sf_dir):
+    """The 'what do we fetch next' decision composed end-to-end: link
+    centrality (pagerank_fixed_point over the doc graph) × freshness
+    (revisit_schedule backoff over the fetch history). Never-fetched
+    pages lead, then shortest revisit interval, then rank — all integer/
+    boolean keys, so the whole ordering is bit-deterministic. Plan: the
+    PageRank iterations' own shuffles + ONE revisit aggregate + a left
+    join keyed on 8-byte ids + TakeOrderedAndProject."""
+    from ..operators import graph as G
+    nodes = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"))
+    n = nodes.count()
+    edges = (nodes.select(F.col("id").alias("src"),
+                          F.expr("id div 2").alias("dst"))
+             .unionByName(
+                 nodes.select(F.col("id").alias("src"),
+                              F.expr(f"(3*id + 1) % {n}").alias("dst"))))
+    pr = G.pagerank_fixed_point(edges, nodes, n_nodes=n, iters=3)
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("page_id"), "ts",
+        F.col("event_id").alias("fetch_id"),
+        F.col("event_type").isin("click", "purchase").alias("changed"))
+    rev = FR.revisit_schedule(ev)
+    return (pr.join(rev, pr.id == rev.page_id, "left")
+            .select(F.col("id").alias("doc_id"), "rank_fp",
+                    F.col("page_id").isNull().alias("never_fetched"),
+                    F.coalesce("next_interval_hours", F.lit(0).cast("long"))
+                    .alias("due_h"))
+            .orderBy(F.desc("never_fetched"), "due_h",
+                     F.desc("rank_fp"), "doc_id")
+            .limit(25))
+
+
+def _sql_frontier_priority() -> str:
+    pr = _sql_link_pagerank()
+    body = pr[:pr.rindex("\nselect id as doc_id")]  # keep the CTE chain
+    return body + """,
+h as (select user_id as page_id, ts, event_id,
+             event_type in ('click', 'purchase') as changed from events),
+rr as (select *, row_number() over (partition by page_id
+                                    order by ts desc, event_id desc) as rn
+       from h),
+rev as (select page_id,
+               cast(coalesce(min(case when changed then rn end) - 1,
+                             count(*)) as bigint) as unchanged_tail
+        from rr group by page_id),
+rev2 as (select page_id,
+                cast(least(720, cast(pow(2, least(unchanged_tail, 10))
+                                     as bigint)) as bigint) as due_h
+         from rev)
+select r.id as doc_id, r.r as rank_fp,
+       (v.page_id is null) as never_fetched,
+       cast(coalesce(v.due_h, 0) as bigint) as due_h
+from r3 r left join rev2 v on v.page_id = r.id
+order by never_fetched desc, due_h, rank_fp desc, doc_id
+limit 25"""
+
+
+SQL_FRONTIER_PRIORITY = _sql_frontier_priority()
+
+
 # ---------------------------------------------------------------------------
 # Similarity / ANN
 # ---------------------------------------------------------------------------
@@ -3287,6 +3348,7 @@ def registry():
         "anchor_text_rollup": (q_anchor_text_rollup, _sql_anchor_rollup),
         "warc_scan_extract": (q_warc_scan_extract, _sql_warc_scan),
         "cdx_prefix_scan": (q_cdx_prefix_scan, SQL_CDX_PREFIX),
+        "frontier_priority": (q_frontier_priority, SQL_FRONTIER_PRIORITY),
         # -- 2. last driver-green in round 2 (absent from r03's 50) --
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
