@@ -1,0 +1,95 @@
+"""Scale smoke for the round-4 corpus operators: do the plans hold when
+the input is 100-1000× the sf0.1 tables?
+
+Synthesizes inputs with spark.range (no disk, pure generation cost is
+measured separately via a count-only baseline) and times:
+
+- stratified_sample: 10M rows, 8 strata — the keep decision must stay a
+  pure filter (wall ≈ the count-only baseline + hash math).
+- pack_shards: 5M rows — the distributed prefix sum's single-partition
+  window sees only n/bucket_width bucket totals; wall must stay in the
+  seconds, not the minutes a naive global window would cost.
+- revisit_schedule: 5M fetch rows over 100k pages — one exchange.
+
+Writes BENCH_CORPUS_OPS.json. Run on a quiet box; loadavg recorded.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from python_web_scraper_cleaner_spark.operators.frontier import (
+        revisit_schedule)
+    from python_web_scraper_cleaner_spark.operators.sampling import (
+        pack_shards, stratified_sample)
+    from python_web_scraper_cleaner_spark.session import build_session
+
+    spark = build_session(app_name="bench_corpus_ops")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {"job": "round-4 corpus ops at 100-1000x sf0.1 row counts",
+           "loadavg_1m_start": round(os.getloadavg()[0], 2)}
+
+    def best_of(fn, n=3):
+        walls = []
+        for _ in range(n):
+            t0 = time.time()
+            fn()
+            walls.append(round(time.time() - t0, 3))
+        return walls
+
+    # -- stratified sample, 10M rows ------------------------------------
+    docs = (spark.range(10_000_000)
+            .select(F.col("id").alias("doc_id"),
+                    F.concat(F.lit("lang"), (F.col("id") % 8).cast("string"))
+                    .alias("lang")))
+    base = best_of(lambda: docs.count())
+    sample = best_of(lambda: (
+        stratified_sample(docs, strata_cols=["lang"], id_col="doc_id",
+                          target=100_000)
+        .agg(F.sum(F.col("sampled").cast("long"))).collect()))
+    out["stratified_sample_10m"] = {
+        "count_only_baseline_sec": base, "sample_sec": sample,
+        "note": "sample wall minus baseline = md5 + filter + stratum agg"}
+
+    # -- pack_shards, 5M rows -------------------------------------------
+    toks = (spark.range(5_000_000)
+            .select(F.col("id").alias("doc_id"),
+                    (F.col("id") % 997 + 10).alias("n_toks")))
+    packed = best_of(lambda: (
+        pack_shards(toks, id_col="doc_id", tokens_col="n_toks",
+                    budget=1_000_000, bucket_width=10_000)
+        .agg(F.max("shard_id"), F.count("*")).collect()))
+    out["pack_shards_5m"] = {
+        "sec": packed,
+        "bucket_totals_rows": 5_000_000 // 10_000,
+        "note": "single-partition window sees 500 bucket totals, not 5M"}
+
+    # -- revisit_schedule, 5M fetches over 100k pages ---------------------
+    hist = (spark.range(5_000_000)
+            .select((F.col("id") % 100_000).alias("page_id"),
+                    F.timestamp_seconds(F.lit(1_750_000_000)
+                                        + F.col("id")).alias("ts"),
+                    F.col("id").alias("fetch_id"),
+                    (F.col("id") % 7 == 0).alias("changed")))
+    rev = best_of(lambda: (
+        revisit_schedule(hist)
+        .agg(F.sum("unchanged_tail"), F.count("*")).collect()))
+    out["revisit_5m_fetches_100k_pages"] = {"sec": rev}
+
+    out["loadavg_1m_end"] = round(os.getloadavg()[0], 2)
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_CORPUS_OPS.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
