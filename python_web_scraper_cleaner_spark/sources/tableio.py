@@ -16,7 +16,8 @@ Layout per table:
 
 When an Iceberg catalog is available, swap TableIO for the real thing —
 the engine only uses this narrow interface (read / append_round / rollback
-/ latest_round).
+/ latest_round, plus read_at time travel and vacuum = Iceberg's
+VERSION AS OF and expire_snapshots).
 """
 
 from __future__ import annotations
@@ -147,3 +148,51 @@ class TableIO:
         with open(tmp, "w") as f:
             f.write(snap_id)
         os.replace(tmp, os.path.join(td, "LATEST"))
+
+    def vacuum(self, name: str, *, keep_last: int = 1) -> dict:
+        """Expire old snapshots and delete data dirs no kept snapshot
+        references (Iceberg ``expire_snapshots`` analog). Keeps the
+        newest ``keep_last`` snapshots (the LATEST one always survives —
+        keep_last is clamped to ≥ 1); time travel remains possible within
+        the kept window and is refused beyond it, exactly like Iceberg
+        after expiry.
+
+        Safety order: snapshot JSONs of expired versions are removed
+        FIRST, data dirs second — a crash mid-vacuum leaves unreferenced
+        data dirs (wasted space, repaired by the next vacuum), never a
+        snapshot that references deleted data."""
+        import shutil
+
+        td = self._tdir(name)
+        latest = self._latest_snapshot(name)
+        if latest is None:
+            raise FileNotFoundError(f"table {name} has no committed snapshot")
+        keep_last = max(1, keep_last)
+        snaps = self._snapshots(name)
+        # never expire the snapshot LATEST points at, even if rollback
+        # moved it behind newer snapshot files
+        keep_files = set(snaps[-keep_last:])
+        keep_files.add(f"snap-{latest['snapshot']:05d}.json")
+        kept_dirs: set[str] = set()
+        expired = []
+        for fname in snaps:
+            path = os.path.join(td, fname)
+            with open(path) as f:
+                manifest = json.load(f)
+            if fname in keep_files:
+                kept_dirs.update(manifest["dirs"])
+            else:
+                expired.append(path)
+        for path in expired:
+            os.remove(path)
+        data_root = os.path.join(td, "data")
+        removed = []
+        if os.path.isdir(data_root):
+            for d in sorted(os.listdir(data_root)):
+                rel = os.path.join("data", d)
+                if rel not in kept_dirs:
+                    shutil.rmtree(os.path.join(data_root, d))
+                    removed.append(rel)
+        return {"expired_snapshots": len(expired),
+                "removed_dirs": removed,
+                "kept_snapshots": len(keep_files & set(snaps))}

@@ -415,3 +415,46 @@ def test_surt_key_edges(spark):
                    "c,b,a)/x?q=1",
                    "single)/",
                    "example,up)/path/with/caps?b=2&a=1"]
+
+
+def test_vacuum_expires_snapshots_keeps_latest_readable(spark, tmp_path):
+    from python_web_scraper_cleaner_spark.sources.tableio import TableIO
+    import pytest as _pytest
+
+    io = TableIO(spark, str(tmp_path / "t"))
+    for r in range(4):
+        io.append_round(spark.range(r * 10, r * 10 + 10)
+                        .withColumnRenamed("id", "v"), "tbl", r)
+    assert io.read("tbl").count() == 40
+    assert len(io.snapshots("tbl")) == 4
+
+    stats = io.vacuum("tbl", keep_last=2)
+    assert stats["expired_snapshots"] == 2
+    # snapshot 3's manifest references ALL FOUR data dirs (append-only),
+    # so nothing is deletable yet — vacuum must not break the kept reads
+    assert stats["removed_dirs"] == []
+    assert io.read("tbl").count() == 40
+    assert io.read_at("tbl", 3).count() == 30
+    with _pytest.raises(FileNotFoundError):
+        io.read_at("tbl", 1)  # expired → refused, like iceberg
+
+    # an overwrite drops all old dir references; vacuum then reclaims them
+    io.overwrite(spark.range(5).withColumnRenamed("id", "v"), "tbl", 99)
+    stats = io.vacuum("tbl", keep_last=1)
+    assert len(stats["removed_dirs"]) == 4
+    assert io.read("tbl").count() == 5
+
+
+def test_vacuum_never_expires_rolled_back_latest(spark, tmp_path):
+    from python_web_scraper_cleaner_spark.sources.tableio import TableIO
+
+    io = TableIO(spark, str(tmp_path / "t"))
+    for r in range(3):
+        io.overwrite(spark.range(r + 1).withColumnRenamed("id", "v"),
+                     "tbl", r)
+    io.rollback("tbl", 2)           # LATEST now points mid-history
+    stats = io.vacuum("tbl", keep_last=1)
+    # snapshot 2 (the rolled-back LATEST, round 1 → 2 rows) must survive
+    # even though keep_last=1 would otherwise keep only snapshot 3
+    assert io.read("tbl").count() == 2
+    assert all("r000001" not in d for d in stats["removed_dirs"])
