@@ -2600,6 +2600,77 @@ def _sql_stream_windowed():
             f"order by window_start, lang")
 
 
+def q_stream_host_rate(spark, sf_dir):
+    """§2.8 sliding-window per-host fetch rate as a REAL stream (streaming/
+    rounds.py:sliding_host_rate): 1 h windows sliding every 30 min, 2 h
+    watermark, drained availableNow through two round files. Sliding
+    windows put each event in TWO windows — the overlap semantics the
+    tumbling rollup can't express; the politeness-monitoring view."""
+    import tempfile
+
+    from ..sources.pages import synthesize_pages
+    from ..streaming.rounds import (read_pages_stream, run_stream_to_table,
+                                    sliding_host_rate)
+
+    pages = (synthesize_pages(spark, 600)
+             .withColumn("_doc_id",
+                         F.regexp_extract("url", r"/(\d+)\.html$", 1)
+                         .cast("long"))
+             .withColumn("warc_ts",
+                         F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+                         + F.make_interval(mins=F.col("_doc_id")))
+             .drop("_doc_id"))
+    base = tempfile.mkdtemp(prefix="spark_graft_stream_rate_")
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    (pages.filter(F.col("warc_ts") < F.lit("2026-01-01 05:00:00"))
+     .repartition(1).write.mode("append").parquet(in_dir))
+    (pages.filter(F.col("warc_ts") >= F.lit("2026-01-01 05:00:00"))
+     .repartition(1).write.mode("append").parquet(in_dir))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = read_pages_stream(spark, in_dir, max_files_per_trigger=1)
+        rated = sliding_host_rate(stream, window="1 hour",
+                                  slide="30 minutes", watermark="2 hours")
+        run_stream_to_table(rated, ckpt, out_dir, output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return _collect_and_cleanup(
+        spark,
+        spark.read.parquet(out_dir)
+        .select("window_start", "host", "n_fetches")
+        .orderBy("window_start", "host"),
+        base)
+
+
+def _sql_stream_host_rate():
+    """Batch twin of the sliding-window rate: each event maps to the two
+    30-min-aligned window starts in (ts − 1 h, ts], computed by the kernel
+    corpus generator (hosts come from the deterministic page urls)."""
+    import datetime as dt
+    from urllib.parse import urlsplit
+
+    from ..sources.pages import pages_local
+
+    agg: dict = {}
+    base = dt.datetime(2026, 1, 1)
+    for doc_id, page in enumerate(pages_local(600)):
+        ts = base + dt.timedelta(minutes=doc_id)
+        host = urlsplit(page["url"]).hostname
+        grid = ts.replace(minute=(ts.minute // 30) * 30, second=0,
+                          microsecond=0)
+        for start in (grid, grid - dt.timedelta(minutes=30)):
+            key = (start, host)
+            agg[key] = agg.get(key, 0) + 1
+    rows = [(w.strftime("%Y-%m-%d %H:%M:%S"), h, n)
+            for (w, h), n in sorted(agg.items())]
+    body = ",\n".join(f"(timestamp '{w}', {_sql_quote(h)}, {n})"
+                      for w, h, n in rows)
+    return (f"select window_start, host, cast(n_fetches as bigint) as "
+            f"n_fetches from (values\n{body}\n) as t(window_start, host, "
+            f"n_fetches) order by window_start, host")
+
+
 # ---------------------------------------------------------------------------
 # Crawl pipeline (pandas-UDF path — rows-only check, parity via pytest)
 # ---------------------------------------------------------------------------
@@ -3349,6 +3420,7 @@ def registry():
         "warc_scan_extract": (q_warc_scan_extract, _sql_warc_scan),
         "cdx_prefix_scan": (q_cdx_prefix_scan, SQL_CDX_PREFIX),
         "frontier_priority": (q_frontier_priority, SQL_FRONTIER_PRIORITY),
+        "stream_host_rate": (q_stream_host_rate, _sql_stream_host_rate),
         # -- 2. last driver-green in round 2 (absent from r03's 50) --
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),

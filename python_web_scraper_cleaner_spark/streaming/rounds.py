@@ -178,3 +178,22 @@ def run_stream_to_table(stream_df: DataFrame, checkpoint_dir: str,
     q = writer.start()
     q.awaitTermination()
     return q
+
+
+def sliding_host_rate(pages: DataFrame, *, window: str = "1 hour",
+                      slide: str = "30 minutes",
+                      watermark: str = "2 hours") -> DataFrame:
+    """Watermarked SLIDING-window per-host fetch rate — the politeness
+    monitoring view (is any host being hit too fast right now?). Each
+    event lands in window/slide overlapping windows — the semantics
+    tumbling windows (windowed_crawl_log) cannot express. Host is derived
+    from the url inside the stream (parse_url is stream-safe), so the
+    operator works straight off the input_hint schema."""
+    return (pages
+            .withColumn("host", F.parse_url(F.col("url"), F.lit("HOST")))
+            .withWatermark("warc_ts", watermark)
+            .groupBy(F.window("warc_ts", window, slide).alias("win"),
+                     "host")
+            .agg(F.count("*").alias("n_fetches"))
+            .select(F.col("win.start").alias("window_start"), "host",
+                    F.col("n_fetches").cast("long").alias("n_fetches")))

@@ -134,3 +134,25 @@ def test_windowed_crawl_log_matches_batch(spark, tmp_path):
         assert expect[key] == val, key
     # every emitted window is from the old (closed) event-time region
     assert all(ws < BASE + dt.timedelta(hours=12) for ws, _ in got)
+
+
+def test_sliding_host_rate_batch_semantics(spark):
+    """Sliding 1h/30min windows: each event lands in exactly two windows;
+    counts verified against hand-placed timestamps (batch mode — the
+    window arithmetic is identical in a stream)."""
+    import datetime as dt
+
+    from python_web_scraper_cleaner_spark.streaming.rounds import (
+        sliding_host_rate)
+    t = lambda h, m: dt.datetime(2026, 1, 1, h, m)
+    rows = [("http://a.example/1", t(1, 10)),   # windows 00:30, 01:00
+            ("http://a.example/2", t(1, 40)),   # windows 01:00, 01:30
+            ("http://b.example/1", t(1, 40))]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp")
+    got = {(r.window_start, r.host): r.n_fetches
+           for r in sliding_host_rate(df).collect()}
+    assert got[(t(1, 0), "a.example")] == 2      # both a-events overlap here
+    assert got[(t(0, 30), "a.example")] == 1
+    assert got[(t(1, 30), "a.example")] == 1
+    assert got[(t(1, 30), "b.example")] == 1
+    assert sum(v for (w, h), v in got.items() if h == "a.example") == 4
