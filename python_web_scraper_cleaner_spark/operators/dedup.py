@@ -767,3 +767,17 @@ def minhash_lsh_probe_index(index_bands: DataFrame, index_docs: DataFrame,
                              tag="lsh_probe_verify_shingles")
     return (jaccard_for_pairs(sh_all, pairs)
             .filter(F.col("jaccard") >= threshold))
+
+
+def append_to_signature_index(index_bands: DataFrame,
+                              new_bands: DataFrame,
+                              kept_new_ids: DataFrame,
+                              id_col: str = "id") -> DataFrame:
+    """Per-round index maintenance closing the incremental loop: probe
+    (minhash_lsh_probe_index) → drop near-dups → APPEND the kept batch's
+    bands. Docs dropped as near-dups never enter the index, so it stays
+    one row set per canonical doc; the union is append-only (no index
+    rewrite, no corpus re-shingle) — in production this is an INSERT INTO
+    the stored signature table, O(batch) per crawl round."""
+    kept = new_bands.join(kept_new_ids.select(id_col), id_col, "left_semi")
+    return index_bands.unionByName(kept)

@@ -360,6 +360,20 @@ class CrawlEngine:
                 break
         return stats
 
+    def vacuum(self, *, keep_last: int = 2) -> dict:
+        """Expire old table snapshots (TableIO.vacuum per engine table).
+        A long crawl overwrites frontier and bloom EVERY round, so without
+        maintenance their superseded data dirs accumulate one per round —
+        at 10^10 urls that is real storage. keep_last=2 preserves one
+        rollback step; resume semantics are untouched because resume only
+        ever reads LATEST."""
+        out = {}
+        for name in ("frontier", "bloom", "url_seen", "pages", "crawl_log",
+                     "robots"):
+            if self.io.exists(name):
+                out[name] = self.io.vacuum(name, keep_last=keep_last)
+        return out
+
     # -- audit ------------------------------------------------------------------
     def crawl_order(self) -> list[tuple]:
         """The committed crawl order: (round, host, fetch_slot, url) — the

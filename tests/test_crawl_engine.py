@@ -458,3 +458,27 @@ def test_vacuum_never_expires_rolled_back_latest(spark, tmp_path):
     # even though keep_last=1 would otherwise keep only snapshot 3
     assert io.read("tbl").count() == 2
     assert all("r000001" not in d for d in stats["removed_dirs"])
+
+
+def test_engine_vacuum_preserves_resume_state(spark, tmp_path):
+    from python_web_scraper_cleaner_spark.plans.crawl import (
+        CrawlEngine, default_robots, synthesize_seeds)
+
+    root = str(tmp_path / "eng")
+    eng = CrawlEngine(spark, root, per_host_budget=8)
+    eng.bootstrap(synthesize_seeds(spark, 60), default_robots(spark))
+    eng.run_round(0)
+    eng.run_round(1)
+    seen_before = eng.io.read("url_seen").count()
+    frontier_before = eng.io.read("frontier").count()
+
+    stats = eng.vacuum(keep_last=1)
+    # frontier/bloom overwrite per round -> their round-0 dirs reclaimed
+    assert stats["frontier"]["removed_dirs"]
+    assert stats["bloom"]["removed_dirs"]
+    # state the NEXT round reads is byte-identical
+    assert eng.io.read("url_seen").count() == seen_before
+    assert eng.io.read("frontier").count() == frontier_before
+    assert eng.last_round() == 1
+    eng.run_round(2)  # and the engine still advances after maintenance
+    assert eng.last_round() == 2

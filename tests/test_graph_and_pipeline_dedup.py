@@ -224,3 +224,36 @@ def test_anchor_rollup_tie_breaks_lexicographically(spark):
         "url string, html binary")
     r = anchor_rollup(pages).collect()[0]
     assert r.top_anchor == "alpha"  # counts tie at 1 → lexicographic min
+
+
+def test_incremental_index_append_loop(spark):
+    """Two crawl rounds against a growing signature index: round 1's kept
+    doc becomes round 2's dedup evidence — the full production loop
+    (probe -> drop -> append) with the corpus never re-shingled."""
+    base_txt = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame([(1, base_txt)], "doc_id long, text string")
+    bands = D.banded_signatures(corpus, "doc_id", "text",
+                                k=3, n_hashes=16, band_size=4)
+
+    # round 1: one dup of doc 1, one novel doc
+    novel_txt = "completely different words about spark shuffles and joins"
+    r1 = spark.createDataFrame(
+        [(100, base_txt), (101, novel_txt)], "doc_id long, text string")
+    pairs = D.minhash_lsh_probe_index(bands, corpus, r1, k=3, n_hashes=16,
+                                      band_size=4, threshold=0.7)
+    dropped = {r.id_b for r in pairs.collect()}
+    assert dropped == {100}
+    kept = r1.filter(~F.col("doc_id").isin(list(dropped)))
+    kept_bands = D.banded_signatures(kept, "doc_id", "text",
+                                     k=3, n_hashes=16, band_size=4)
+    bands2 = D.append_to_signature_index(
+        bands, kept_bands, kept.select(F.col("doc_id").alias("id")))
+
+    # round 2: a dup of the ROUND-1 doc must now be caught by the index
+    corpus2 = corpus.unionByName(kept)
+    r2 = spark.createDataFrame([(200, novel_txt)], "doc_id long, text string")
+    pairs2 = D.minhash_lsh_probe_index(bands2, corpus2, r2, k=3,
+                                       n_hashes=16, band_size=4,
+                                       threshold=0.7)
+    got = {(r.id_a, r.id_b) for r in pairs2.select("id_a", "id_b").collect()}
+    assert got == {(101, 200)}
