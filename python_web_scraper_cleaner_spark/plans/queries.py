@@ -1826,6 +1826,75 @@ where cos_sim >= 0.99 order by id_a, id_b
 """
 
 
+def q_pipeline_semantic_dedup(spark, sf_dir):
+    """The ANN tier composes with the clustering tier: embedding-cosine
+    near-dup pairs (bucketed self-join) → connected components →
+    keep-best by fixed-point vector-norm quality. The semantic analog of
+    pipeline_llm_corpus's text near-dup stage — proves clusters/keep_best
+    are representation-agnostic (they key on ids only)."""
+    emb = _emb(spark, sf_dir)
+    pert = (emb.filter(F.col("id") % 25 == 0)
+            .select((F.col("id") + 10000).alias("id"),
+                    F.concat(
+                        F.array(F.element_at("vec", 1)
+                                + F.lit(0.01).cast("float")),
+                        F.slice("vec", 2, _EMB_DIMS - 1)).alias("vec")))
+    corpus = emb.unionByName(pert)
+    pairs = SIM.embedding_near_duplicates(corpus, threshold=0.99,
+                                          dims=_EMB_DIMS)
+    comp = D.connected_components(pairs.select("id_a", "id_b"))
+    quality = corpus.select(
+        "id",
+        F.round(F.aggregate("vec", F.lit(0.0),
+                            lambda a, x: a + x.cast("double") * x)
+                * 10000).cast("long").alias("quality"))
+    return (D.keep_best(quality, comp)
+            .select("id", "component_id", "kept").orderBy("id"))
+
+
+SQL_PIPELINE_SEMANTIC = f"""
+with recursive
+base as (select vec_id as id, embedding as v from embeddings),
+pert as (select id + 10000 as id,
+                list_prepend((v[1]::FLOAT + 0.01::FLOAT), v[2:64]) as v
+         from base where id % 25 = 0),
+e as (select id, v::DOUBLE[] as v
+      from (select * from base union all select * from pert)),
+b as (select id, v, {{bucket}} as bucket from e),
+near as (select a.id as id_a, b_.id as id_b
+         from b a join b b_ on a.bucket = b_.bucket and a.id < b_.id
+         where round(list_sum(list_transform(range(1, 65), i -> a.v[i] * b_.v[i])) /
+               (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i]))) *
+                sqrt(list_sum(list_transform(range(1, 65), i -> b_.v[i] * b_.v[i])))), 4)
+               >= 0.99),
+nodes as (select distinct id from (select id_a as id from near
+                                   union all select id_b from near) t),
+edges as (select id_a as src, id_b as dst from near
+          union all select id_b, id_a from near),
+reach(id, comp) as (
+  select id, id from nodes
+  union
+  select e2.dst, r.comp from reach r join edges e2 on e2.src = r.id),
+comps as (select id, min(comp) as component_id from reach group by id),
+q as (select id,
+             cast(round(list_sum(list_transform(range(1, 65),
+                                                i -> v[i] * v[i])) * 10000)
+                  as bigint) as quality
+      from e),
+members as (select q.id, coalesce(c.component_id, q.id) as component_id,
+                   q.quality
+            from q left join comps c on c.id = q.id),
+best as (select component_id, id as best_id from (
+           select component_id, id,
+                  row_number() over (partition by component_id
+                                     order by quality desc, id asc) as rn
+           from members) where rn = 1)
+select m.id, m.component_id, (m.id = b2.best_id) as kept
+from members m join best b2 on b2.component_id = m.component_id
+order by m.id
+""".replace("{bucket}", _BUCKET_SQL)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -3421,6 +3490,8 @@ def registry():
         "cdx_prefix_scan": (q_cdx_prefix_scan, SQL_CDX_PREFIX),
         "frontier_priority": (q_frontier_priority, SQL_FRONTIER_PRIORITY),
         "stream_host_rate": (q_stream_host_rate, _sql_stream_host_rate),
+        "pipeline_semantic_dedup": (q_pipeline_semantic_dedup,
+                                    SQL_PIPELINE_SEMANTIC),
         # -- 2. last driver-green in round 2 (absent from r03's 50) --
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
