@@ -3305,8 +3305,11 @@ def q_cdx_prefix_scan(spark, sf_dir):
     """CDX index lookup (operators/frontier.py:surt_key): build the
     SURT-keyed URL index and range-scan one domain prefix — the Common-
     Crawl index access pattern. At 10^10 rows the index table is stored
-    sorted/bucketed by surt, so the startswith prefix is a contiguous
-    range read; here the predicate still prunes at the scan."""
+    sorted/bucketed by surt (a physical column), so the startswith
+    predicate pushes to the scan and reads a contiguous key range; in
+    this derived-column demo it evaluates post-projection inside
+    whole-stage codegen (one narrow scan, no exchange before the
+    filter)."""
     docs = _t(spark, sf_dir, "documents")
     urls = _doc_urls(docs)
     idx = urls.select("doc_id", FR.surt_key(F.col("url")).alias("surt"))

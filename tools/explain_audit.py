@@ -91,6 +91,17 @@ AUDITED = [
      "trigram-LM scoring: vocab-bounded model broadcast onto the exploded "
      "doc-trigram stream (BuildRight), per-doc sum is the only doc-keyed "
      "exchange; 1-row total broadcast; integer div scoring stays codegen"),
+    ("cdx_prefix_scan",
+     "SURT prefix lookup: here the key is COMPUTED from the url, so the "
+     "StartsWith evaluates post-projection inside codegen (single narrow "
+     "scan, no exchange before the filter); on the stored/sorted index "
+     "table a real deployment maintains, surt is a physical column and "
+     "the same predicate pushes to the scan + prunes row groups"),
+    ("frontier_priority",
+     "composed next-fetch ordering: PageRank iterations' own shuffles + "
+     "one revisit window/aggregate sharing a page_id exchange + an "
+     "8-byte-key join + TakeOrderedAndProject — no extra exchanges "
+     "added by the composition"),
 ]
 
 KEEP = re.compile(
