@@ -97,3 +97,37 @@ def test_shingles_cover_tokens(s, k):
         joined = " ".join(sh)
         for t in toks:
             assert t in joined
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=600))
+def test_parse_warc_segment_never_raises(blob):
+    from python_web_scraper_cleaner_spark.sources.warc import (
+        parse_warc_segment)
+    recs = parse_warc_segment(blob)
+    for idx, url, ts, status, html in recs:
+        assert isinstance(url, str) and isinstance(html, bytes)
+        assert isinstance(status, int)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=400), st.binary(max_size=300))
+def test_warc_roundtrip_arbitrary_payload(payload, junk_tail):
+    """Any payload bytes — including ones that LOOK like WARC headers —
+    survive the write→parse round trip intact; junk after the last record
+    never corrupts the parsed ones."""
+    from python_web_scraper_cleaner_spark.sources.warc import (
+        build_warc_record, parse_warc_segment)
+    seg = build_warc_record("http://x.example/p", "2026-06-01T00:00:00Z",
+                            payload) + junk_tail
+    recs = parse_warc_segment(seg)
+    assert recs and recs[0][4] == payload
+
+
+@settings(max_examples=200, deadline=None)
+@given(messy_text_st, st.text(max_size=80))
+def test_extract_anchors_never_raises(html, base):
+    out = K.extract_anchors(html, base)
+    for url, anchor in out:
+        assert url.startswith(("http://", "https://"))
+        assert "\n" not in anchor and "  " not in anchor  # ws-normalized
