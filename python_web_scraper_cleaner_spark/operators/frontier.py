@@ -86,7 +86,8 @@ def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
 
 def select_round_batch(frontier: DataFrame, *, per_host_budget: int,
                        hot_host_threshold: int | None = None,
-                       n_salts: int = 8) -> DataFrame:
+                       n_salts: int = 8,
+                       round_ms: int | None = None) -> DataFrame:
     """Pick this round's fetch batch: deterministic top-k per host.
 
     Plain path: one window per host. Hot-host path: hosts whose pending
@@ -95,14 +96,33 @@ def select_round_batch(frontier: DataFrame, *, per_host_budget: int,
     mega-host over n_salts reducers instead of one (skew kill). Budget is
     split evenly across salts (ceil), preserving the per-host total.
 
+    ``round_ms`` makes the budget DELAY-AWARE: a host whose robots
+    crawl-delay is d ms can politely absorb at most round_ms/d fetches in
+    a round of that length, so its effective budget is
+    min(per_host_budget, max(1, round_ms div d)). Hosts with no/zero
+    delay keep the flat budget. Default None = flat budgets (back-compat
+    and the deterministic-fixture path).
+
     The output carries ``fetch_slot`` (the deterministic per-host rank) so
     politeness_schedule can reuse it instead of running a second window.
     """
+    if round_ms is None:
+        budget = F.lit(per_host_budget)
+    else:
+        delay = F.greatest(F.coalesce(F.col("crawl_delay_ms"),
+                                      F.lit(0)).cast("long"), F.lit(1))
+        # float div + cast is exact here: round_ms is a job parameter far
+        # below 2^53, and truncation-toward-zero is the wanted floor
+        budget = F.least(
+            F.lit(per_host_budget).cast("long"),
+            F.greatest(F.lit(1).cast("long"),
+                       (F.lit(round_ms).cast("long") / delay)
+                       .cast("long")))
     if hot_host_threshold is None:
         w = Window.partitionBy("host").orderBy(
             *[F.asc(c) for c in FRONTIER_ORDER])
         return (frontier.withColumn("fetch_slot", F.row_number().over(w))
-                .filter(F.col("fetch_slot") <= per_host_budget))
+                .filter(F.col("fetch_slot") <= budget))
 
     counts = frontier.groupBy("host").agg(F.count("*").alias("_pending"))
     hot = counts.filter(F.col("_pending") > hot_host_threshold) \
@@ -115,8 +135,8 @@ def select_round_batch(frontier: DataFrame, *, per_host_budget: int,
                                         F.lit(n_salts)))
                           .otherwise(F.lit(0))))
     per_salt = F.when(F.col("_pending").isNotNull(),
-                      F.ceil(F.lit(per_host_budget) / n_salts)) \
-                .otherwise(F.lit(per_host_budget))
+                      F.ceil(budget / n_salts)) \
+                .otherwise(budget)
     w = Window.partitionBy("host", "_salt").orderBy(
         *[F.asc(c) for c in FRONTIER_ORDER])
     survivors = (salted.withColumn("rn", F.row_number().over(w))
@@ -131,7 +151,7 @@ def select_round_batch(frontier: DataFrame, *, per_host_budget: int,
     w2 = Window.partitionBy("host").orderBy(
         *[F.asc(c) for c in FRONTIER_ORDER])
     return (survivors.withColumn("fetch_slot", F.row_number().over(w2))
-            .filter(F.col("fetch_slot") <= per_host_budget))
+            .filter(F.col("fetch_slot") <= budget))
 
 
 def politeness_schedule(batch: DataFrame, *,

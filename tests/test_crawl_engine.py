@@ -482,3 +482,30 @@ def test_engine_vacuum_preserves_resume_state(spark, tmp_path):
     assert eng.last_round() == 1
     eng.run_round(2)  # and the engine still advances after maintenance
     assert eng.last_round() == 2
+
+
+def test_delay_aware_budget_caps_slow_hosts(spark):
+    """round_ms makes the per-host budget crawl-delay-aware: a host whose
+    robots delay is 1 s absorbs at most round_ms/1000 fetches; hosts with
+    no delay keep the flat budget."""
+    from python_web_scraper_cleaner_spark.operators.frontier import (
+        select_round_batch)
+    rows = []
+    for h, delay in [("slow.example", 1000), ("fast.example", 0)]:
+        for i in range(20):
+            rows.append((f"https://{h}/{i}", h, 1,
+                         dt.datetime(2026, 1, 1, 0, i), delay))
+    df = spark.createDataFrame(
+        rows, "canonical_url string, host string, priority int, "
+              "warc_ts timestamp, crawl_delay_ms long")
+    got = (select_round_batch(df, per_host_budget=10, round_ms=5000)
+           .groupBy("host").count().collect())
+    by_host = {r.host: r["count"] for r in got}
+    assert by_host == {"slow.example": 5, "fast.example": 10}
+
+    # salted path honors the same delay-aware cap
+    got2 = (select_round_batch(df, per_host_budget=10, round_ms=5000,
+                               hot_host_threshold=5, n_salts=4)
+            .groupBy("host").count().collect())
+    assert {r.host: r["count"] for r in got2} == {"slow.example": 5,
+                                                  "fast.example": 10}
