@@ -60,7 +60,12 @@ def decode_media(data: bytes, kind: str) -> dict:
             raise ValueError("corrupt image envelope: missing channel tag")
         payload = np.frombuffer(data, np.uint8, offset=IMG_HEADER_LEN)
         n = w * h * 3
-        pixels = np.tile(payload, -(-n // payload.size))[:n].reshape(h, w, 3)
+        if n > 0 and payload.size == 0:
+            # all-header truncation: fail with the same clear corrupt-
+            # envelope error as other malformed shapes, not ZeroDivision
+            raise ValueError("corrupt image envelope: empty payload")
+        pixels = (np.tile(payload, -(-n // max(payload.size, 1)))[:n]
+                  .reshape(h, w, 3))
         return {"width": w, "height": h, "channels": 3, "pixels": pixels}
     if kind == "audio":
         if magic != b"AUD":
@@ -74,8 +79,12 @@ def decode_media(data: bytes, kind: str) -> dict:
             raise NotImplementedError(
                 f"video container {magic!r} needs a real codec (pyav)")
         nf, fsize = int(data[3:7]), int(data[7:11])
-        frames = (np.frombuffer(data, np.uint8, offset=VID_HEADER_LEN)
-                  [:nf * fsize].reshape(nf, fsize))
+        payload = np.frombuffer(data, np.uint8, offset=VID_HEADER_LEN)
+        if payload.size < nf * fsize:
+            # short payload cannot fill the declared frame stack — raise
+            # the clear envelope error, not a numpy reshape failure
+            raise ValueError("corrupt video envelope: truncated payload")
+        frames = payload[:nf * fsize].reshape(nf, fsize)
         return {"n_frames": nf, "frame_size": fsize, "frames": frames}
     raise ValueError(f"unknown media kind {kind!r}")
 

@@ -78,7 +78,8 @@ def sample_audit(df: DataFrame, *, strata_cols: list[str],
 
 
 def pack_shards(df: DataFrame, *, id_col: str, tokens_col: str,
-                budget: int, bucket_width: int = 1000) -> DataFrame:
+                budget: int, bucket_width: int | None = None,
+                target_buckets: int = 4096) -> DataFrame:
     """(id, n_tokens, shard_id): fixed token-budget shard assignment in
     ``id_col`` order via a distributed prefix sum.
 
@@ -88,14 +89,32 @@ def pack_shards(df: DataFrame, *, id_col: str, tokens_col: str,
 
       1. bucket = id // bucket_width; within-bucket cumulative sum
          (window PARTITIONED by bucket — parallel).
-      2. bucket totals (n_docs/bucket_width rows) get the only
-         unpartitioned window — thousands of rows at 10^10 docs with a
-         wide enough bucket, safely single-task.
+      2. bucket totals get the only unpartitioned window — bounded rows
+         (see below), safely single-task.
       3. global prefix = bucket offset (broadcast join) + local prefix.
+
+    Bucket geometry: with ``bucket_width=None`` (default) the width is
+    derived from the OBSERVED id span — ceil(span / target_buckets) via
+    one tiny min/max aggregate — so the single-task bucket-totals window
+    sees at most ~``target_buckets`` rows no matter how sparse or
+    clustered the id space is (xxhash64 ids, tombstoned ranges, …).
+    Passing an explicit ``bucket_width`` skips that aggregate but assumes
+    ROUGHLY DENSE ids: the totals frame is then driven by
+    span/bucket_width, not n_docs/bucket_width, and a sparse id space
+    (span ≫ n_docs) degrades it back toward one row per doc — only pin a
+    width when you control the id layout. Heavily clustered ids cost
+    parallelism on the derived path (few non-empty buckets), never
+    correctness: the result is bit-identical for ANY bucketing because
+    buckets are contiguous in id order.
 
     Docs longer than ``budget`` get a shard to themselves (floor math
     handles it; the NEXT doc starts a fresh shard).
     """
+    if bucket_width is None:
+        lo, hi = df.select(F.min(F.col(id_col).cast("long")),
+                           F.max(F.col(id_col).cast("long"))).first()
+        span = 1 if lo is None else hi - lo + 1
+        bucket_width = max(1, -(-span // target_buckets))
     w_local = (Window.partitionBy("bucket").orderBy("id")
                .rowsBetween(Window.unboundedPreceding, -1))
     local = (df.select(F.col(id_col).alias("id"),

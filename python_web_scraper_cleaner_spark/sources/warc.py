@@ -78,10 +78,18 @@ def parse_warc_segment(blob: bytes) -> list[tuple]:
             clen = int(fields.get(b"content-length", b""))
         except ValueError:
             break
+        if clen < 0:
+            # a negative declared length would rewind the cursor onto (or
+            # before) this same header and the walk would never terminate
+            # — treat it like any other malformed record: stop the walk
+            # for this segment (the module contract is that one corrupt
+            # segment degrades, it never hangs or fails the scan)
+            break
         body_start = hdr_end + 4
         body_end = body_start + clen
         if body_end > n:
             break  # truncated record
+        assert body_end > pos  # cursor strictly monotonic — no re-parse
         if fields.get(b"warc-type") == b"response":
             body = blob[body_start:body_end]
             http_end = body.find(b"\r\n\r\n")

@@ -110,6 +110,20 @@ def test_decode_media_audio_and_video():
     assert bytes(v["frames"][1]) == b"WXYZ"
 
 
+def test_decode_truncated_envelopes_raise_clear_errors():
+    """All-header blobs (payload truncated away) must raise the corrupt-
+    envelope ValueError, not ZeroDivisionError / numpy reshape errors —
+    one bad blob inside decode_features' per-batch loop should carry a
+    diagnosable message."""
+    with pytest.raises(ValueError, match="empty payload"):
+        MM.decode_media(b"IMG00160008C3", "image")  # header only
+    with pytest.raises(ValueError, match="truncated payload"):
+        MM.decode_media(b"VID00020004" + b"wx", "video")  # 2 of 8 bytes
+    # zero-pixel image with empty payload is fine (n == 0 short-circuit)
+    d = MM.decode_media(b"IMG00000000C3", "image")
+    assert d["pixels"].size == 0
+
+
 def test_decode_foreign_container_still_raises():
     """Real container formats (JPEG/WAV/MP4 magic) hit the declared codec
     seam: NotImplementedError until PIL/soundfile/pyav are wired in."""

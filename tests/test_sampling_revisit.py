@@ -73,6 +73,28 @@ def test_pack_shards_sparse_ids(spark):
     assert got == {5: 0, 900: 0, 90001: 1}
 
 
+def test_pack_shards_derived_width_bounds_buckets_on_sparse_ids(spark):
+    # xxhash-style sparse id space: the default (derived) bucket width
+    # must bound the bucket-TOTALS frame at ~target_buckets rows instead
+    # of one row per doc, and stay bit-identical to the sequential pack
+    ids = sorted((i * 2654435761) % (1 << 40) for i in range(1, 200))
+    toks = [(i % 13) + 1 for i in range(len(ids))]
+    df = spark.createDataFrame(list(zip(ids, toks)), "doc_id long, n long")
+    out = pack_shards(df, id_col="doc_id", tokens_col="n", budget=25,
+                      target_buckets=16)
+    got = {r.id: r.shard_id for r in out.collect()}
+    prefix, want = 0, {}
+    for i, t in zip(ids, toks):
+        want[i] = prefix // 25
+        prefix += t
+    assert got == want
+    # derived geometry: distinct buckets bounded by target (+1 rounding)
+    span = ids[-1] - ids[0] + 1
+    width = max(1, -(-span // 16))
+    n_buckets = len({i // width for i in ids})
+    assert n_buckets <= 17
+
+
 def _history(spark, rows):
     return spark.createDataFrame(
         rows, "page_id long, ts timestamp, fetch_id long, changed boolean")

@@ -36,6 +36,21 @@ def test_garbage_and_bad_content_length_stop_cleanly():
     assert parse_warc_segment(bad) == []
 
 
+def test_negative_content_length_terminates():
+    # a record declaring a NEGATIVE length would rewind the cursor onto
+    # its own header — before the guard this looped forever (or appended
+    # duplicate rows unboundedly if the rewind hit an earlier record)
+    evil = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: http://a.example/evil\r\n"
+            b"Content-Length: -33\r\n\r\n")
+    assert parse_warc_segment(evil) == []
+    # a good record BEFORE the corrupt one still parses (degrade, not fail)
+    seg = build_warc_record("http://a.example/1", TS,
+                            b"<html>x</html>") + evil
+    recs = parse_warc_segment(seg)
+    assert [(r[1], r[3]) for r in recs] == [("http://a.example/1", 200)]
+
+
 def test_non_response_records_are_skipped_but_consumed():
     seg = (build_warcinfo(7)
            + build_warc_record("http://a.example/1", TS, b"<html>x</html>"))
