@@ -84,10 +84,23 @@ def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
             .drop("disallow_prefixes", "allow_prefixes"))
 
 
+def order_exprs(order_cols=None) -> list:
+    """The frontier ordering as sort expressions. ``order_cols=None``
+    yields the static FRONTIER_ORDER (ascending); callers composing a
+    dynamic priority (PageRank, revisit due-ness — plans/crawl.py
+    priority_mode='pagerank') pass explicit Column expressions. Every
+    window in the selection path MUST use the same list, or fetch_slot
+    and the budget cap would rank by different keys."""
+    if order_cols is None:
+        return [F.asc(c) for c in FRONTIER_ORDER]
+    return list(order_cols)
+
+
 def select_round_batch(frontier: DataFrame, *, per_host_budget: int,
                        hot_host_threshold: int | None = None,
                        n_salts: int = 8,
-                       round_ms: int | None = None) -> DataFrame:
+                       round_ms: int | None = None,
+                       order_cols=None) -> DataFrame:
     """Pick this round's fetch batch: deterministic top-k per host.
 
     Plain path: one window per host. Hot-host path: hosts whose pending
@@ -118,9 +131,9 @@ def select_round_batch(frontier: DataFrame, *, per_host_budget: int,
             F.greatest(F.lit(1).cast("long"),
                        (F.lit(round_ms).cast("long") / delay)
                        .cast("long")))
+    order = order_exprs(order_cols)
     if hot_host_threshold is None:
-        w = Window.partitionBy("host").orderBy(
-            *[F.asc(c) for c in FRONTIER_ORDER])
+        w = Window.partitionBy("host").orderBy(*order)
         return (frontier.withColumn("fetch_slot", F.row_number().over(w))
                 .filter(F.col("fetch_slot") <= budget))
 
@@ -137,8 +150,7 @@ def select_round_batch(frontier: DataFrame, *, per_host_budget: int,
     per_salt = F.when(F.col("_pending").isNotNull(),
                       F.ceil(budget / n_salts)) \
                 .otherwise(budget)
-    w = Window.partitionBy("host", "_salt").orderBy(
-        *[F.asc(c) for c in FRONTIER_ORDER])
+    w = Window.partitionBy("host", "_salt").orderBy(*order)
     survivors = (salted.withColumn("rn", F.row_number().over(w))
                  .filter(F.col("rn") <= per_salt)
                  .drop("rn", "_salt", "_pending"))
@@ -148,14 +160,14 @@ def select_round_batch(frontier: DataFrame, *, per_host_budget: int,
     # input is already ≤ B + n_salts rows per host, so the single-reducer-
     # per-host skew the salting avoided cannot reappear here. Its rank IS
     # the final per-host fetch order, exported as fetch_slot.
-    w2 = Window.partitionBy("host").orderBy(
-        *[F.asc(c) for c in FRONTIER_ORDER])
+    w2 = Window.partitionBy("host").orderBy(*order)
     return (survivors.withColumn("fetch_slot", F.row_number().over(w2))
             .filter(F.col("fetch_slot") <= budget))
 
 
 def politeness_schedule(batch: DataFrame, *,
-                        trust_existing_slot: bool = False) -> DataFrame:
+                        trust_existing_slot: bool = False,
+                        order_cols=None) -> DataFrame:
     """Assign each selected URL its in-round fetch slot and simulated start
     offset: slot = rank within host (deterministic FRONTIER_ORDER),
     offset_ms = (slot-1) * crawl_delay_ms. The fetch stage executes one
@@ -172,8 +184,7 @@ def politeness_schedule(batch: DataFrame, *,
     if not (trust_existing_slot and "fetch_slot" in batch.columns):
         if "fetch_slot" in batch.columns:
             batch = batch.drop("fetch_slot")
-        w = Window.partitionBy("host").orderBy(
-            *[F.asc(c) for c in FRONTIER_ORDER])
+        w = Window.partitionBy("host").orderBy(*order_exprs(order_cols))
         batch = batch.withColumn("fetch_slot", F.row_number().over(w))
     return batch.withColumn(
         "scheduled_offset_ms",

@@ -7,11 +7,18 @@ html_cleaner_core.py:run_batch), re-expressed as north_rule demands:
 
   round r:
     pending frontier ──bloom prefilter──► exact anti-join vs url_seen (J1)
-      ──robots broadcast filter (J3)──► per-host top-k window (O4, salted)
-      ──politeness schedule──► fetch stage (groupBy(host).applyInPandas —
-      per-host pacing serialized within a task, S3)
+      ──robots broadcast filter (J3)──► dynamic priority (optional,
+      priority_mode='pagerank': committed link graph → PageRank ×
+      revisit due-ness, the frontier_priority composition)
+      ──per-host top-k window (O4, salted)──politeness schedule──►
+      fetch stage (groupBy(host).applyInPandas — per-host pacing
+      serialized within a task, S3)
       ──vectorized extraction (F3, byte-identical kernel)──►
-    transactional commits: pages+r, url_seen+r, crawl_log+r, frontier−batch
+      near-dup probe vs the persisted MinHash signature index (optional,
+      dedup_index=True: batch band-probes sig_index, near-dups flagged,
+      only kept docs' bands appended — corpus never re-shingled)
+    transactional commits: pages+r, sig_index+r, links+r, url_seen+r,
+      crawl_log+r, frontier−batch
 
 Every table commit is one TableIO snapshot per round, so a killed job
 resumes at the last committed round and — because every ordering derives
@@ -158,7 +165,11 @@ class CrawlEngine:
                  hot_host_threshold: int | None = None,
                  n_salts: int = 8,
                  discover_links: bool = False,
-                 discovery_priority: int = 9) -> None:
+                 discovery_priority: int = 9,
+                 priority_mode: str = "static",
+                 pagerank_iters: int = 3,
+                 dedup_index: bool = False,
+                 dedup_threshold: float = 0.7) -> None:
         self.spark = spark
         self.io = TableIO(spark, root)
         self.per_host_budget = per_host_budget
@@ -179,6 +190,29 @@ class CrawlEngine:
         # the lowest priority so seeds always crawl first — deterministic.
         self.discover_links = discover_links
         self.discovery_priority = discovery_priority
+        # Dynamic frontier priority (VERDICT r4 #1): 'pagerank' replaces
+        # the static seed `priority` ordering with the composed
+        # frontier_priority decision (plans/queries.q_frontier_priority,
+        # proven oracle-green as a registry entry) inside the production
+        # round loop: link centrality over the DISCOVERED graph (a
+        # `links` table appended every round) × revisit due-ness (an
+        # optional `fetch_history` table), never-fetched pages first.
+        # Everything derives from committed tables, so kill/resume still
+        # replays the identical order (north_rule invariant).
+        if priority_mode not in ("static", "pagerank"):
+            raise ValueError(f"unknown priority_mode {priority_mode!r}")
+        self.priority_mode = priority_mode
+        self.pagerank_iters = pagerank_iters
+        self._harvest_links = discover_links or priority_mode == "pagerank"
+        # Per-round near-dup dedup against a PERSISTED MinHash signature
+        # index (VERDICT r4 #2): each round probes the new batch against
+        # the `sig_index` table (operators/dedup.minhash_lsh_probe_index),
+        # flags near-dups in the pages sink, and appends only the KEPT
+        # docs' bands — the corpus is never re-shingled. Fixed signature
+        # geometry per store, same contract as the bloom filter.
+        self.dedup_index = dedup_index
+        self.dedup_threshold = dedup_threshold
+        self._sig_k, self._sig_hashes, self._sig_band = 3, 16, 4
 
     # -- lifecycle ------------------------------------------------------------
     def bootstrap(self, seeds: DataFrame, robots: DataFrame | None = None,
@@ -219,12 +253,131 @@ class CrawlEngine:
         if (io.exists("bloom")
                 and io.latest_round("bloom") == io.latest_round("url_seen")):
             committed = io.read("bloom")
-            if B.bloom_geometry(committed) == (
+            # a bloom table committed by a pre-geometry-stamp build lacks
+            # the stamp columns entirely — that is geometry drift too
+            # (unknowable geometry ⇒ unusable filter), so it must take the
+            # same full-rebuild fallback, not raise on the select
+            stamped = {"n_buckets", "m_bits", "n_hashes"}.issubset(
+                committed.columns)
+            if stamped and B.bloom_geometry(committed) == (
                     self.n_bloom_buckets, self._bloom_m, self._bloom_k):
                 return committed
         return B.build_bloom(seen.select("url_hash"),
                              n_buckets=self.n_bloom_buckets,
                              m_bits=self._bloom_m, n_hashes=self._bloom_k)
+
+    def _apply_priority(self, allowed: DataFrame):
+        """Compose the round's dynamic fetch ordering (priority_mode=
+        'pagerank'): never-fetched first (revisit due-ness from an
+        optional ``fetch_history`` table second), then link-centrality
+        rank over the committed ``links`` graph, then the static
+        FRONTIER_ORDER as the deterministic tiebreak — the exact
+        composition proven oracle-green by the `frontier_priority`
+        registry entry (plans/queries.py:q_frontier_priority).
+
+        Returns (frontier_with_rank_cols, order_exprs | None,
+        helper_cols_to_drop). Every input is a committed table, so a
+        resumed engine recomputes the identical ordering (north_rule).
+
+        Scale shape: PageRank is 2 shuffles/iteration on 8-byte keys
+        (operators/graph.py); the rank and due-ness joins are id-keyed;
+        nothing touches html/text."""
+        if self.priority_mode != "pagerank":
+            return allowed, None, []
+        from ..operators import graph as G
+        io = self.io
+        if io.exists("links"):
+            edges = io.read("links").select(
+                F.col("src_hash").alias("src"),
+                F.col("dst_hash").alias("dst"))
+            nodes = (edges.select(F.col("src").alias("id"))
+                     .unionByName(edges.select(F.col("dst").alias("id")))
+                     .unionByName(allowed.select(
+                         F.col("url_hash").alias("id")))
+                     .distinct())
+            n = nodes.count()
+            ranks = G.pagerank_fixed_point(edges, nodes,
+                                           n_nodes=max(n, 1),
+                                           iters=self.pagerank_iters)
+            allowed = (allowed.join(
+                ranks.select(F.col("id").alias("url_hash"), "rank_fp"),
+                "url_hash", "left")
+                .withColumn("rank_fp", F.coalesce(
+                    F.col("rank_fp"), F.lit(0).cast("long"))))
+        else:
+            allowed = allowed.withColumn("rank_fp", F.lit(0).cast("long"))
+        if io.exists("fetch_history"):
+            rev = FR.revisit_schedule(io.read("fetch_history"))
+            allowed = allowed.join(
+                rev.select(F.col("page_id").alias("url_hash"),
+                           F.col("next_interval_hours").alias("_due_h")),
+                "url_hash", "left")
+        else:
+            allowed = allowed.withColumn("_due_h",
+                                         F.lit(None).cast("long"))
+        allowed = (allowed
+                   .withColumn("never_fetched", F.col("_due_h").isNull())
+                   .withColumn("due_h", F.coalesce(
+                       F.col("_due_h"), F.lit(0).cast("long")))
+                   .drop("_due_h"))
+        order = [F.desc("never_fetched"), F.asc("due_h"),
+                 F.desc("rank_fp")] + FR.order_exprs(None)
+        return allowed, order, ["never_fetched", "due_h", "rank_fp"]
+
+    def _sig_state(self):
+        """(index_bands | None, repair_bands | None) for this round's
+        near-dup probe. The committed ``sig_index`` table is the fast
+        path; a round-id gap vs ``pages`` (crash between the two commits,
+        or dedup_index newly enabled on an existing store) is repaired by
+        banding ONLY the gap rounds' kept docs — bounded re-shingling,
+        never the whole corpus (same repair contract as _bloom). The
+        repair bands join this round's append so the store heals."""
+        from ..operators import dedup as D
+        io = self.io
+        if not io.exists("pages"):
+            return None, None
+        committed = io.read("pages")
+        kept = committed.filter(F.col("ok"))
+        if "near_dup" in committed.columns:
+            kept = kept.filter(~F.col("near_dup"))
+        sig_r = io.latest_round("sig_index") if io.exists("sig_index") \
+            else None
+        index = io.read("sig_index") if sig_r is not None else None
+        if sig_r == io.latest_round("pages"):
+            return index, None
+        gap = kept.filter(F.col("round") > (-1 if sig_r is None else sig_r))
+        repair = D.banded_signatures(
+            gap.select("url_hash", "text"), "url_hash", "text",
+            k=self._sig_k, n_hashes=self._sig_hashes,
+            band_size=self._sig_band).localCheckpoint(eager=True)
+        index = repair if index is None else index.unionByName(repair)
+        return index, repair
+
+    def _flag_near_dups(self, pages: DataFrame, index_bands) -> DataFrame:
+        """Probe this round's extracted batch against the signature index
+        and flag near-dups (kept in the pages sink for audit; excluded
+        from the index and from the corpus view). Probe cost scales with
+        the batch — the index text is consulted only for candidate docs
+        (minhash_lsh_probe_index's left_semi verify)."""
+        from ..operators import dedup as D
+        if index_bands is None:
+            return pages.withColumn("near_dup", F.lit(False))
+        new_docs = pages.filter(F.col("ok")).select("url_hash", "text")
+        committed = self.io.read("pages")
+        index_docs = committed.filter(F.col("ok"))
+        if "near_dup" in committed.columns:
+            index_docs = index_docs.filter(~F.col("near_dup"))
+        pairs = D.minhash_lsh_probe_index(
+            index_bands, index_docs.select("url_hash", "text"), new_docs,
+            id_col="url_hash", text_col="text", k=self._sig_k,
+            n_hashes=self._sig_hashes, band_size=self._sig_band,
+            threshold=self.dedup_threshold)
+        dup_ids = (pairs.select(F.col("id_b").alias("url_hash"))
+                   .distinct().withColumn("_nd", F.lit(True)))
+        return (pages.join(dup_ids, "url_hash", "left")
+                .withColumn("near_dup",
+                            F.coalesce(F.col("_nd"), F.lit(False)))
+                .drop("_nd"))
 
     # -- one round -------------------------------------------------------------
     def run_round(self, round_id: int) -> dict:
@@ -243,12 +396,16 @@ class CrawlEngine:
         else:
             fresh = pending
 
-        # J3 + O4: robots filter, per-host budget, politeness schedule
+        # J3 + O4: robots filter, dynamic priority (pagerank mode),
+        # per-host budget, politeness schedule
         allowed = FR.apply_robots(fresh, robots)
+        allowed, order_cols, rank_helper_cols = self._apply_priority(allowed)
         batch = FR.select_round_batch(
             allowed, per_host_budget=self.per_host_budget,
             hot_host_threshold=self.hot_host_threshold,
-            n_salts=self.n_salts)
+            n_salts=self.n_salts, order_cols=order_cols)
+        if rank_helper_cols:
+            batch = batch.drop(*rank_helper_cols)
         # batch comes straight from select_round_batch — its fetch_slot IS
         # the politeness rank, so the second window shuffle is skipped
         sched = FR.politeness_schedule(batch, trust_existing_slot=True)
@@ -261,7 +418,7 @@ class CrawlEngine:
         from ..functions.udfs import extract_links_udf, lang_id_udf
         fetched = simulated_fetch(sched)
         extra_cols = []
-        if self.discover_links:
+        if self._harvest_links:
             fetched = fetched.withColumn(
                 "links", extract_links_udf(F.col("html"), F.col("url")))
             extra_cols = ["links"]
@@ -277,12 +434,57 @@ class CrawlEngine:
                          "fetch_slot", "scheduled_offset_ms", "fetch_ok",
                          "text", "lang", "ok", "extracted_chars", "error",
                          *extra_cols))
-        # one shuffle-free pass feeds three commits: cache the round result
+        sig_repair = None
+        pages_raw = None
+        if self.dedup_index:
+            # persist the raw round result FIRST: the index probe is
+            # eager (localCheckpoint inside minhash_lsh_probe_index), and
+            # without the cache the fetch+extract lineage would run once
+            # for the probe and again for the commits
+            pages_raw = pages
+            pages_raw.persist()
+            index_bands, sig_repair = self._sig_state()
+            pages = self._flag_near_dups(pages_raw, index_bands)
+        # one shuffle-free pass feeds the commits: cache the round result
         pages.persist()
         try:
             n_fetched = pages.count()
 
             io.append_round(pages, "pages", round_id)
+
+            if self.dedup_index:
+                # index maintenance: band ONLY this round's kept docs and
+                # APPEND (operators/dedup.append_to_signature_index
+                # semantics — near-dups never enter the index, the corpus
+                # is never re-shingled); committed AFTER pages with the
+                # same round id so a crash between the two commits is
+                # detected as a round-id gap and repaired by _sig_state.
+                from ..operators import dedup as D
+                kept_new = (pages.filter(F.col("ok") & ~F.col("near_dup"))
+                            .select("url_hash", "text"))
+                new_bands = D.banded_signatures(
+                    kept_new, "url_hash", "text", k=self._sig_k,
+                    n_hashes=self._sig_hashes, band_size=self._sig_band)
+                if sig_repair is not None:
+                    new_bands = sig_repair.unionByName(new_bands)
+                io.append_round(new_bands, "sig_index", round_id)
+
+            if self.priority_mode == "pagerank":
+                # grow the committed link graph: (fetching page → link
+                # target) as 8-byte hash edges, distinct per round. The
+                # NEXT round's _apply_priority ranks over it — discovery
+                # feeds the ordering, exactly the frontier_priority
+                # composition, now in the production loop.
+                from .queries import _canonicalize as _canon
+                harvested = (pages.filter("fetch_ok")
+                             .select(F.col("url_hash").alias("src_hash"),
+                                     F.explode("links").alias("url")))
+                edges = (_canon(harvested)
+                         .select("src_hash",
+                                 F.xxhash64("canonical_url")
+                                 .alias("dst_hash"))
+                         .distinct())
+                io.append_round(edges, "links", round_id)
 
             new_seen = (pages.select(
                 "url_hash", "canonical_url",
@@ -344,8 +546,12 @@ class CrawlEngine:
             # of re-running the anti-join lineage a second time
             stats = {"round": round_id, "n_fetched": n_fetched,
                      "n_remaining": io.read("frontier").count()}
+            if self.dedup_index:
+                stats["n_near_dup"] = pages.filter("near_dup").count()
         finally:
             pages.unpersist()
+            if pages_raw is not None:
+                pages_raw.unpersist()
         return stats
 
     def run(self, *, max_rounds: int = 100) -> list[dict]:

@@ -10,6 +10,8 @@ from pyspark.sql import functions as F
 
 from python_web_scraper_cleaner_spark.plans.crawl import (
     CrawlEngine, ROBOTS_SCHEMA)
+from python_web_scraper_cleaner_spark.plans.crawl import (
+    simulated_fetch as simulated_fetch_real)
 from python_web_scraper_cleaner_spark.sources.pages import pages_local
 
 N_SEEDS = 200
@@ -509,3 +511,221 @@ def test_delay_aware_budget_caps_slow_hosts(spark):
             .groupBy("host").count().collect())
     assert {r.host: r["count"] for r in got2} == {"slow.example": 5,
                                                   "fast.example": 10}
+
+
+# -- round-5: dynamic priority + persisted signature index ------------------
+
+
+def _one_host_seeds(spark, ids, priorities=None):
+    """Seeds pinned to ONE synthetic host (simulated_fetch resolves html by
+    the trailing doc id, so the host label is free) — gives full control
+    over per-host round composition."""
+    rows = [(f"https://hostq.example/news/{i}.html",
+             0 if priorities is None else priorities[k],
+             dt.datetime(2026, 1, 1))
+            for k, i in enumerate(ids)]
+    return spark.createDataFrame(
+        rows, "url string, priority int, discovered_ts timestamp")
+
+
+def _hostq_robots(spark):
+    return spark.createDataFrame([("hostq.example", 0, ["/private"])],
+                                 ROBOTS_SCHEMA)
+
+
+def test_pagerank_priority_reorders_fetches_and_resumes(spark, tmp_path):
+    """priority_mode='pagerank' wires the frontier_priority composition
+    into the production loop: the link graph harvested in round r drives
+    round r+1's fetch order (discovery-fed PageRank), deterministically,
+    and kill/resume replays the identical order (north_rule)."""
+    seeds_recs = pages_local(210)[200:203]
+    seeds = spark.createDataFrame(
+        [(r["url"], 0, r["warc_ts"]) for r in seeds_recs],
+        "url string, priority int, discovered_ts timestamp")
+
+    ROUNDS = 4   # reorder + resume both show inside a few rounds; full
+    # drain coverage is proven by test_discovery_crawls_link_closure
+
+    def run(root, mode):
+        eng = CrawlEngine(spark, str(root), per_host_budget=20,
+                          discover_links=True, priority_mode=mode)
+        eng.bootstrap(seeds, make_robots(spark))
+        eng.run(max_rounds=ROUNDS)
+        return eng
+
+    ranked = run(tmp_path / "pr1", "pagerank")
+    static = run(tmp_path / "st", "static")
+
+    # rank over the discovered graph changes the fetch ORDER
+    assert ranked.crawl_order() != static.crawl_order()
+    # the links graph was committed and is non-trivial
+    assert ranked.io.exists("links")
+    assert ranked.io.read("links").count() > 0
+
+    # kill/resume: 1 round, discard the engine, resume from commits only.
+    # Order equality with the uninterrupted run doubles as the
+    # determinism check — the resumed engine recomputes every rank from
+    # committed tables alone.
+    part = CrawlEngine(spark, str(tmp_path / "pr3"), per_host_budget=20,
+                       discover_links=True, priority_mode="pagerank")
+    part.bootstrap(seeds, make_robots(spark))
+    part.run_round(0)
+    del part
+    resumed = CrawlEngine(spark, str(tmp_path / "pr3"), per_host_budget=20,
+                          discover_links=True, priority_mode="pagerank")
+    assert resumed.last_round() == 0
+    resumed.run(max_rounds=ROUNDS - 1)
+    assert resumed.crawl_order() == ranked.crawl_order()
+    assert resumed.seen_set() == ranked.seen_set()
+
+
+def test_fetch_history_due_ness_defers_revisits(spark, tmp_path):
+    """The revisit component of the composed priority: frontier entries
+    with fetch history sort AFTER never-fetched ones, mutually ordered by
+    their Cho/G-M backoff interval — even when static priority says the
+    opposite."""
+    ids = list(range(8))
+    # history urls get the BEST static priority: static mode would fetch
+    # them first; the composed order must put them LAST
+    seeds = _one_host_seeds(spark, ids,
+                            priorities=[0, 0, 5, 5, 5, 5, 5, 5])
+    eng = CrawlEngine(spark, str(tmp_path / "c"), per_host_budget=8,
+                      priority_mode="pagerank")
+    eng.bootstrap(seeds, _hostq_robots(spark))
+
+    canon = [f"https://hostq.example/news/{i}.html" for i in ids]
+    hashes = {i: r.h for i, r in zip(ids, spark.createDataFrame(
+        [(c,) for c in canon], "u string")
+        .select(F.xxhash64("u").alias("h")).collect())}
+    # page 0: changed on latest fetch -> short interval (due sooner)
+    # page 1: two unchanged fetches   -> longer interval (due later)
+    hist = spark.createDataFrame(
+        [(hashes[0], dt.datetime(2026, 1, 1), 1, True),
+         (hashes[1], dt.datetime(2026, 1, 1), 2, False),
+         (hashes[1], dt.datetime(2026, 1, 2), 3, False)],
+        "page_id long, ts timestamp, fetch_id long, changed boolean")
+    eng.io.overwrite(hist, "fetch_history", -1)
+
+    eng.run_round(0)
+    order = [u for _, _, _, u in eng.crawl_order()]
+    pos = {u: k for k, u in enumerate(order)}
+    # never-fetched ids 2..7 all precede the two with history
+    for i in range(2, 8):
+        assert pos[canon[i]] < pos[canon[0]]
+        assert pos[canon[i]] < pos[canon[1]]
+    # shorter backoff (page 0) precedes longer (page 1)
+    assert pos[canon[0]] < pos[canon[1]]
+
+
+def _near_dup_fetch(real_fetch, dup_html):
+    """Wrap simulated_fetch, overriding html for chosen urls — the test
+    lever for injecting near-duplicate content into specific rounds."""
+    def fake(batch):
+        out = real_fetch(batch)
+        m = F.create_map(*[F.lit(x) for kv in dup_html.items()
+                           for x in kv])
+        return out.withColumn(
+            "html", F.coalesce(m[F.col("url")], F.col("html")))
+    return fake
+
+
+def test_sig_index_drops_cross_round_near_dups(spark, tmp_path,
+                                               monkeypatch):
+    """dedup_index=True maintains the persisted MinHash signature index
+    inside the round loop: a round-1 page near-duplicating a round-0 kept
+    page is flagged via an index PROBE (no corpus re-shingling — the
+    round-1 sig_index append contains only the kept round-1 docs' bands),
+    and the index survives engine restarts."""
+    import python_web_scraper_cleaner_spark.plans.crawl as C
+
+    words = [f"tok{j}" for j in range(40)]
+    base2 = " ".join(words)                      # page 2's text
+    near7 = " ".join(words[:-1] + ["changed"])   # ≈ page 2 (1 token off)
+    base3 = " ".join(f"alt{j}" for j in range(40))
+    page = "<html><head><title>T</title></head><body><p>{}</p></body></html>"
+    u = {i: f"https://hostq.example/news/{i}.html" for i in range(10)}
+    dup_html = {
+        u[2]: page.format(base2).encode(),
+        u[3]: page.format(base3).encode(),
+        u[7]: page.format(near7).encode(),      # near-dup of round-0 #2
+        u[8]: page.format(base3).encode(),      # exact dup of round-0 #3
+    }
+    monkeypatch.setattr(
+        C, "simulated_fetch", _near_dup_fetch(simulated_fetch_real, dup_html))
+
+    # priorities force two rounds of 5: ids 0-4 then 5-9
+    seeds = _one_host_seeds(spark, list(range(10)),
+                            priorities=[0] * 5 + [5] * 5)
+    eng = CrawlEngine(spark, str(tmp_path / "c"), per_host_budget=5,
+                      dedup_index=True)
+    eng.bootstrap(seeds, _hostq_robots(spark))
+    s0 = eng.run_round(0)
+    assert s0["n_near_dup"] == 0
+    n_sig_r0 = eng.io.read("sig_index").count()
+    assert n_sig_r0 > 0
+
+    s1 = eng.run_round(1)
+    assert s1["n_near_dup"] == 2
+    pages = eng.io.read("pages")
+    flagged = {r.url for r in pages.filter("near_dup").collect()}
+    assert flagged == {u[7], u[8]}
+
+    # append-only index: the round-1 snapshot added ONLY the 3 kept ok
+    # round-1 docs' bands (near-dups never enter; corpus never re-banded)
+    per_round_ok = {r.round: r.n for r in
+                    pages.filter("ok and not near_dup")
+                    .groupBy("round").count()
+                    .withColumnRenamed("count", "n").collect()}
+    n_sig_r1 = eng.io.read("sig_index").count()
+    bands_per_doc = 16 // 4
+    assert n_sig_r1 - n_sig_r0 == per_round_ok.get(1, 0) * bands_per_doc
+
+    # the index PERSISTS: a fresh engine on the same store flags a new
+    # near-dup of a ROUND-0 page without any corpus rebuild
+    del eng
+    eng2 = CrawlEngine(spark, str(tmp_path / "c"), per_host_budget=5,
+                       dedup_index=True)
+    wave2 = _one_host_seeds(spark, [11])
+    dup_html[u11 := "https://hostq.example/news/11.html"] = \
+        page.format(" ".join(words[:-2] + ["x", "y"])).encode()
+    from python_web_scraper_cleaner_spark.plans.crawl import (
+        canonicalize_seeds)
+    eng2.io.overwrite(canonicalize_seeds(wave2), "frontier",
+                      eng2.last_round())
+    s2 = eng2.run(max_rounds=5)
+    assert s2[0]["n_near_dup"] == 1
+    assert eng2.io.read("pages").filter("near_dup").count() == 3
+
+
+def test_sig_state_repairs_commit_gap(spark, tmp_path):
+    """A crash between the pages and sig_index commits leaves a round-id
+    gap; _sig_state must band ONLY the gap rounds' kept docs and heal the
+    index to exactly what a full rebuild would produce."""
+    from python_web_scraper_cleaner_spark.operators import dedup as D
+
+    seeds = _one_host_seeds(spark, list(range(6)))
+    eng = CrawlEngine(spark, str(tmp_path / "c"), per_host_budget=6,
+                      dedup_index=True)
+    eng.bootstrap(seeds, _hostq_robots(spark))
+    eng.run_round(0)
+
+    # simulate the crash window: pages advances, sig_index does not
+    extra = (eng.io.read("pages").limit(1)
+             .withColumn("round", F.lit(99))
+             .withColumn("url_hash", F.lit(424242).cast("long"))
+             .withColumn("url", F.lit("https://hostq.example/news/x.html"))
+             .withColumn("canonical_url",
+                         F.lit("https://hostq.example/news/x.html")))
+    eng.io.append_round(extra, "pages", 99)
+
+    index, repair = eng._sig_state()
+    assert repair is not None
+    kept = eng.io.read("pages").filter("ok and not near_dup")
+    full = D.banded_signatures(kept.select("url_hash", "text"),
+                               "url_hash", "text", k=3, n_hashes=16,
+                               band_size=4)
+    got = {(r.id, r.band, r.band_key) for r in index.collect()}
+    want = {(r.id, r.band, r.band_key) for r in full.collect()}
+    assert got == want
+    # repair covered exactly the gap round
+    assert {r.id for r in repair.collect()} == {424242}
