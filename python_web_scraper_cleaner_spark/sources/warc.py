@@ -55,11 +55,49 @@ def build_warcinfo(segment_id: int) -> bytes:
     return head + body + b"\r\n\r\n"
 
 
+def gzip_member(record: bytes) -> bytes:
+    """One record as its own gzip member — the real Common Crawl segment
+    framing (each WARC record is individually gzipped, members
+    concatenated, so a reader can seek to a CDX offset and inflate one
+    member). mtime pinned to 0 so output bytes are deterministic."""
+    import gzip
+
+    return gzip.compress(record, compresslevel=6, mtime=0)
+
+
+def _gunzip_members(blob: bytes) -> bytes:
+    """Inflate concatenated gzip members back into the plain byte stream.
+    Walks member by member via zlib (stdlib only); a corrupt or truncated
+    member stops the walk there — everything already inflated still
+    parses, matching the plain parser's degrade-per-record contract."""
+    import zlib
+
+    parts: list[bytes] = []
+    data = blob
+    while data[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        try:
+            parts.append(d.decompress(data))
+        except zlib.error:
+            break  # corrupt member: keep what inflated so far
+        if not d.eof:
+            break  # truncated final member — its bytes are partial
+        data = d.unused_data
+    return b"".join(parts)
+
+
 def parse_warc_segment(blob: bytes) -> list[tuple]:
     """(rec_idx, url, warc_ts, status, html) for every WELL-FORMED
     response record of one segment, in file order. Length-delimited walk;
     truncated/malformed tails stop the walk (partial record dropped),
-    non-response records are skipped but consume their declared length."""
+    non-response records are skipped but consume their declared length.
+
+    Accepts BOTH segment framings transparently: plain concatenated
+    records, and per-record gzip members (the actual Common Crawl layout
+    — detected by the 0x1f8b magic and inflated via _gunzip_members
+    before the walk)."""
+    if blob[:2] == b"\x1f\x8b":
+        blob = _gunzip_members(blob)
     out: list[tuple] = []
     pos, idx = 0, 0
     n = len(blob)
@@ -114,17 +152,20 @@ def parse_warc_segment(blob: bytes) -> list[tuple]:
 
 
 def synthesize_warc_segments(spark, n_pages: int, *,
-                             pages_per_segment: int = 50) -> DataFrame:
+                             pages_per_segment: int = 50,
+                             gzip_members: bool = False) -> DataFrame:
     """(segment_id, warc:binary): deterministic WARC segments over the
     synthetic pages corpus (sources/pages.py) — the fixture twin of a
     Common-Crawl segment listing. Built inside mapInPandas so segment
     assembly is distributed (one task builds its own segments; nothing
-    but the segment ids is exchanged)."""
+    but the segment ids is exchanged). ``gzip_members=True`` writes the
+    real Common Crawl framing: each record its own gzip member."""
     import pandas as pd
 
     from .pages import page_record
 
     n_segments = -(-n_pages // pages_per_segment)
+    frame = gzip_member if gzip_members else (lambda b: b)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -133,15 +174,15 @@ def synthesize_warc_segments(spark, n_pages: int, *,
                 seg = int(seg)
                 lo = seg * pages_per_segment
                 hi = min(lo + pages_per_segment, n_pages)
-                parts = [build_warcinfo(seg)]
+                parts = [frame(build_warcinfo(seg))]
                 for i in range(lo, hi):
                     page = page_record(i)
                     h = page["html"]  # str, or raw bytes for the
                     # encoding-repair templates — pass bytes through so
                     # the mojibake-repair path is exercised END TO END
-                    parts.append(build_warc_record(
+                    parts.append(frame(build_warc_record(
                         page["url"], "2026-06-01T00:00:00Z",
-                        h if isinstance(h, bytes) else h.encode("utf-8")))
+                        h if isinstance(h, bytes) else h.encode("utf-8"))))
                 rows.append((seg, b"".join(parts)))
             yield pd.DataFrame(rows, columns=["segment_id", "warc"])
 

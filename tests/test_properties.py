@@ -124,6 +124,36 @@ def test_warc_roundtrip_arbitrary_payload(payload, junk_tail):
     assert recs and recs[0][4] == payload
 
 
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=400), st.binary(max_size=120))
+def test_warc_gzip_roundtrip_and_corrupt_tail(payload, junk_tail):
+    """Gzip-member framing: any payload survives compress→parse; junk
+    appended after the last member (including bytes starting 0x1f8b)
+    degrades — already-inflated records still parse, never an exception
+    or a hang."""
+    from python_web_scraper_cleaner_spark.sources.warc import (
+        build_warc_record, gzip_member, parse_warc_segment)
+    rec = gzip_member(build_warc_record(
+        "http://x.example/p", "2026-06-01T00:00:00Z", payload))
+    recs = parse_warc_segment(rec + junk_tail)
+    assert recs and recs[0][4] == payload
+    # truncated member: the complete first member still parses
+    recs2 = parse_warc_segment(rec + rec[:-7])
+    assert recs2 and recs2[0][4] == payload
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=600))
+def test_parse_warc_gzip_prefix_never_raises(blob):
+    """Arbitrary bytes behind a gzip magic prefix must never raise or
+    loop: the member walk stops at the first undecodable member."""
+    from python_web_scraper_cleaner_spark.sources.warc import (
+        parse_warc_segment)
+    for idx, url, ts, status, html in parse_warc_segment(
+            b"\x1f\x8b" + blob):
+        assert isinstance(html, bytes)
+
+
 @settings(max_examples=200, deadline=None)
 @given(messy_text_st, st.text(max_size=80))
 def test_extract_anchors_never_raises(html, base):

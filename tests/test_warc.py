@@ -59,6 +59,41 @@ def test_non_response_records_are_skipped_but_consumed():
     assert recs[0][0] == 1  # warcinfo consumed rec_idx 0
 
 
+def test_gzip_member_framing_roundtrip():
+    """Per-record gzip members (the real Common Crawl layout) parse to
+    the identical record list as the plain framing; a corrupt middle
+    member degrades to the records before it."""
+    from python_web_scraper_cleaner_spark.sources.warc import (
+        _gunzip_members, gzip_member)
+    recs_plain = [build_warcinfo(0),
+                  build_warc_record("http://a.example/1", TS,
+                                    b"<html>x</html>"),
+                  build_warc_record("http://a.example/2", TS,
+                                    b"<html>y</html>", status=404)]
+    gz = b"".join(gzip_member(r) for r in recs_plain)
+    assert parse_warc_segment(gz) == parse_warc_segment(b"".join(recs_plain))
+    # inflation is lossless
+    assert _gunzip_members(gz) == b"".join(recs_plain)
+    # corrupt the SECOND member's deflate stream: record 1 still parses
+    m0 = gzip_member(recs_plain[0]) + gzip_member(recs_plain[1])
+    m1 = bytearray(gzip_member(recs_plain[2]))
+    m1[12] ^= 0xFF
+    recs = parse_warc_segment(m0 + bytes(m1))
+    assert [(r[1], r[3]) for r in recs] == [("http://a.example/1", 200)]
+
+
+def test_spark_gzip_segments_match_plain(spark):
+    from python_web_scraper_cleaner_spark.sources.warc import (
+        synthesize_warc_segments)
+    plain = warc_records(synthesize_warc_segments(
+        spark, 80, pages_per_segment=40)).orderBy("segment_id", "rec_idx")
+    gz = warc_records(synthesize_warc_segments(
+        spark, 80, pages_per_segment=40, gzip_members=True)) \
+        .orderBy("segment_id", "rec_idx")
+    assert [tuple(r) for r in plain.collect()] == \
+           [tuple(r) for r in gz.collect()]
+
+
 def test_spark_segments_roundtrip_counts(spark):
     segs = synthesize_warc_segments(spark, 120, pages_per_segment=40)
     recs = warc_records(segs)

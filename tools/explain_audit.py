@@ -94,9 +94,15 @@ AUDITED = [
     ("cdx_prefix_scan",
      "SURT prefix lookup: here the key is COMPUTED from the url, so the "
      "StartsWith evaluates post-projection inside codegen (single narrow "
-     "scan, no exchange before the filter); on the stored/sorted index "
-     "table a real deployment maintains, surt is a physical column and "
-     "the same predicate pushes to the scan + prunes row groups"),
+     "scan, no exchange before the filter); cdx_stored_lookup below is "
+     "the stored-key plan a real deployment runs"),
+    ("cdx_stored_lookup",
+     "the same prefix lookup against the STORED surt-sorted index: "
+     "expect PushedFilters: [IsNotNull(surt), StringStartsWith(surt, "
+     "com,example,host3)/)] on the parquet scan — the predicate reaches "
+     "the reader, and with the index range-partitioned+sorted on surt, "
+     "row-group stats turn the lookup into a contiguous range read at "
+     "10^10 rows"),
     ("frontier_priority",
      "composed next-fetch ordering: PageRank iterations' own shuffles + "
      "one revisit window/aggregate sharing a page_id exchange + an "
