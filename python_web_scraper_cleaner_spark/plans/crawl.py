@@ -168,6 +168,7 @@ class CrawlEngine:
                  discovery_priority: int = 9,
                  priority_mode: str = "static",
                  pagerank_iters: int = 3,
+                 rank_refresh_every: int = 1,
                  dedup_index: bool = False,
                  dedup_threshold: float = 0.7) -> None:
         self.spark = spark
@@ -203,6 +204,18 @@ class CrawlEngine:
             raise ValueError(f"unknown priority_mode {priority_mode!r}")
         self.priority_mode = priority_mode
         self.pagerank_iters = pagerank_iters
+        # Rank refresh cadence: round r ranks over the links committed
+        # BEFORE basis = r - (r % K). At 10^10 urls re-ranking the whole
+        # accumulated graph every round is the dominant scheduler cost;
+        # K>1 freezes the basis for K rounds so the rank frame is
+        # computed once per window (cached in-process, persisted) and
+        # each round pays only the 8-byte-key join. Resume-deterministic
+        # at any K: the basis is a pure function of the round id and the
+        # committed links table (rows are round-stamped).
+        if rank_refresh_every < 1:
+            raise ValueError("rank_refresh_every must be >= 1")
+        self.rank_refresh_every = rank_refresh_every
+        self._rank_cache: tuple | None = None  # (basis, persisted ranks)
         self._harvest_links = discover_links or priority_mode == "pagerank"
         # Per-round near-dup dedup against a PERSISTED MinHash signature
         # index (VERDICT r4 #2): each round probes the new batch against
@@ -266,39 +279,65 @@ class CrawlEngine:
                              n_buckets=self.n_bloom_buckets,
                              m_bits=self._bloom_m, n_hashes=self._bloom_k)
 
-    def _apply_priority(self, allowed: DataFrame):
+    def _ranks_at_basis(self, basis: int):
+        """PageRank frame (id, rank_fp) over the links committed BEFORE
+        ``basis``, or None when that graph is empty. A pure function of
+        (committed links table, basis) — which is what makes kill/resume
+        reproduce the ordering at any refresh cadence. Cached in-process
+        per basis (persisted, nodes-sized): with rank_refresh_every=K
+        the graph is ranked once per K-round window and the other K−1
+        rounds pay only the join."""
+        from ..caching import bounded_persist
+        from ..operators import graph as G
+
+        if self._rank_cache is not None and self._rank_cache[0] == basis:
+            return self._rank_cache[1]
+        ranks = None
+        if self.io.exists("links") and basis > 0:
+            edges = (self.io.read("links")
+                     .filter(F.col("round") < basis)
+                     .select(F.col("src_hash").alias("src"),
+                             F.col("dst_hash").alias("dst")))
+            # rank nodes = edge endpoints only: never-linked frontier
+            # entries take rank 0 via the join coalesce, so the rank
+            # frame does not depend on the (round-varying) pending set
+            # and one frame serves the whole refresh window
+            nodes = (edges.select(F.col("src").alias("id"))
+                     .unionByName(edges.select(F.col("dst").alias("id")))
+                     .distinct())
+            n = nodes.count()
+            if n > 0:
+                ranks = bounded_persist(
+                    G.pagerank_fixed_point(edges, nodes, n_nodes=n,
+                                           iters=self.pagerank_iters),
+                    tag="crawl_rank")
+        self._rank_cache = (basis, ranks)
+        return ranks
+
+    def _apply_priority(self, allowed: DataFrame, round_id: int):
         """Compose the round's dynamic fetch ordering (priority_mode=
         'pagerank'): never-fetched first (revisit due-ness from an
         optional ``fetch_history`` table second), then link-centrality
-        rank over the committed ``links`` graph, then the static
-        FRONTIER_ORDER as the deterministic tiebreak — the exact
-        composition proven oracle-green by the `frontier_priority`
-        registry entry (plans/queries.py:q_frontier_priority).
+        rank over the committed ``links`` graph as of the refresh basis
+        (see _ranks_at_basis), then the static FRONTIER_ORDER as the
+        deterministic tiebreak — the exact composition proven
+        oracle-green by the `frontier_priority` registry entry
+        (plans/queries.py:q_frontier_priority).
 
         Returns (frontier_with_rank_cols, order_exprs | None,
         helper_cols_to_drop). Every input is a committed table, so a
         resumed engine recomputes the identical ordering (north_rule).
 
         Scale shape: PageRank is 2 shuffles/iteration on 8-byte keys
-        (operators/graph.py); the rank and due-ness joins are id-keyed;
-        nothing touches html/text."""
+        (operators/graph.py), amortized over rank_refresh_every rounds;
+        the rank and due-ness joins are id-keyed; nothing touches
+        html/text."""
         if self.priority_mode != "pagerank":
             return allowed, None, []
-        from ..operators import graph as G
         io = self.io
-        if io.exists("links"):
-            edges = io.read("links").select(
-                F.col("src_hash").alias("src"),
-                F.col("dst_hash").alias("dst"))
-            nodes = (edges.select(F.col("src").alias("id"))
-                     .unionByName(edges.select(F.col("dst").alias("id")))
-                     .unionByName(allowed.select(
-                         F.col("url_hash").alias("id")))
-                     .distinct())
-            n = nodes.count()
-            ranks = G.pagerank_fixed_point(edges, nodes,
-                                           n_nodes=max(n, 1),
-                                           iters=self.pagerank_iters)
+        basis = round_id - (round_id % self.rank_refresh_every)
+        ranks = self._ranks_at_basis(basis)
+        if ranks is not None:
             allowed = (allowed.join(
                 ranks.select(F.col("id").alias("url_hash"), "rank_fp"),
                 "url_hash", "left")
@@ -399,7 +438,8 @@ class CrawlEngine:
         # J3 + O4: robots filter, dynamic priority (pagerank mode),
         # per-host budget, politeness schedule
         allowed = FR.apply_robots(fresh, robots)
-        allowed, order_cols, rank_helper_cols = self._apply_priority(allowed)
+        allowed, order_cols, rank_helper_cols = self._apply_priority(
+            allowed, round_id)
         batch = FR.select_round_batch(
             allowed, per_host_budget=self.per_host_budget,
             hot_host_threshold=self.hot_host_threshold,
@@ -483,7 +523,9 @@ class CrawlEngine:
                          .select("src_hash",
                                  F.xxhash64("canonical_url")
                                  .alias("dst_hash"))
-                         .distinct())
+                         .distinct()
+                         .withColumn("round", F.lit(round_id)
+                                     .cast("int")))
                 io.append_round(edges, "links", round_id)
 
             new_seen = (pages.select(

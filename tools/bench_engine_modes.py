@@ -1,0 +1,96 @@
+"""Per-round cost of the round-5 CrawlEngine features, measured.
+
+Round 4's verdict asked for frontier_priority (PageRank × revisit
+due-ness) and the persisted MinHash signature index to run INSIDE the
+production round loop; this tool prices that wiring: the same 3-round
+crawl on the same seed list under four engine configs —
+
+  static    — baseline (round-4 behavior)
+  pagerank  — priority_mode='pagerank' (link harvest + edges commit per
+              round, PageRank over the committed graph ranks each batch)
+  dedup     — dedup_index=True (per-round band probe of sig_index +
+              kept-docs band append)
+  both      — pagerank + dedup together (the full production shape)
+
+Each config runs on a fresh root, min of N reps (shared-host noise —
+see BASELINE.md measurement caveat); overhead is reported vs the static
+minimum. Writes BENCH_ENGINE_MODES.json.
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_SEEDS = int(os.environ.get("SPARK_GRAFT_MODES_SEEDS", "20000"))
+ROUNDS = 3
+REPS = int(os.environ.get("SPARK_GRAFT_MODES_REPS", "2"))
+
+MODES = {
+    "static": {},
+    "pagerank": {"priority_mode": "pagerank"},
+    "dedup": {"dedup_index": True},
+    "both": {"priority_mode": "pagerank", "dedup_index": True},
+}
+
+
+def loadavg() -> float:
+    return round(os.getloadavg()[0], 2)
+
+
+def run_config(spark, kwargs) -> tuple:
+    """(wall_sec, n_fetched) for ROUNDS rounds on a fresh store."""
+    from python_web_scraper_cleaner_spark.plans.crawl import (
+        CrawlEngine, default_robots, synthesize_seeds)
+    root = tempfile.mkdtemp(prefix="spark_graft_modes_")
+    try:
+        eng = CrawlEngine(spark, root,
+                          per_host_budget=max(64, N_SEEDS // 128),
+                          hot_host_threshold=5000, n_salts=16, **kwargs)
+        eng.bootstrap(synthesize_seeds(spark, N_SEEDS),
+                      default_robots(spark))
+        t0 = time.time()
+        fetched = 0
+        for r in range(ROUNDS):
+            fetched += eng.run_round(r)["n_fetched"]
+        dt = time.time() - t0
+        assert fetched > 0
+        return dt, fetched
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> None:
+    from python_web_scraper_cleaner_spark.session import build_session
+
+    spark = build_session()
+    out = {"n_seeds": N_SEEDS, "rounds": ROUNDS, "reps": REPS,
+           "loadavg_1m_start": loadavg(), "modes": {}}
+    run_config(spark, {})  # one untimed warm-up (JVM/codegen/Arrow paths)
+    for name, kwargs in MODES.items():
+        walls, fetched = [], 0
+        for _ in range(REPS):
+            dt, fetched = run_config(spark, kwargs)
+            walls.append(round(dt, 2))
+        best = min(walls)
+        out["modes"][name] = {
+            "walls": walls, "best_wall": best, "n_fetched": fetched,
+            "urls_per_sec": round(fetched / best, 1)}
+    base = out["modes"]["static"]["best_wall"]
+    out["overhead_vs_static"] = {
+        name: round(m["best_wall"] / base, 3)
+        for name, m in out["modes"].items()}
+    out["loadavg_1m_end"] = loadavg()
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_ENGINE_MODES.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
