@@ -385,8 +385,10 @@ class CrawlEngine:
         if sig_r == io.latest_round("pages"):
             return index, None
         gap = kept.filter(F.col("round") > (-1 if sig_r is None else sig_r))
+        par = self.spark.sparkContext.defaultParallelism
         repair = D.banded_signatures(
-            gap.select("url_hash", "text"), "url_hash", "text",
+            gap.select("url_hash", "text")
+            .repartition(par, F.col("url_hash")), "url_hash", "text",
             k=self._sig_k, n_hashes=self._sig_hashes,
             band_size=self._sig_band).localCheckpoint(eager=True)
         index = repair if index is None else index.unionByName(repair)
@@ -475,16 +477,20 @@ class CrawlEngine:
                          "text", "lang", "ok", "extracted_chars", "error",
                          *extra_cols))
         sig_repair = None
-        pages_raw = None
         if self.dedup_index:
-            # persist the raw round result FIRST: the index probe is
-            # eager (localCheckpoint inside minhash_lsh_probe_index), and
-            # without the cache the fetch+extract lineage would run once
-            # for the probe and again for the commits
-            pages_raw = pages
-            pages_raw.persist()
+            # localCheckpoint, not persist: the probe + flag + every
+            # commit re-enter this frame, and a plain persist caches the
+            # DATA but not the analyzed plan — each consumer would
+            # re-analyze the whole round lineage (bloom probe + rank
+            # join + windows + Arrow stages; measured ~+10 s/round of
+            # pure driver time at a 2.6k-url demo round). The frame is
+            # batch-sized and html is already dropped, so truncating it
+            # to an RDD scan is cheap and every consumer plans in O(1)
+            # of the round plan. (Same medicine as the round-4
+            # minhash_lsh_probe_index fix — see BASELINE.md.)
+            pages = pages.localCheckpoint(eager=True)
             index_bands, sig_repair = self._sig_state()
-            pages = self._flag_near_dups(pages_raw, index_bands)
+            pages = self._flag_near_dups(pages, index_bands)
         # one shuffle-free pass feeds the commits: cache the round result
         pages.persist()
         try:
@@ -500,8 +506,16 @@ class CrawlEngine:
                 # same round id so a crash between the two commits is
                 # detected as a round-id gap and repaired by _sig_state.
                 from ..operators import dedup as D
+                # fan the batch out before shingling: AQE coalesces the
+                # small round frame to ~1 partition (the checkpointed
+                # RDD inherits it), and the minhash CPU would run on one
+                # core otherwise — measured 33 s → ~3 s on the 7k-url
+                # demo round (same fix as q_dedup_incremental's index
+                # build, plans/queries.py)
+                par = self.spark.sparkContext.defaultParallelism
                 kept_new = (pages.filter(F.col("ok") & ~F.col("near_dup"))
-                            .select("url_hash", "text"))
+                            .select("url_hash", "text")
+                            .repartition(par, F.col("url_hash")))
                 new_bands = D.banded_signatures(
                     kept_new, "url_hash", "text", k=self._sig_k,
                     n_hashes=self._sig_hashes, band_size=self._sig_band)
@@ -592,8 +606,6 @@ class CrawlEngine:
                 stats["n_near_dup"] = pages.filter("near_dup").count()
         finally:
             pages.unpersist()
-            if pages_raw is not None:
-                pages_raw.unpersist()
         return stats
 
     def run(self, *, max_rounds: int = 100) -> list[dict]:

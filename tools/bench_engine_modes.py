@@ -27,12 +27,16 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_SEEDS = int(os.environ.get("SPARK_GRAFT_MODES_SEEDS", "20000"))
-ROUNDS = 3
+ROUNDS = 4
 REPS = int(os.environ.get("SPARK_GRAFT_MODES_REPS", "2"))
 
 MODES = {
     "static": {},
     "pagerank": {"priority_mode": "pagerank"},
+    # rank_refresh_every=2: rank the frozen graph once per 2-round
+    # window (the production cadence lever) — rounds 2-3 share one
+    # persisted rank frame instead of re-ranking per round
+    "pagerank_k2": {"priority_mode": "pagerank", "rank_refresh_every": 2},
     "dedup": {"dedup_index": True},
     "both": {"priority_mode": "pagerank", "dedup_index": True},
 }
