@@ -749,10 +749,16 @@ def minhash_lsh_probe_index(index_bands: DataFrame, index_docs: DataFrame,
     # (measured ~30 s of driver-side Catalyst time on a 58-pair result).
     # The frame is candidate-sized — truncating it to an RDD scan is
     # cheap and makes all consumers plan in O(1) of the probe tree.
+    # id_a != id_b: the contract says index/new id spaces are disjoint,
+    # but if a caller violates it (replaying an odd store state), a
+    # self-pair's Jaccard denominator is exactly zero — under ANSI that
+    # aborts the whole job instead of flagging one pair. Self-pairs are
+    # meaningless either way, so drop them structurally.
     pairs = (index_bands.alias("a").join(b_n.alias("b"),
                                          ["band", "band_key"])
              .select(F.col("a.id").alias("id_a"),
                      F.col("b.id").alias("id_b"))
+             .filter(F.col("id_a") != F.col("id_b"))
              .distinct()
              .localCheckpoint(eager=True))
     cand_index = index_docs.join(

@@ -420,6 +420,13 @@ class CrawlEngine:
                             F.coalesce(F.col("_nd"), F.lit(False)))
                 .drop("_nd"))
 
+    def _committed(self, name: str, round_id: int) -> bool:
+        """True when ``name`` already carries this round's commit (replay
+        must skip it — an append-again would duplicate rows). >= not ==:
+        a table can be AHEAD of a replayed round in rolled-back stores."""
+        return (self.io.exists(name)
+                and (self.io.latest_round(name) or -1) >= round_id)
+
     # -- one round -------------------------------------------------------------
     def run_round(self, round_id: int) -> dict:
         io = self.io
@@ -431,66 +438,88 @@ class CrawlEngine:
         # filter is PERSISTED and maintained incrementally (see _bloom):
         # no full url_seen rescan (and no seen.count() action) per round.
         bloom = self._bloom(seen) if io.exists("url_seen") else None
-        if bloom is not None:
-            fresh = B.bloom_dedup(pending, seen, bloom,
-                                  n_buckets=self.n_bloom_buckets)
-        else:
-            fresh = pending
 
-        # J3 + O4: robots filter, dynamic priority (pagerank mode),
-        # per-host budget, politeness schedule
-        allowed = FR.apply_robots(fresh, robots)
-        allowed, order_cols, rank_helper_cols = self._apply_priority(
-            allowed, round_id)
-        batch = FR.select_round_batch(
-            allowed, per_host_budget=self.per_host_budget,
-            hot_host_threshold=self.hot_host_threshold,
-            n_salts=self.n_salts, order_cols=order_cols)
-        if rank_helper_cols:
-            batch = batch.drop(*rank_helper_cols)
-        # batch comes straight from select_round_batch — its fetch_slot IS
-        # the politeness rank, so the second window shuffle is skipped
-        sched = FR.politeness_schedule(batch, trust_existing_slot=True)
-
-        # S3 + F3: fetch (grouped per host) then vectorized extraction +
-        # deterministic language tagging (input_hint: extraction fills
-        # text AND lang; failed extractions tag 'und'); in discovery mode
-        # out-links are harvested from html BEFORE the binary column is
-        # dropped (links travel as a small array column, never the blob)
-        from ..functions.udfs import extract_links_udf, lang_id_udf
-        fetched = simulated_fetch(sched)
-        extra_cols = []
-        if self._harvest_links:
-            fetched = fetched.withColumn(
-                "links", extract_links_udf(F.col("html"), F.col("url")))
-            extra_cols = ["links"]
-        cleaned = with_clean_text(fetched, output_format="txt")
-        pages = (cleaned
-                 .withColumn("lang",
-                             F.when(F.col("ok"), lang_id_udf(F.col("text")))
-                             .otherwise(F.lit("und")))
-                 .withColumn("round", F.lit(round_id))
-                 .withColumn("partition_id", F.spark_partition_id())
-                 .select("url", "canonical_url", "url_hash", "host",
-                         "priority", "warc_ts", "round", "partition_id",
-                         "fetch_slot", "scheduled_offset_ms", "fetch_ok",
-                         "text", "lang", "ok", "extracted_chars", "error",
-                         *extra_cols))
+        # WAL-style replay: pages is the round's write-ahead record — it
+        # commits FIRST. If a crash interrupted the rest of the commit
+        # set (crawl_log not yet at round_id, so run() re-enters this
+        # round), the batch must NOT be re-selected: with url_seen still
+        # pre-round the same urls would be re-fetched and APPENDED TWICE.
+        # Rebuild the round frame from the committed rows (they carry
+        # every derived column — flags, links, slots) and re-derive only
+        # the outstanding commits, each guarded per table below. All
+        # re-derivations are pure functions of committed state, so the
+        # healed store is byte-identical to an uninterrupted run
+        # (north_rule; tests/test_crawl_engine.py crash-window tests).
+        replay = self._committed("pages", round_id)
         sig_repair = None
-        if self.dedup_index:
-            # localCheckpoint, not persist: the probe + flag + every
-            # commit re-enter this frame, and a plain persist caches the
-            # DATA but not the analyzed plan — each consumer would
-            # re-analyze the whole round lineage (bloom probe + rank
-            # join + windows + Arrow stages; measured ~+10 s/round of
-            # pure driver time at a 2.6k-url demo round). The frame is
-            # batch-sized and html is already dropped, so truncating it
-            # to an RDD scan is cheap and every consumer plans in O(1)
-            # of the round plan. (Same medicine as the round-4
-            # minhash_lsh_probe_index fix — see BASELINE.md.)
-            pages = pages.localCheckpoint(eager=True)
-            index_bands, sig_repair = self._sig_state()
-            pages = self._flag_near_dups(pages, index_bands)
+        if replay:
+            pages = io.read("pages").filter(F.col("round") == round_id)
+        else:
+            if bloom is not None:
+                fresh = B.bloom_dedup(pending, seen, bloom,
+                                      n_buckets=self.n_bloom_buckets)
+            else:
+                fresh = pending
+
+            # J3 + O4: robots filter, dynamic priority (pagerank mode),
+            # per-host budget, politeness schedule
+            allowed = FR.apply_robots(fresh, robots)
+            allowed, order_cols, rank_helper_cols = self._apply_priority(
+                allowed, round_id)
+            batch = FR.select_round_batch(
+                allowed, per_host_budget=self.per_host_budget,
+                hot_host_threshold=self.hot_host_threshold,
+                n_salts=self.n_salts, order_cols=order_cols)
+            if rank_helper_cols:
+                batch = batch.drop(*rank_helper_cols)
+            # batch comes straight from select_round_batch — its
+            # fetch_slot IS the politeness rank, so the second window
+            # shuffle is skipped
+            sched = FR.politeness_schedule(batch, trust_existing_slot=True)
+
+            # S3 + F3: fetch (grouped per host) then vectorized
+            # extraction + deterministic language tagging (input_hint:
+            # extraction fills text AND lang; failed extractions tag
+            # 'und'); in discovery mode out-links are harvested from
+            # html BEFORE the binary column is dropped (links travel as
+            # a small array column, never the blob)
+            from ..functions.udfs import extract_links_udf, lang_id_udf
+            fetched = simulated_fetch(sched)
+            extra_cols = []
+            if self._harvest_links:
+                fetched = fetched.withColumn(
+                    "links", extract_links_udf(F.col("html"),
+                                               F.col("url")))
+                extra_cols = ["links"]
+            cleaned = with_clean_text(fetched, output_format="txt")
+            pages = (cleaned
+                     .withColumn("lang",
+                                 F.when(F.col("ok"),
+                                        lang_id_udf(F.col("text")))
+                                 .otherwise(F.lit("und")))
+                     .withColumn("round", F.lit(round_id))
+                     .withColumn("partition_id", F.spark_partition_id())
+                     .select("url", "canonical_url", "url_hash", "host",
+                             "priority", "warc_ts", "round",
+                             "partition_id", "fetch_slot",
+                             "scheduled_offset_ms", "fetch_ok", "text",
+                             "lang", "ok", "extracted_chars", "error",
+                             *extra_cols))
+            if self.dedup_index:
+                # localCheckpoint, not persist: the probe + flag + every
+                # commit re-enter this frame, and a plain persist caches
+                # the DATA but not the analyzed plan — each consumer
+                # would re-analyze the whole round lineage (bloom probe
+                # + rank join + windows + Arrow stages; measured ~+10
+                # s/round of pure driver time at a 2.6k-url demo round).
+                # The frame is batch-sized and html is already dropped,
+                # so truncating it to an RDD scan is cheap and every
+                # consumer plans in O(1) of the round plan. (Same
+                # medicine as the round-4 minhash_lsh_probe_index fix —
+                # see BASELINE.md.)
+                pages = pages.localCheckpoint(eager=True)
+                index_bands, sig_repair = self._sig_state()
+                pages = self._flag_near_dups(pages, index_bands)
         # one shuffle-free pass feeds the commits: cache the round result.
         # persist (NOT localCheckpoint) is deliberate here: the commit
         # consumers re-plan the round lineage, but with the static plan
@@ -503,34 +532,46 @@ class CrawlEngine:
         try:
             n_fetched = pages.count()
 
-            io.append_round(pages, "pages", round_id)
+            if not replay:
+                io.append_round(pages, "pages", round_id)
 
-            if self.dedup_index:
+            if self.dedup_index and not self._committed("sig_index",
+                                                        round_id):
                 # index maintenance: band ONLY this round's kept docs and
                 # APPEND (operators/dedup.append_to_signature_index
                 # semantics — near-dups never enter the index, the corpus
                 # is never re-shingled); committed AFTER pages with the
                 # same round id so a crash between the two commits is
                 # detected as a round-id gap and repaired by _sig_state.
-                from ..operators import dedup as D
-                # fan the batch out before shingling: AQE coalesces the
-                # small round frame to ~1 partition (the checkpointed
-                # RDD inherits it), and the minhash CPU would run on one
-                # core otherwise — measured 33 s → ~3 s on the 7k-url
-                # demo round (same fix as q_dedup_incremental's index
-                # build, plans/queries.py)
-                par = self.spark.sparkContext.defaultParallelism
-                kept_new = (pages.filter(F.col("ok") & ~F.col("near_dup"))
-                            .select("url_hash", "text")
-                            .repartition(par, F.col("url_hash")))
-                new_bands = D.banded_signatures(
-                    kept_new, "url_hash", "text", k=self._sig_k,
-                    n_hashes=self._sig_hashes, band_size=self._sig_band)
-                if sig_repair is not None:
-                    new_bands = sig_repair.unionByName(new_bands)
+                if replay:
+                    # _sig_state's gap repair already covers this
+                    # (committed) round's kept docs — banding them again
+                    # here would duplicate index rows
+                    _, new_bands = self._sig_state()
+                else:
+                    from ..operators import dedup as D
+                    # fan the batch out before shingling: AQE coalesces
+                    # the small round frame to ~1 partition (the
+                    # checkpointed RDD inherits it), and the minhash CPU
+                    # would run on one core otherwise — measured 33 s →
+                    # ~3 s on the 7k-url demo round (same fix as
+                    # q_dedup_incremental's index build,
+                    # plans/queries.py)
+                    par = self.spark.sparkContext.defaultParallelism
+                    kept_new = (pages
+                                .filter(F.col("ok") & ~F.col("near_dup"))
+                                .select("url_hash", "text")
+                                .repartition(par, F.col("url_hash")))
+                    new_bands = D.banded_signatures(
+                        kept_new, "url_hash", "text", k=self._sig_k,
+                        n_hashes=self._sig_hashes,
+                        band_size=self._sig_band)
+                    if sig_repair is not None:
+                        new_bands = sig_repair.unionByName(new_bands)
                 io.append_round(new_bands, "sig_index", round_id)
 
-            if self.priority_mode == "pagerank":
+            if (self.priority_mode == "pagerank"
+                    and not self._committed("links", round_id)):
                 # grow the committed link graph: (fetching page → link
                 # target) as 8-byte hash edges, distinct per round. The
                 # NEXT round's _apply_priority ranks over it — discovery
@@ -552,7 +593,8 @@ class CrawlEngine:
             new_seen = (pages.select(
                 "url_hash", "canonical_url",
                 F.lit(round_id).cast("int").alias("first_seen_round")))
-            io.append_round(new_seen, "url_seen", round_id)
+            if not self._committed("url_seen", round_id):
+                io.append_round(new_seen, "url_seen", round_id)
 
             # incremental bloom maintenance: OR in ONLY this round's hashes
             # (bitmap union is associative — equals a full rebuild) instead
@@ -560,6 +602,10 @@ class CrawlEngine:
             # AFTER url_seen with the same round id; a crash between the
             # two commits is detected by the round-id comparison in _bloom
             # and repaired with a one-time full rebuild.
+            # (replay-safe without a guard: bitmap OR is idempotent, and
+            # on replay _bloom() already returned either the in-sync
+            # committed filter or a full rebuild over the post-crash
+            # url_seen — OR-ing this round's delta again changes nothing)
             delta = B.build_bloom(new_seen.select("url_hash"),
                                   n_buckets=self.n_bloom_buckets,
                                   m_bits=self._bloom_m,
@@ -574,7 +620,8 @@ class CrawlEngine:
                         F.sum((~F.col("ok")).cast("int")).alias("n_err"),
                         F.sum("extracted_chars").alias("extracted_chars"))
                    .withColumn("wall_ts", F.lit(time.time()).cast("double")))
-            io.append_round(log, "crawl_log", round_id)
+            if not self._committed("crawl_log", round_id):
+                io.append_round(log, "crawl_log", round_id)
 
             # frontier advance: committed batch leaves the pending set
             remaining = pending.join(pages.select("canonical_url"),
@@ -636,7 +683,7 @@ class CrawlEngine:
         ever reads LATEST."""
         out = {}
         for name in ("frontier", "bloom", "url_seen", "pages", "crawl_log",
-                     "robots"):
+                     "robots", "links", "sig_index", "fetch_history"):
             if self.io.exists(name):
                 out[name] = self.io.vacuum(name, keep_last=keep_last)
         return out

@@ -508,6 +508,14 @@ def test_engine_vacuum_preserves_resume_state(spark, tmp_path):
     # frontier/bloom overwrite per round -> their round-0 dirs reclaimed
     assert stats["frontier"]["removed_dirs"]
     assert stats["bloom"]["removed_dirs"]
+    # optional-mode tables are covered when present (append-only here:
+    # nothing reclaimable, but maintenance must visit them)
+    eng2 = CrawlEngine(spark, str(tmp_path / "eng2"), per_host_budget=8,
+                       priority_mode="pagerank", dedup_index=True)
+    eng2.bootstrap(synthesize_seeds(spark, 60), default_robots(spark))
+    eng2.run_round(0)
+    stats2 = eng2.vacuum(keep_last=1)
+    assert "links" in stats2 and "sig_index" in stats2
     # state the NEXT round reads is byte-identical
     assert eng.io.read("url_seen").count() == seen_before
     assert eng.io.read("frontier").count() == frontier_before
@@ -792,3 +800,61 @@ def test_rank_refresh_cadence_is_resume_deterministic(spark, tmp_path):
     # the basis filter is real: ranking over MORE rounds differs
     r4 = eng2._ranks_at_basis(4)
     assert {(r.id, r.rank_fp) for r in r4.collect()} != want
+
+
+def _rollback_to_round(io, name, r):
+    snaps = [s for s in io.snapshots(name) if s["round"] == r]
+    io.rollback(name, snaps[-1]["snapshot"])
+
+
+def test_crash_after_pages_commit_replays_identically(spark, tmp_path):
+    """The worst crash window: round 1's pages (the WAL record) committed,
+    every later commit lost. Resume must NOT re-select/re-fetch the batch
+    (that would append it twice) — run_round's replay path rebuilds the
+    round from the committed rows, and the healed store is byte-identical
+    to an uninterrupted run, with both optional tables on."""
+    seeds = _one_host_seeds(spark, list(range(10)),
+                            priorities=[0] * 5 + [5] * 5)
+
+    def mk(root):
+        e = CrawlEngine(spark, str(root), per_host_budget=5,
+                        priority_mode="pagerank", dedup_index=True)
+        e.bootstrap(seeds, _hostq_robots(spark))
+        return e
+
+    full = mk(tmp_path / "full")
+    full.run(max_rounds=3)
+
+    def crash_and_resume(root, keep_tables):
+        crashed = mk(root)
+        crashed.run(max_rounds=3)
+        for t in ("sig_index", "links", "url_seen", "bloom",
+                  "crawl_log", "frontier"):
+            if t not in keep_tables:
+                _rollback_to_round(crashed.io, t, 0)
+        del crashed
+        resumed = CrawlEngine(spark, str(root), per_host_budget=5,
+                              priority_mode="pagerank", dedup_index=True)
+        assert resumed.last_round() == 0
+        resumed.run(max_rounds=3)
+        return resumed
+
+    def assert_identical(resumed):
+        assert resumed.crawl_order() == full.crawl_order()
+        assert resumed.seen_set() == full.seen_set()
+        pages = resumed.io.read("pages")
+        assert (pages.groupBy("canonical_url").count()
+                .filter("count > 1").count()) == 0
+        assert pages.count() == full.io.read("pages").count()
+        for t in ("sig_index", "links", "url_seen"):
+            got = {tuple(r) for r in resumed.io.read(t).collect()}
+            want = {tuple(r) for r in full.io.read(t).collect()}
+            assert got == want, t
+        assert resumed.io.read("frontier").count() == \
+            full.io.read("frontier").count()
+
+    # window A: crash right after the pages commit (nothing else landed)
+    assert_identical(crash_and_resume(tmp_path / "a", keep_tables=()))
+    # window B: crash after pages+sig_index+links, before url_seen
+    assert_identical(crash_and_resume(
+        tmp_path / "b", keep_tables=("sig_index", "links")))
