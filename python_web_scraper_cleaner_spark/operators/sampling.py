@@ -77,6 +77,45 @@ def sample_audit(df: DataFrame, *, strata_cols: list[str],
                  F.sum(F.col("sampled").cast("long")).alias("n_kept")))
 
 
+def chunk_documents(df: DataFrame, *, id_col: str, text_col: str,
+                    chunk_tokens: int, overlap: int = 0) -> DataFrame:
+    """(id, chunk_idx, n_chunk_tokens, chunk): fixed-token-window
+    segmentation with overlap — the standard context-window chunking a
+    training pipeline runs before token-budget packing (pack_shards
+    consumes its output). Window i covers tokens [i·stride, i·stride +
+    chunk_tokens) with stride = chunk_tokens − overlap; the last window
+    may be shorter; empty documents yield no chunks.
+
+    Scale shape: pure JVM expressions end to end (split → sequence →
+    posexplode → slice/array_join inside whole-stage codegen) — the
+    corpus scan is SHUFFLE-FREE and the text column never moves except
+    as its own chunk rows; no UDF, no window function. Number of chunks
+    per doc is 1 + ceil(max(0, n − chunk_tokens)/stride), so output size
+    is ~n/stride rows per doc regardless of skew.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.when(F.trim(F.col(text_col)) == "", F.lit(0)) \
+        .otherwise(F.size(toks))
+    n_chunks = F.when(n <= 0, F.lit(0).cast("long")).otherwise(
+        F.lit(1) + F.floor((F.greatest(n - F.lit(chunk_tokens), F.lit(0))
+                            + F.lit(stride - 1)) / stride)).cast("long")
+    base = (df.select(F.col(id_col).alias("id"), toks.alias("_toks"),
+                      n_chunks.alias("_nc"))
+            .filter(F.col("_nc") > 0))
+    idx = F.explode(F.sequence(F.lit(0).cast("long"),
+                               F.col("_nc") - 1)).alias("chunk_idx")
+    piece = F.slice(F.col("_toks"),
+                    (F.col("chunk_idx") * stride + 1).cast("int"),
+                    chunk_tokens)
+    return (base.select("id", idx, "_toks")
+            .select("id", F.col("chunk_idx").cast("long").alias("chunk_idx"),
+                    F.size(piece).cast("long").alias("n_chunk_tokens"),
+                    F.array_join(piece, " ").alias("chunk")))
+
+
 def pack_shards(df: DataFrame, *, id_col: str, tokens_col: str,
                 budget: int, bucket_width: int | None = None,
                 target_buckets: int = 4096) -> DataFrame:

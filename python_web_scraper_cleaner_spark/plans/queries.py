@@ -3298,6 +3298,39 @@ from p order by id
 """
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking (operators/sampling.chunk_documents):
+    64-token windows, 16-token overlap — the segmentation step a
+    training-data build runs before token-budget packing. Pure JVM
+    exprs (split → sequence → posexplode → slice), shuffle-free scan;
+    chunk text leaves the stage only as its own rows."""
+    from ..operators.sampling import chunk_documents
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return (chunk_documents(docs, id_col="doc_id", text_col="text",
+                            chunk_tokens=64, overlap=16)
+            .orderBy("id", "chunk_idx"))
+
+
+SQL_CHUNK_DOCS = """
+with t as (select doc_id as id,
+                  case when trim(text) = '' then cast([] as varchar[])
+                       else regexp_split_to_array(trim(text), '\\s+')
+                       end as toks
+           from documents where doc_id < 300),
+n as (select id, toks, cast(len(toks) as bigint) as n from t),
+c as (select id, toks, n,
+             case when n <= 0 then 0
+                  else 1 + (greatest(n - 64, 0) + 47) // 48 end as n_chunks
+      from n),
+e as (select id, toks, unnest(range(0, n_chunks)) as chunk_idx from c)
+select id, cast(chunk_idx as bigint) as chunk_idx,
+       cast(len(toks[chunk_idx*48+1 : chunk_idx*48+64]) as bigint)
+         as n_chunk_tokens,
+       array_to_string(toks[chunk_idx*48+1 : chunk_idx*48+64], ' ') as chunk
+from e order by id, chunk_idx
+"""
+
+
 def q_frontier_revisit(spark, sf_dir):
     """Freshness-aware recrawl backoff (operators/frontier.py:
     revisit_schedule): per page, fetches since the last observed change
@@ -3545,6 +3578,78 @@ order by id
 """
 
 
+def q_sample_by_quality(spark, sf_dir):
+    """Quality-aware mixture sampling composed end-to-end: trigram-LM
+    familiarity quartile buckets (lm_familiarity vs the src0 reference
+    slice) become the sampling strata for the deterministic md5-keyed
+    keep filter — the 'rebalance the corpus mix by quality tier' step of
+    an LLM data build. Plan: the familiarity score's one doc-keyed
+    exchange + a 1-row max broadcast + the tiny per-bucket count
+    aggregate; the keep decision stays a pure filter of the id."""
+    from ..operators.sampling import sample_audit
+    docs = _t(spark, sf_dir, "documents")
+    model = TS.trigram_lm_train(docs.filter(F.col("source") == "src0"))
+    fam = TS.lm_familiarity(docs, model).select("id", "familiarity_fp")
+    # bucket across the OBSERVED score range (1-row min/max broadcast):
+    # familiarity clusters tightly on real corpora (48k-67k of the 10M
+    # scale here), so absolute-range quartiles would collapse into one
+    ext = fam.agg(F.min("familiarity_fp").alias("fmin"),
+                  F.max("familiarity_fp").alias("fmax"))
+    bucketed = (fam.crossJoin(F.broadcast(ext))
+                .withColumn("q_bucket",
+                            F.floor(4.0 * (F.col("familiarity_fp")
+                                           - F.col("fmin"))
+                                    / (F.col("fmax") - F.col("fmin") + 1))
+                            .cast("int")))
+    return (sample_audit(bucketed, strata_cols=["q_bucket"], id_col="id",
+                         target=40)
+            .orderBy("q_bucket"))
+
+
+_SAMPLE_BP_SQL = _hex_int_sql("md5(cast(id as varchar))", 1) + " % 10000"
+
+SQL_SAMPLE_BY_QUALITY = f"""
+with s as (select doc_id, source, lower(trim(text)) as s from documents),
+tri as (select doc_id, source,
+               unnest(case when length(s) < 3 then []::varchar[]
+                      else list_transform(range(1, length(s) - 1),
+                                          i -> substr(s, i, 3)) end) as trigram
+        from s),
+model as (select trigram, cast(count(*) as bigint) as n
+          from tri where source = 'src0' group by trigram),
+total as (select cast(sum(n) as bigint) as n_total from model),
+scored as (select t.doc_id as id,
+                  cast(count(*) as bigint) as n_trigrams,
+                  cast(sum(coalesce(m.n, 0)) as bigint) as hit_mass
+           from tri t left join model m using (trigram)
+           group by t.doc_id),
+f as (select d.doc_id as id,
+             cast(case when coalesce(sc.n_trigrams, 0) = 0 then 0
+                  else (10000000 * sc.hit_mass)
+                       // (t.n_total * sc.n_trigrams) end
+                  as bigint) as fam
+      from documents d
+      left join scored sc on sc.id = d.doc_id
+      cross join total t),
+mx as (select min(fam) as fmin, max(fam) as fmax from f),
+b as (select id, cast(cast(floor(4.0 * (fam - fmin)
+                                 / (fmax - fmin + 1)) as bigint)
+                      as int) as q_bucket
+      from f cross join mx),
+counts as (select q_bucket, count(*) as stratum_total
+           from b group by q_bucket),
+th as (select q_bucket,
+              least(10000, cast(floor(10000.0 * 40 / stratum_total)
+                                as bigint)) as keep_bp
+       from counts),
+k as (select b.q_bucket, ({_SAMPLE_BP_SQL}) < th.keep_bp as sampled
+      from b join th using (q_bucket))
+select q_bucket, cast(count(*) as bigint) as n_total,
+       cast(sum(case when sampled then 1 else 0 end) as bigint) as n_kept
+from k group by q_bucket order by q_bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3570,6 +3675,8 @@ def registry():
         # -- 1. never driver-checked (new in round 5) --
         "cdx_stored_lookup": (q_cdx_stored_lookup, SQL_CDX_PREFIX),
         "warc_scan_extract_gz": (q_warc_scan_extract_gz, _sql_warc_scan),
+        "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCS),
+        "sample_by_quality": (q_sample_by_quality, SQL_SAMPLE_BY_QUALITY),
         # -- 2. last driver-green in round 3 or earlier (absent
         #       from CORRECTNESS_r04.json) --
         "events_sessionize": (q_events_sessionize, SQL_SESSIONIZE),

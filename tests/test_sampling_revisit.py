@@ -130,3 +130,39 @@ def test_revisit_clamps_at_max_and_breaks_ts_ties_by_id(spark):
     rows[-1] = (7, t0, 11, True)
     out = FR.revisit_schedule(_history(spark, rows)).collect()[0]
     assert out.unchanged_tail == 0 and out.next_interval_hours == 1
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    from python_web_scraper_cleaner_spark.operators.sampling import (
+        chunk_documents)
+    toks20 = " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, toks20), (2, "a b c"), (3, ""), (4, "   ")],
+        "doc_id long, text string")
+    out = chunk_documents(df, id_col="doc_id", text_col="text",
+                          chunk_tokens=8, overlap=3)
+    rows = {(r.id, r.chunk_idx): (r.n_chunk_tokens, r.chunk)
+            for r in out.collect()}
+    # doc 1: stride 5 -> windows [0:8],[5:13],[10:18],[15:20]
+    assert {k for k in rows if k[0] == 1} == {(1, i) for i in range(4)}
+    assert rows[(1, 0)][1] == " ".join(f"w{i}" for i in range(8))
+    assert rows[(1, 1)][1] == " ".join(f"w{i}" for i in range(5, 13))
+    assert rows[(1, 3)] == (5, " ".join(f"w{i}" for i in range(15, 20)))
+    # overlap reconstruction: chunk0 + each later chunk minus its first
+    # `overlap` tokens == the original token stream
+    rebuilt = rows[(1, 0)][1].split()
+    for i in (1, 2, 3):
+        rebuilt += rows[(1, i)][1].split()[3:]
+    assert rebuilt == toks20.split()
+    # short doc -> one whole-text chunk; empty/whitespace -> no chunks
+    assert rows[(2, 0)] == (3, "a b c")
+    assert not any(k[0] in (3, 4) for k in rows)
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from python_web_scraper_cleaner_spark.operators.sampling import (
+        chunk_documents)
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, id_col="doc_id", text_col="text",
+                        chunk_tokens=4, overlap=4)
