@@ -96,6 +96,16 @@ AUDITED = [
      "StartsWith evaluates post-projection inside codegen (single narrow "
      "scan, no exchange before the filter); cdx_stored_lookup below is "
      "the stored-key plan a real deployment runs"),
+    ("chunk_documents",
+     "context-window chunking: split→sequence→posexplode→slice all "
+     "inside whole-stage codegen — NO exchange before the final orderBy "
+     "(the corpus scan is shuffle-free; chunk text leaves the stage "
+     "only as its own rows)"),
+    ("sample_by_quality",
+     "quality-mixture sampling: one doc-keyed exchange for the "
+     "familiarity sum, 1-row min/max + model broadcasts, tiny "
+     "per-bucket aggregate; the keep decision is a pure filter — no "
+     "per-stratum sort or window"),
     ("cdx_stored_lookup",
      "the same prefix lookup against the STORED surt-sorted index: "
      "expect PushedFilters: [IsNotNull(surt), StringStartsWith(surt, "
