@@ -787,3 +787,82 @@ def append_to_signature_index(index_bands: DataFrame,
     the stored signature table, O(batch) per crawl round."""
     kept = new_bands.join(kept_new_ids.select(id_col), id_col, "left_semi")
     return index_bands.unionByName(kept)
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (duplicated k-token spans)
+# ---------------------------------------------------------------------------
+
+
+def token_windows(df: DataFrame, id_col: str, text_col: str,
+                  k: int) -> DataFrame:
+    """(id, pos, h): xxhash64 of every k-token window at stride 1.
+
+    Docs with fewer than k tokens emit nothing — they cannot contain a
+    duplicated k-token substring, so the length filter prunes them at the
+    scan. The sequence→slice→hash chain is pure JVM whole-stage codegen;
+    the explode is narrow (no exchange before it)."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    wins = F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))).alias("h")))
+    return (df.filter(n >= k)
+            .select(F.col(id_col).alias("id"), F.explode(wins).alias("w"))
+            .select("id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h")))
+
+
+def substring_dup_spans(df: DataFrame, *, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 20,
+                        min_count: int = 2) -> DataFrame:
+    """Exact-substring duplication report: per document, the maximal spans
+    of tokens covered by some k-token window that occurs >= min_count
+    times ANYWHERE in the corpus (intra-doc repeats included).
+
+    This is the Spark-native equivalent of suffix-array exact-substring
+    dedup (the published recipe removes any ~50-token substring appearing
+    twice in the training corpus): a single-node suffix array cannot shard,
+    so the distributed formulation fingerprints every k-token window with a
+    64-bit hash and counts occurrences globally. Reference analog: the
+    engine's content-dedup family generalizing the URL-seen skip logic
+    (/root/reference/scripts/news.py:17-34).
+
+    Returns only contaminated docs: (id, n_tokens, dup_tokens, n_spans,
+    dup_frac) where dup_tokens sums merged span lengths (windows at
+    positions p1 < p2 merge iff p2 - p1 <= k, i.e. overlap or abut).
+
+    Scale shape (100 TB): the window frame is ~one row per corpus token;
+    its groupBy(h) count combines map-side so shuffle #1 carries only
+    distinct-hash partials, and only hashes with count >= min_count
+    survive the HAVING. Shuffle #2 re-keys the window frame by h for the
+    hit join (AQE broadcasts the dup-hash side when the duplicate rate is
+    low, and its skew-join handles hot boilerplate windows — which CANNOT
+    be max_df-capped here, because hot windows are precisely the dups
+    being measured). Only hit rows (typically a few % of windows) reach
+    the per-doc span-merge window, partitioned by doc id."""
+    w = token_windows(df, id_col, text_col, k)
+    dup_h = (w.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+             .filter(F.col("c") >= min_count).select("h"))
+    hits = w.join(dup_h, "h").select("id", "pos")
+    by_pos = Window.partitionBy("id").orderBy("pos")
+    flagged = hits.withColumn(
+        "new_span",
+        F.when(F.col("pos") - F.lag("pos", 1).over(by_pos) <= k,
+               F.lit(0)).otherwise(F.lit(1)))
+    spans = flagged.withColumn("span", F.sum("new_span").over(by_pos))
+    per_span = (spans.groupBy("id", "span")
+                .agg((F.max("pos") - F.min("pos") + k).alias("span_tokens")))
+    per_doc = (per_span.groupBy("id")
+               .agg(F.sum("span_tokens").alias("dup_tokens"),
+                    F.count(F.lit(1)).alias("n_spans")))
+    ntok = df.select(F.col(id_col).alias("id"),
+                     F.size(tokens(F.col(text_col))).alias("n_tokens"))
+    return (per_doc.join(ntok, "id")
+            .select("id",
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.col("dup_tokens").cast("long").alias("dup_tokens"),
+                    F.col("n_spans").cast("long").alias("n_spans"),
+                    F.round(F.col("dup_tokens") / F.col("n_tokens"), 4)
+                    .alias("dup_frac")))

@@ -3650,6 +3650,54 @@ from k group by q_bucket order by q_bucket
 """
 
 
+def q_dedup_substring(spark, sf_dir):
+    """Exact-substring dedup (operators/dedup.substring_dup_spans): per-doc
+    maximal spans covered by a 20-token window occurring >= 2 times in the
+    duplicate-injected corpus — the distributed formulation of
+    suffix-array exact-substring dedup (hash every k-token window, count
+    globally, merge overlapping hits into spans). The near-dup corpus
+    variants produce partial-span fractions; exact/whitespace copies
+    produce dup_frac = 1."""
+    docs = _t(spark, sf_dir, "documents")
+    return (D.substring_dup_spans(_dup_corpus(docs), id_col="doc_id",
+                                  text_col="text", k=20, min_count=2)
+            .orderBy("id"))
+
+
+SQL_DEDUP_SUBSTRING = f"""
+with corpus as ({_DUP_CORPUS_SQL}),
+toks as (select doc_id,
+                list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            t -> t <> '') as l
+         from corpus),
+w as (select doc_id, unnest(list_transform(range(1, len(l) - 18),
+             i -> {{'pos': i, 'sh': array_to_string(l[i:i+19], ' ')}})) as u
+      from toks where len(l) >= 20),
+wh as (select doc_id, u.pos as pos, u.sh as sh from w),
+cnt as (select sh from wh group by sh having count(*) >= 2),
+hits as (select doc_id, pos from wh join cnt using (sh)),
+flg as (select doc_id, pos,
+               case when pos - lag(pos) over (partition by doc_id
+                                              order by pos) <= 20
+                    then 0 else 1 end as new_span
+        from hits),
+sp as (select doc_id, pos,
+              sum(new_span) over (partition by doc_id order by pos
+                                  rows unbounded preceding) as span
+       from flg),
+per_span as (select doc_id, span, max(pos) - min(pos) + 20 as span_tokens
+             from sp group by doc_id, span),
+per_doc as (select doc_id, cast(sum(span_tokens) as bigint) as dup_tokens,
+                   cast(count(*) as bigint) as n_spans
+            from per_span group by doc_id),
+nt as (select doc_id, cast(len(l) as bigint) as n_tokens from toks)
+select p.doc_id as id, nt.n_tokens, p.dup_tokens, p.n_spans,
+       round(p.dup_tokens * 1.0 / nt.n_tokens, 4) as dup_frac
+from per_doc p join nt on p.doc_id = nt.doc_id
+order by id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3673,6 +3721,7 @@ def registry():
     """
     return {
         # -- 1. never driver-checked (new in round 5) --
+        "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
         "cdx_stored_lookup": (q_cdx_stored_lookup, SQL_CDX_PREFIX),
         "warc_scan_extract_gz": (q_warc_scan_extract_gz, _sql_warc_scan),
         "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCS),
