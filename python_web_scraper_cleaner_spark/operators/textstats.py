@@ -317,3 +317,56 @@ def lm_familiarity(docs: DataFrame, model: DataFrame, *,
                         F.expr(f"(cast({LM_SCALE} as bigint) * hit_mass) "
                                "div (n_total * n_trigrams)"))
                     .cast("long").alias("familiarity_fp")))
+
+
+def host_reputation(df: DataFrame, *, id_col: str = "doc_id",
+                    host_col: str = "source", text_col: str = "text",
+                    min_pass_bp: int = 5000,
+                    max_dup_bp: int = 3000) -> DataFrame:
+    """Domain-level reputation rollup (the RefinedWeb/Dolma-style
+    host-level filtering step): aggregate per-document quality and
+    duplication signals to one verdict row per host, which downstream
+    corpus filters consume as a BROADCAST side.
+
+    Signals per host: n_docs, n_pass (gopher_quality gates), n_dup (docs
+    whose exact text occurs >= 2 times anywhere in the corpus — spam/
+    mirror farms), plus integer-basis-point rates and the verdict
+    reputation_ok = pass_bp >= min_pass_bp AND dup_bp <= max_dup_bp.
+    Rates use integer `div` so the verdict is bit-deterministic.
+
+    Reference analog: the per-source manifest rollup
+    (/root/reference/scripts/news.py manifest counts; SURVEY A7)
+    upgraded from bookkeeping to a filtering signal.
+
+    Scale shape (100 TB): the gopher gates and md5 digest are pure
+    codegen over the scan; duplication needs ONE digest-key shuffle
+    whose groupBy combines map-side; the host rollup is ONE host-key
+    shuffle of (1, pass, dup) triples, also map-side-combined — hosts
+    number millions against billions of docs, so the result is a tiny
+    table the next stage broadcasts (left_semi on ok hosts / left_anti
+    on bad) instead of ever re-shuffling the corpus by host."""
+    g = gopher_quality(df, id_col, text_col).select("id", "passes_gopher")
+    dg = df.select(F.col(id_col).alias("id"),
+                   F.col(host_col).alias("host"),
+                   F.md5(F.col(text_col)).alias("d"))
+    dup_d = (dg.groupBy("d").agg(F.count(F.lit(1)).alias("c"))
+             .filter(F.col("c") >= 2).select("d"))
+    dup_ids = (dg.join(dup_d, "d", "left_semi")
+               .select("id", F.lit(1).alias("is_dup")))
+    per_doc = (dg.select("id", "host")
+               .join(g, "id")
+               .join(dup_ids, "id", "left")
+               .select("host",
+                       F.col("passes_gopher").cast("int").alias("p"),
+                       F.coalesce(F.col("is_dup"), F.lit(0)).alias("dupf")))
+    roll = (per_doc.groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("p").cast("long").alias("n_pass"),
+                 F.sum("dupf").cast("long").alias("n_dup")))
+    return (roll.select(
+        "host", "n_docs", "n_pass", "n_dup",
+        F.expr("(10000 * n_pass) div n_docs").alias("pass_bp"),
+        F.expr("(10000 * n_dup) div n_docs").alias("dup_bp"))
+        .withColumn("reputation_ok",
+                    (F.col("pass_bp") >= min_pass_bp)
+                    & (F.col("dup_bp") <= max_dup_bp)))

@@ -3698,6 +3698,78 @@ order by id
 """
 
 
+def q_host_reputation(spark, sf_dir):
+    """Host/domain reputation rollup (operators/textstats.host_reputation):
+    per-source gopher pass rate + exact-duplicate rate over a corpus with
+    injected mirror copies (doc_id % 40 < 2 re-published under the same
+    source — with round-robin source assignment that concentrates the
+    mirror farm on two hosts), yielding the broadcast-sized host verdict
+    table the corpus filter consumes. Both gates discriminate: the two
+    mirror hosts fail on dup_bp, the rest split on pass_bp."""
+    base = (_t(spark, sf_dir, "documents")
+            .select("doc_id", "source", "text"))
+    corpus = base.unionByName(
+        base.filter(F.col("doc_id") % 40 < 2)
+        .select((F.col("doc_id") + 100000).alias("doc_id"),
+                "source", "text"))
+    return TS.host_reputation(corpus).orderBy("host")
+
+
+SQL_HOST_REPUTATION = """
+with corpus as (
+  select doc_id, source, text from documents
+  union all
+  select doc_id + 100000, source, text from documents where doc_id % 40 < 2),
+feats as (
+  select doc_id, source,
+    regexp_split_to_array(lower(trim(text)), '\\s+') as toks,
+    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                x -> x <> '') as lines,
+    cast(len(regexp_extract_all(text, '#|\\.\\.\\.')) as bigint) as n_symbols
+  from corpus),
+m as (
+  select doc_id, source,
+    cast(len(toks) as bigint) as n_words,
+    cast(list_sum(list_transform(toks, t -> length(t))) as bigint) as total_wl,
+    n_symbols,
+    cast(len(lines) as bigint) as n_lines,
+    cast(len(list_filter(lines, x -> starts_with(x, '-')
+             or starts_with(x, '*') or starts_with(x, '•'))) as bigint) as n_bullets,
+    cast(len(lines) - len(list_distinct(lines)) as bigint) as n_dup_lines
+  from feats),
+p as (
+  select doc_id, source,
+    case when n_words >= 50 and n_words <= 100000
+      and round(case when n_words > 0 then total_wl / n_words else 0.0 end, 4)
+          between 3.0 and 10.0
+      and round(case when n_words > 0 then n_symbols / n_words else 0.0 end, 4)
+          <= 0.1
+      and round(case when n_lines > 0 then n_bullets / n_lines else 0.0 end, 4)
+          <= 0.9
+      and round(case when n_lines > 0 then n_dup_lines / n_lines else 0.0 end, 4)
+          <= 0.3
+    then 1 else 0 end as pass
+  from m),
+dg as (select doc_id, source, md5(text) as d from corpus),
+dupd as (select d from dg group by d having count(*) >= 2),
+fl as (select dg.doc_id, case when dupd.d is not null then 1 else 0 end as is_dup
+       from dg left join dupd using (d)),
+roll as (
+  select dg.source as host,
+         cast(count(*) as bigint) as n_docs,
+         cast(sum(p.pass) as bigint) as n_pass,
+         cast(sum(fl.is_dup) as bigint) as n_dup
+  from dg join p using (doc_id) join fl using (doc_id)
+  group by dg.source)
+select host, n_docs, n_pass, n_dup,
+       (10000 * n_pass) // n_docs as pass_bp,
+       (10000 * n_dup) // n_docs as dup_bp,
+       ((10000 * n_pass) // n_docs >= 5000
+        and (10000 * n_dup) // n_docs <= 3000) as reputation_ok
+from roll order by host
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3722,6 +3794,7 @@ def registry():
     return {
         # -- 1. never driver-checked (new in round 5) --
         "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
+        "host_reputation": (q_host_reputation, SQL_HOST_REPUTATION),
         "cdx_stored_lookup": (q_cdx_stored_lookup, SQL_CDX_PREFIX),
         "warc_scan_extract_gz": (q_warc_scan_extract_gz, _sql_warc_scan),
         "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCS),
