@@ -96,6 +96,18 @@ AUDITED = [
      "StartsWith evaluates post-projection inside codegen (single narrow "
      "scan, no exchange before the filter); cdx_stored_lookup below is "
      "the stored-key plan a real deployment runs"),
+    ("dedup_substring",
+     "exact-substring spans: the dup-hash side is a map-side-combined "
+     "HashAggregate pair around ONE exchange and joins back as the "
+     "BROADCAST build side at this scale (at 100 TB AQE decides "
+     "broadcast-vs-skew-shuffle from the measured dup rate); both "
+     "span-merge Window ops share ONE per-doc sort+exchange; only hit "
+     "rows reach it"),
+    ("host_reputation",
+     "domain rollup: gopher gates + md5 digest pure codegen over the "
+     "scan; ONE digest exchange (partial-combined) + ONE host exchange; "
+     "the verdict table is broadcast-sized for downstream corpus "
+     "filters"),
     ("chunk_documents",
      "context-window chunking: split→sequence→posexplode→slice all "
      "inside whole-stage codegen — NO exchange before the final orderBy "
