@@ -3770,6 +3770,146 @@ from roll order by host
 """
 
 
+def q_pipeline_host_substring(spark, sf_dir):
+    """Composed corpus-hygiene pipeline over the two round-5 operators:
+    host_reputation gates the corpus (ok-host verdicts BROADCAST into a
+    left_semi join — the corpus never shuffles by host), then
+    substring_dup_spans measures the RESIDUAL exact-substring
+    duplication the domain filter did not catch (natural cross-host text
+    reuse), rolled back up per host in integer basis points. In
+    production the kept corpus is a persisted intermediate; here the
+    stages chain lazily to prove schema/semantics composition."""
+    base = (_t(spark, sf_dir, "documents")
+            .select("doc_id", "source", "text"))
+    corpus = base.unionByName(
+        base.filter(F.col("doc_id") % 40 < 2)
+        .select((F.col("doc_id") + 100000).alias("doc_id"),
+                "source", "text"))
+    rep = TS.host_reputation(corpus)
+    ok = rep.filter(F.col("reputation_ok")).select("host")
+    kept = corpus.join(F.broadcast(ok),
+                       corpus["source"] == ok["host"], "left_semi")
+    spans = D.substring_dup_spans(kept, id_col="doc_id",
+                                  text_col="text", k=20, min_count=2)
+    per_host = (kept.groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum(TS.token_count_col(F.col("text")))
+                     .cast("long").alias("tok_total")))
+    flagged = (kept.select("doc_id", "source")
+               .join(spans.select(F.col("id").alias("doc_id"),
+                                  "dup_tokens"), "doc_id")
+               .groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n_flagged"),
+                    F.sum("dup_tokens").alias("dup_tokens")))
+    return (per_host.join(flagged, "source", "left")
+            .select(F.col("source").alias("host"), "n_docs",
+                    F.coalesce("n_flagged", F.lit(0)).cast("long")
+                    .alias("n_flagged"),
+                    "tok_total",
+                    F.coalesce("dup_tokens", F.lit(0)).cast("long")
+                    .alias("dup_tokens"))
+            .withColumn("residual_bp",
+                        F.expr("(10000 * dup_tokens) div tok_total"))
+            .orderBy("host"))
+
+
+SQL_PIPELINE_HOST_SUBSTRING = """
+with corpus as (
+  select doc_id, source, text from documents
+  union all
+  select doc_id + 100000, source, text from documents where doc_id % 40 < 2),
+feats as (
+  select doc_id, source,
+    regexp_split_to_array(lower(trim(text)), '\\s+') as toks,
+    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                x -> x <> '') as lines,
+    cast(len(regexp_extract_all(text, '#|\\.\\.\\.')) as bigint) as n_symbols
+  from corpus),
+m as (
+  select doc_id, source,
+    cast(len(toks) as bigint) as n_words,
+    cast(list_sum(list_transform(toks, t -> length(t))) as bigint) as total_wl,
+    n_symbols,
+    cast(len(lines) as bigint) as n_lines,
+    cast(len(list_filter(lines, x -> starts_with(x, '-')
+             or starts_with(x, '*') or starts_with(x, '•'))) as bigint) as n_bullets,
+    cast(len(lines) - len(list_distinct(lines)) as bigint) as n_dup_lines
+  from feats),
+p as (
+  select doc_id, source,
+    case when n_words >= 50 and n_words <= 100000
+      and round(case when n_words > 0 then total_wl / n_words else 0.0 end, 4)
+          between 3.0 and 10.0
+      and round(case when n_words > 0 then n_symbols / n_words else 0.0 end, 4)
+          <= 0.1
+      and round(case when n_lines > 0 then n_bullets / n_lines else 0.0 end, 4)
+          <= 0.9
+      and round(case when n_lines > 0 then n_dup_lines / n_lines else 0.0 end, 4)
+          <= 0.3
+    then 1 else 0 end as pass
+  from m),
+dg as (select doc_id, source, md5(text) as d from corpus),
+dupd as (select d from dg group by d having count(*) >= 2),
+fl as (select dg.doc_id, case when dupd.d is not null then 1 else 0 end as is_dup
+       from dg left join dupd using (d)),
+roll as (
+  select dg.source as host,
+         cast(count(*) as bigint) as n_docs,
+         cast(sum(p.pass) as bigint) as n_pass,
+         cast(sum(fl.is_dup) as bigint) as n_dup
+  from dg join p using (doc_id) join fl using (doc_id)
+  group by dg.source),
+okh as (select host from roll
+        where (10000 * n_pass) // n_docs >= 5000
+          and (10000 * n_dup) // n_docs <= 3000),
+kept as (select c.doc_id, c.source, c.text
+         from corpus c join okh on c.source = okh.host),
+ktoks as (select doc_id, source,
+                 list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                             t -> t <> '') as l
+          from kept),
+w as (select doc_id, unnest(list_transform(range(1, len(l) - 18),
+             i -> {'pos': i, 'sh': array_to_string(l[i:i+19], ' ')})) as u
+      from ktoks where len(l) >= 20),
+wh as (select doc_id, u.pos as pos, u.sh as sh from w),
+cnt as (select sh from wh group by sh having count(*) >= 2),
+hits as (select doc_id, pos from wh join cnt using (sh)),
+flg as (select doc_id, pos,
+               case when pos - lag(pos) over (partition by doc_id
+                                              order by pos) <= 20
+                    then 0 else 1 end as new_span
+        from hits),
+sp as (select doc_id, pos,
+              sum(new_span) over (partition by doc_id order by pos
+                                  rows unbounded preceding) as span
+       from flg),
+per_span as (select doc_id, span, max(pos) - min(pos) + 20 as span_tokens
+             from sp group by doc_id, span),
+per_doc as (select doc_id, cast(sum(span_tokens) as bigint) as dup_tokens
+            from per_span group by doc_id),
+host_tok as (select source,
+                    cast(count(*) as bigint) as n_docs,
+                    cast(sum(case when trim(text) = '' then 0
+                             else len(regexp_split_to_array(lower(trim(text)),
+                                                            '\\s+')) end)
+                         as bigint) as tok_total
+             from kept group by source),
+host_dup as (select k.source,
+                    cast(count(*) as bigint) as n_flagged,
+                    cast(sum(pd.dup_tokens) as bigint) as dup_tokens
+             from kept k join per_doc pd using (doc_id)
+             group by k.source)
+select ht.source as host, ht.n_docs,
+       cast(coalesce(hd.n_flagged, 0) as bigint) as n_flagged,
+       ht.tok_total,
+       cast(coalesce(hd.dup_tokens, 0) as bigint) as dup_tokens,
+       (10000 * cast(coalesce(hd.dup_tokens, 0) as bigint)) // ht.tok_total
+         as residual_bp
+from host_tok ht left join host_dup hd using (source)
+order by host
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3795,6 +3935,8 @@ def registry():
         # -- 1. never driver-checked (new in round 5) --
         "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
         "host_reputation": (q_host_reputation, SQL_HOST_REPUTATION),
+        "pipeline_host_substring": (q_pipeline_host_substring,
+                                    SQL_PIPELINE_HOST_SUBSTRING),
         "cdx_stored_lookup": (q_cdx_stored_lookup, SQL_CDX_PREFIX),
         "warc_scan_extract_gz": (q_warc_scan_extract_gz, _sql_warc_scan),
         "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCS),
