@@ -108,6 +108,12 @@ AUDITED = [
      "scan; ONE digest exchange (partial-combined) + ONE host exchange; "
      "the verdict table is broadcast-sized for downstream corpus "
      "filters"),
+    ("pipeline_host_substring",
+     "composed gate→dedup→rollup: the ok-host verdict side collapses to "
+     "a BroadcastExchange feeding a left_semi BroadcastHashJoin (the "
+     "corpus is never hash-partitioned by host for the gate); the "
+     "substring stage inherits its audited shape; assembly adds only "
+     "host-keyed partial-combined aggregates"),
     ("chunk_documents",
      "context-window chunking: split→sequence→posexplode→slice all "
      "inside whole-stage codegen — NO exchange before the final orderBy "
