@@ -816,7 +816,8 @@ def token_windows(df: DataFrame, id_col: str, text_col: str,
 
 def substring_dup_spans(df: DataFrame, *, id_col: str = "doc_id",
                         text_col: str = "text", k: int = 20,
-                        min_count: int = 2) -> DataFrame:
+                        min_count: int = 2,
+                        reuse_windows: bool = False) -> DataFrame:
     """Exact-substring duplication report: per document, the maximal spans
     of tokens covered by some k-token window that occurs >= min_count
     times ANYWHERE in the corpus (intra-doc repeats included).
@@ -841,8 +842,22 @@ def substring_dup_spans(df: DataFrame, *, id_col: str = "doc_id",
     low, and its skew-join handles hot boilerplate windows — which CANNOT
     be max_df-capped here, because hot windows are precisely the dups
     being measured). Only hit rows (typically a few % of windows) reach
-    the per-doc span-merge window, partitioned by doc id."""
+    the per-doc span-merge window, partitioned by doc id.
+
+    reuse_windows=True localCheckpoints the window frame so the count
+    branch and the hit branch share ONE materialization instead of
+    re-building every window string per branch — measured 1.6× at 300k
+    docs / 12M windows (BENCH_CORPUS_OPS.json); on a real cluster,
+    persist the fingerprint frame to storage instead (localCheckpoint is
+    executor-local and dies with the executor). A count-over-
+    partitionBy(h) window would be faster still here (one shuffle, no
+    recompute) but is rejected as the default: WindowExec cannot
+    skew-split, so ONE hot boilerplate k-gram serializes a whole
+    partition onto a single task, while agg+join gets AQE skew-join
+    handling."""
     w = token_windows(df, id_col, text_col, k)
+    if reuse_windows:
+        w = w.localCheckpoint(eager=False)
     dup_h = (w.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
              .filter(F.col("c") >= min_count).select("h"))
     hits = w.join(dup_h, "h").select("id", "pos")

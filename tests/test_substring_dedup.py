@@ -70,3 +70,15 @@ def test_token_windows_positions_and_pruning(spark):
     w = D.token_windows(_docs(spark, [(0, "a b c d"), (1, "a b")]),
                         "doc_id", "text", 3).collect()
     assert {(r["id"], r["pos"]) for r in w} == {(0, 1), (0, 2)}
+
+
+def test_reuse_windows_identical_results(spark):
+    docs = _docs(spark, [
+        (0, "p q r s t u v w x y"),
+        (1, "m n p q r s t z1 z2"),
+        (2, "a b c a b c"),
+    ])
+    base = sorted(map(tuple, D.substring_dup_spans(docs, k=3).collect()))
+    reuse = sorted(map(tuple, D.substring_dup_spans(
+        docs, k=3, reuse_windows=True).collect()))
+    assert base == reuse

@@ -1,4 +1,4 @@
-"""Scale smoke for the round-4 corpus operators: do the plans hold when
+"""Scale smoke for the round-4/5 corpus operators: do the plans hold when
 the input is 100-1000× the sf0.1 tables?
 
 Synthesizes inputs with spark.range (no disk, pure generation cost is
@@ -10,6 +10,9 @@ measured separately via a count-only baseline) and times:
   window sees only n/bucket_width bucket totals; wall must stay in the
   seconds, not the minutes a naive global window would cost.
 - revisit_schedule: 5M fetch rows over 100k pages — one exchange.
+- substring_dup_spans: 300k docs (~12M k=20 windows, 10% carrying a
+  shared 30-token block) — the window-hash count must combine map-side
+  and only hit windows may reach the per-doc span merge.
 
 Writes BENCH_CORPUS_OPS.json. Run on a quiet box; loadavg recorded.
 """
@@ -33,7 +36,7 @@ def main() -> None:
 
     spark = build_session(app_name="bench_corpus_ops")
     spark.sparkContext.setLogLevel("ERROR")
-    out = {"job": "round-4 corpus ops at 100-1000x sf0.1 row counts",
+    out = {"job": "round-4/5 corpus ops at 100-1000x sf0.1 row counts",
            "loadavg_1m_start": round(os.getloadavg()[0], 2)}
 
     def best_of(fn, n=3):
@@ -82,6 +85,33 @@ def main() -> None:
         revisit_schedule(hist)
         .agg(F.sum("unchanged_tail"), F.count("*")).collect()))
     out["revisit_5m_fetches_100k_pages"] = {"sec": rev}
+
+    # -- substring dup spans, 300k docs (~12M k=20 windows) ---------------
+    from python_web_scraper_cleaner_spark.operators.dedup import (
+        substring_dup_spans)
+    shared = " ".join(f"d{i}" for i in range(30))
+    uniq = F.concat_ws(" ", F.transform(
+        F.sequence(F.lit(1), F.lit(60)),
+        lambda j: F.concat(F.lit("t"), ((F.col("id") * 61 + j)
+                                        % 1_000_000_000).cast("string"))))
+    corpus = (spark.range(300_000)
+              .select(F.col("id").alias("doc_id"),
+                      F.when(F.col("id") % 10 == 0,
+                             F.concat(F.lit(shared + " "), uniq))
+                      .otherwise(uniq).alias("text")))
+    sub = best_of(lambda: (
+        substring_dup_spans(corpus, k=20)
+        .agg(F.count("*"), F.sum("dup_tokens")).collect()))
+    sub_reuse = best_of(lambda: (
+        substring_dup_spans(corpus, k=20, reuse_windows=True)
+        .agg(F.count("*"), F.sum("dup_tokens")).collect()))
+    out["substring_dup_300k_docs_12m_windows"] = {
+        "sec": sub, "sec_reuse_windows": sub_reuse,
+        "note": ("every 10th doc carries a shared 30-token block -> 30k "
+                 "docs flagged; dup-hash side stays partial-combined; "
+                 "only hit windows reach the span merge; reuse_windows "
+                 "localCheckpoints the fingerprint frame so both "
+                 "branches share one materialization")}
 
     out["loadavg_1m_end"] = round(os.getloadavg()[0], 2)
     path = os.path.join(os.path.dirname(os.path.dirname(
