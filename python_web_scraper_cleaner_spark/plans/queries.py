@@ -3657,10 +3657,16 @@ def q_dedup_substring(spark, sf_dir):
     suffix-array exact-substring dedup (hash every k-token window, count
     globally, merge overlapping hits into spans). The near-dup corpus
     variants produce partial-span fractions; exact/whitespace copies
-    produce dup_frac = 1."""
+    produce dup_frac = 1. Fan the corpus out before windowing (small
+    parquet scans yield 2 partitions — same fix as minhash_lsh_dedup)
+    and share one window materialization across the count/hit branches
+    (reuse_windows, 2× measured at sf0.1 and at 300k docs)."""
     docs = _t(spark, sf_dir, "documents")
-    return (D.substring_dup_spans(_dup_corpus(docs), id_col="doc_id",
-                                  text_col="text", k=20, min_count=2)
+    par = spark.sparkContext.defaultParallelism
+    corpus = _dup_corpus(docs).repartition(par, F.col("doc_id"))
+    return (D.substring_dup_spans(corpus, id_col="doc_id",
+                                  text_col="text", k=20, min_count=2,
+                                  reuse_windows=True)
             .orderBy("id"))
 
 
@@ -3776,9 +3782,13 @@ def q_pipeline_host_substring(spark, sf_dir):
     left_semi join — the corpus never shuffles by host), then
     substring_dup_spans measures the RESIDUAL exact-substring
     duplication the domain filter did not catch (natural cross-host text
-    reuse), rolled back up per host in integer basis points. In
-    production the kept corpus is a persisted intermediate; here the
-    stages chain lazily to prove schema/semantics composition."""
+    reuse), rolled back up per host in integer basis points. The kept
+    corpus is a persisted, id-fanned intermediate (three consumers:
+    span detection, token totals, flag rollup — and the broadcast-gate
+    scan yields 2 partitions otherwise; persist+repartition measured
+    2.6× vs lazy re-derivation at sf0.1)."""
+    from ..caching import bounded_persist
+
     base = (_t(spark, sf_dir, "documents")
             .select("doc_id", "source", "text"))
     corpus = base.unionByName(
@@ -3787,10 +3797,15 @@ def q_pipeline_host_substring(spark, sf_dir):
                 "source", "text"))
     rep = TS.host_reputation(corpus)
     ok = rep.filter(F.col("reputation_ok")).select("host")
-    kept = corpus.join(F.broadcast(ok),
-                       corpus["source"] == ok["host"], "left_semi")
+    par = spark.sparkContext.defaultParallelism
+    kept = bounded_persist(
+        corpus.join(F.broadcast(ok),
+                    corpus["source"] == ok["host"], "left_semi")
+        .repartition(par, F.col("doc_id")),
+        tag="host_sub_kept")
     spans = D.substring_dup_spans(kept, id_col="doc_id",
-                                  text_col="text", k=20, min_count=2)
+                                  text_col="text", k=20, min_count=2,
+                                  reuse_windows=True)
     per_host = (kept.groupBy("source")
                 .agg(F.count(F.lit(1)).alias("n_docs"),
                      F.sum(TS.token_count_col(F.col("text")))

@@ -97,9 +97,11 @@ AUDITED = [
      "scan, no exchange before the filter); cdx_stored_lookup below is "
      "the stored-key plan a real deployment runs"),
     ("dedup_substring",
-     "exact-substring spans: the dup-hash side is a map-side-combined "
-     "HashAggregate pair around ONE exchange and joins back as the "
-     "BROADCAST build side at this scale (at 100 TB AQE decides "
+     "exact-substring spans: the window frame is id-fanned then "
+     "materialized ONCE (reuse_windows localCheckpoint — count and hit "
+     "branches share it, 2x measured); the dup-hash side is a map-side-"
+     "combined HashAggregate pair around ONE exchange joining back as "
+     "the BROADCAST build side at this scale (at 100 TB AQE decides "
      "broadcast-vs-skew-shuffle from the measured dup rate); both "
      "span-merge Window ops share ONE per-doc sort+exchange; only hit "
      "rows reach it"),
@@ -111,9 +113,11 @@ AUDITED = [
     ("pipeline_host_substring",
      "composed gate→dedup→rollup: the ok-host verdict side collapses to "
      "a BroadcastExchange feeding a left_semi BroadcastHashJoin (the "
-     "corpus is never hash-partitioned by host for the gate); the "
-     "substring stage inherits its audited shape; assembly adds only "
-     "host-keyed partial-combined aggregates"),
+     "corpus is never hash-partitioned by host for the gate); the kept "
+     "corpus is persisted + id-fanned ONCE for its three consumers "
+     "(InMemoryTableScan below, 2.6x measured); the substring stage "
+     "inherits its audited shape; assembly adds only host-keyed "
+     "partial-combined aggregates"),
     ("chunk_documents",
      "context-window chunking: split→sequence→posexplode→slice all "
      "inside whole-stage codegen — NO exchange before the final orderBy "
