@@ -802,6 +802,8 @@ def token_windows(df: DataFrame, id_col: str, text_col: str,
     duplicated k-token substring, so the length filter prunes them at the
     scan. The sequence→slice→hash chain is pure JVM whole-stage codegen;
     the explode is narrow (no exchange before it)."""
+    if k < 1:
+        raise ValueError(f"window length k must be >= 1, got {k}")
     toks = tokens(F.col(text_col))
     n = F.size(toks)
     wins = F.transform(
@@ -855,6 +857,9 @@ def substring_dup_spans(df: DataFrame, *, id_col: str = "doc_id",
     skew-split, so ONE hot boilerplate k-gram serializes a whole
     partition onto a single task, while agg+join gets AQE skew-join
     handling."""
+    if min_count < 2:
+        raise ValueError("min_count < 2 would flag every window as "
+                         f"duplicated, got {min_count}")
     w = token_windows(df, id_col, text_col, k)
     if reuse_windows:
         w = w.localCheckpoint(eager=False)

@@ -3824,7 +3824,11 @@ def q_pipeline_host_substring(spark, sf_dir):
                     F.coalesce("dup_tokens", F.lit(0)).cast("long")
                     .alias("dup_tokens"))
             .withColumn("residual_bp",
-                        F.expr("(10000 * dup_tokens) div tok_total"))
+                        # ANSI div aborts on 0: a host whose kept docs are
+                        # all empty-text must yield 0, not kill the job
+                        F.when(F.col("tok_total") > 0,
+                               F.expr("(10000 * dup_tokens) div tok_total"))
+                        .otherwise(F.lit(0)).cast("long"))
             .orderBy("host"))
 
 
@@ -3918,8 +3922,10 @@ select ht.source as host, ht.n_docs,
        cast(coalesce(hd.n_flagged, 0) as bigint) as n_flagged,
        ht.tok_total,
        cast(coalesce(hd.dup_tokens, 0) as bigint) as dup_tokens,
-       (10000 * cast(coalesce(hd.dup_tokens, 0) as bigint)) // ht.tok_total
-         as residual_bp
+       cast(case when ht.tok_total > 0
+            then (10000 * cast(coalesce(hd.dup_tokens, 0) as bigint))
+                 // ht.tok_total
+            else 0 end as bigint) as residual_bp
 from host_tok ht left join host_dup hd using (source)
 order by host
 """

@@ -82,3 +82,12 @@ def test_reuse_windows_identical_results(spark):
     reuse = sorted(map(tuple, D.substring_dup_spans(
         docs, k=3, reuse_windows=True).collect()))
     assert base == reuse
+
+
+def test_degenerate_parameters_rejected(spark):
+    import pytest
+    docs = _docs(spark, [(0, "a b c")])
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        D.token_windows(docs, "doc_id", "text", 0)
+    with pytest.raises(ValueError, match="min_count < 2"):
+        D.substring_dup_spans(docs, k=3, min_count=1)
