@@ -111,7 +111,8 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str, *,
                    min_mean_wl: float = 3.0, max_mean_wl: float = 10.0,
                    max_symbol_ratio: float = 0.1,
                    max_bullet_frac: float = 0.9,
-                   max_dup_line_frac: float = 0.3) -> DataFrame:
+                   max_dup_line_frac: float = 0.3,
+                   keep: tuple = ()) -> DataFrame:
     """Gopher-style document quality gates (Rae et al. 2021 §A1.1, the
     published web-corpus filtering recipe): word-count bounds, mean word
     length bounds, symbol-to-word ratio (# and … marks), bullet-line
@@ -149,7 +150,10 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str, *,
         mean_wl.alias("mean_word_len"), symbol_ratio.alias("symbol_ratio"),
         bullet_frac.alias("bullet_frac"),
         dup_line_frac.alias("dup_line_frac"),
-        passes.alias("passes_gopher"))
+        passes.alias("passes_gopher"),
+        # pass-through columns so composed operators can gate + group in
+        # the SAME projection instead of re-joining the corpus by id
+        *[F.col(c) for c in keep])
 
 
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -322,7 +326,8 @@ def lm_familiarity(docs: DataFrame, model: DataFrame, *,
 def host_reputation(df: DataFrame, *, id_col: str = "doc_id",
                     host_col: str = "source", text_col: str = "text",
                     min_pass_bp: int = 5000,
-                    max_dup_bp: int = 3000) -> DataFrame:
+                    max_dup_bp: int = 3000,
+                    reuse_rows: bool = False) -> DataFrame:
     """Domain-level reputation rollup (the RefinedWeb/Dolma-style
     host-level filtering step): aggregate per-document quality and
     duplication signals to one verdict row per host, which downstream
@@ -338,31 +343,42 @@ def host_reputation(df: DataFrame, *, id_col: str = "doc_id",
     (/root/reference/scripts/news.py manifest counts; SURVEY A7)
     upgraded from bookkeeping to a filtering signal.
 
-    Scale shape (100 TB): the gopher gates and md5 digest are pure
-    codegen over the scan; duplication needs ONE digest-key shuffle
-    whose groupBy combines map-side; the host rollup is ONE host-key
-    shuffle of (1, pass, dup) triples, also map-side-combined — hosts
-    number millions against billions of docs, so the result is a tiny
-    table the next stage broadcasts (left_semi on ok hosts / left_anti
-    on bad) instead of ever re-shuffling the corpus by host."""
-    g = gopher_quality(df, id_col, text_col).select("id", "passes_gopher")
-    dg = df.select(F.col(id_col).alias("id"),
-                   F.col(host_col).alias("host"),
-                   F.md5(F.col(text_col)).alias("d"))
-    dup_d = (dg.groupBy("d").agg(F.count(F.lit(1)).alias("c"))
-             .filter(F.col("c") >= 2).select("d"))
-    dup_ids = (dg.join(dup_d, "d", "left_semi")
-               .select("id", F.lit(1).alias("is_dup")))
-    per_doc = (dg.select("id", "host")
-               .join(g, "id")
-               .join(dup_ids, "id", "left")
-               .select("host",
+    Scale shape (100 TB): gopher gate + md5 digest + host all live in
+    ONE projection over the scan (gopher_quality's keep= passthrough) —
+    no corpus-by-id join anywhere. Duplication is the operator's one
+    self-join: the digest-count side aggregates with map-side combine
+    (one digest-key shuffle of per-partition partials), and the
+    surviving dup digests — a tiny fraction at real dup rates — come
+    back as the probe join's build side (AQE broadcasts them, so the
+    corpus rows are NOT re-shuffled by digest; at pathological dup
+    rates AQE falls back to a skew-handled shuffle join). The host
+    rollup is ONE host-key shuffle of (1, pass, dup) triples,
+    map-side-combined — hosts number millions against billions of
+    docs, so the result is a tiny table the next stage broadcasts
+    (left_semi on ok hosts / left_anti on bad) instead of ever
+    re-shuffling the corpus by host.
+
+    reuse_rows=True localCheckpoints the per-doc projection so the
+    digest-count branch and the probe branch share one materialization
+    instead of re-deriving the scan per branch (same trade as
+    substring_dup_spans.reuse_windows; on a real cluster persist the
+    per-doc frame to storage instead)."""
+    per_doc = (gopher_quality(df, id_col, text_col,
+                              keep=(host_col, text_col))
+               .select(F.col(host_col).alias("host"),
                        F.col("passes_gopher").cast("int").alias("p"),
-                       F.coalesce(F.col("is_dup"), F.lit(0)).alias("dupf")))
-    roll = (per_doc.groupBy("host")
+                       F.md5(F.col(text_col)).alias("d")))
+    if reuse_rows:
+        per_doc = per_doc.localCheckpoint(eager=False)
+    dup_d = (per_doc.groupBy("d").agg(F.count(F.lit(1)).alias("c"))
+             .filter(F.col("c") >= 2)
+             .select("d", F.lit(1).alias("dup_mark")))
+    roll = (per_doc.join(dup_d, "d", "left")
+            .groupBy("host")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("p").cast("long").alias("n_pass"),
-                 F.sum("dupf").cast("long").alias("n_dup")))
+                 F.sum(F.coalesce(F.col("dup_mark"), F.lit(0)))
+                 .cast("long").alias("n_dup")))
     return (roll.select(
         "host", "n_docs", "n_pass", "n_dup",
         F.expr("(10000 * n_pass) div n_docs").alias("pass_bp"),

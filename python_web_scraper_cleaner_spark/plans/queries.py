@@ -3673,8 +3673,7 @@ def q_dedup_substring(spark, sf_dir):
 SQL_DEDUP_SUBSTRING = f"""
 with corpus as ({_DUP_CORPUS_SQL}),
 toks as (select doc_id,
-                list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-                            t -> t <> '') as l
+                regexp_split_to_array(lower(trim(text)), '\\s+') as l
          from corpus),
 w as (select doc_id, unnest(list_transform(range(1, len(l) - 18),
              i -> {{'pos': i, 'sh': array_to_string(l[i:i+19], ' ')}})) as u
@@ -3704,28 +3703,32 @@ order by id
 """
 
 
-def q_host_reputation(spark, sf_dir):
-    """Host/domain reputation rollup (operators/textstats.host_reputation):
-    per-source gopher pass rate + exact-duplicate rate over a corpus with
-    injected mirror copies (doc_id % 40 < 2 re-published under the same
-    source — with round-robin source assignment that concentrates the
-    mirror farm on two hosts), yielding the broadcast-sized host verdict
-    table the corpus filter consumes. Both gates discriminate: the two
-    mirror hosts fail on dup_bp, the rest split on pass_bp."""
-    base = (_t(spark, sf_dir, "documents")
+def _mirror_corpus(docs):
+    """documents ∪ same-source mirror copies (doc_id % 40 < 2 shifted
+    +100000): the host-reputation demo corpus, shared by the standalone
+    and composed entries so the injection rule lives in ONE place (its
+    SQL twin is _MIRROR_CORPUS_SQL). The doc_id < 100000 guard keeps the
+    shifted id namespace collision-free on any table size."""
+    base = (docs.filter(F.col("doc_id") < 100000)
             .select("doc_id", "source", "text"))
-    corpus = base.unionByName(
+    return base.unionByName(
         base.filter(F.col("doc_id") % 40 < 2)
         .select((F.col("doc_id") + 100000).alias("doc_id"),
                 "source", "text"))
-    return TS.host_reputation(corpus).orderBy("host")
 
 
-SQL_HOST_REPUTATION = """
-with corpus as (
-  select doc_id, source, text from documents
+_MIRROR_CORPUS_SQL = """
+  select doc_id, source, text from documents where doc_id < 100000
   union all
-  select doc_id + 100000, source, text from documents where doc_id % 40 < 2),
+  select doc_id + 100000, source, text from documents
+  where doc_id < 100000 and doc_id % 40 < 2
+"""
+
+# Shared host-reputation CTE chain (gopher gates with SQL_GOPHER's exact
+# arithmetic on raw text; dup flag = exact-text digest count >= 2),
+# interpolated into SQL_HOST_REPUTATION and SQL_PIPELINE_HOST_SUBSTRING so
+# a threshold tweak cannot desynchronize the two oracles.
+_HOST_REP_SQL_CTES = f"""corpus as ({_MIRROR_CORPUS_SQL}),
 feats as (
   select doc_id, source,
     regexp_split_to_array(lower(trim(text)), '\\s+') as toks,
@@ -3766,7 +3769,28 @@ roll as (
          cast(sum(p.pass) as bigint) as n_pass,
          cast(sum(fl.is_dup) as bigint) as n_dup
   from dg join p using (doc_id) join fl using (doc_id)
-  group by dg.source)
+  group by dg.source)"""
+
+
+def q_host_reputation(spark, sf_dir):
+    """Host/domain reputation rollup (operators/textstats.host_reputation):
+    per-source gopher pass rate + exact-duplicate rate over _mirror_corpus
+    (doc_id % 40 < 2 re-published under the same source — round-robin
+    source assignment concentrates the mirror farm on two hosts), yielding
+    the broadcast-sized host verdict table the corpus filter consumes.
+    Both gates discriminate: the two mirror hosts fail on dup_bp, the
+    rest split on pass_bp. Fan out before the codegen-heavy projection
+    (union of small scans yields 2 partitions) and share one per-doc
+    materialization across the digest-count/probe branches
+    (reuse_rows)."""
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    corpus = _mirror_corpus(docs).repartition(par, F.col("doc_id"))
+    return TS.host_reputation(corpus, reuse_rows=True).orderBy("host")
+
+
+SQL_HOST_REPUTATION = f"""
+with {_HOST_REP_SQL_CTES}
 select host, n_docs, n_pass, n_dup,
        (10000 * n_pass) // n_docs as pass_bp,
        (10000 * n_dup) // n_docs as dup_bp,
@@ -3778,8 +3802,8 @@ from roll order by host
 
 def q_pipeline_host_substring(spark, sf_dir):
     """Composed corpus-hygiene pipeline over the two round-5 operators:
-    host_reputation gates the corpus (ok-host verdicts BROADCAST into a
-    left_semi join — the corpus never shuffles by host), then
+    host_reputation gates _mirror_corpus (ok-host verdicts BROADCAST into
+    a left_semi join — the corpus never shuffles by host), then
     substring_dup_spans measures the RESIDUAL exact-substring
     duplication the domain filter did not catch (natural cross-host text
     reuse), rolled back up per host in integer basis points. The kept
@@ -3789,12 +3813,8 @@ def q_pipeline_host_substring(spark, sf_dir):
     2.6× vs lazy re-derivation at sf0.1)."""
     from ..caching import bounded_persist
 
-    base = (_t(spark, sf_dir, "documents")
-            .select("doc_id", "source", "text"))
-    corpus = base.unionByName(
-        base.filter(F.col("doc_id") % 40 < 2)
-        .select((F.col("doc_id") + 100000).alias("doc_id"),
-                "source", "text"))
+    docs = _t(spark, sf_dir, "documents")
+    corpus = _mirror_corpus(docs)
     rep = TS.host_reputation(corpus)
     ok = rep.filter(F.col("reputation_ok")).select("host")
     par = spark.sparkContext.defaultParallelism
@@ -3832,63 +3852,18 @@ def q_pipeline_host_substring(spark, sf_dir):
             .orderBy("host"))
 
 
-SQL_PIPELINE_HOST_SUBSTRING = """
-with corpus as (
-  select doc_id, source, text from documents
-  union all
-  select doc_id + 100000, source, text from documents where doc_id % 40 < 2),
-feats as (
-  select doc_id, source,
-    regexp_split_to_array(lower(trim(text)), '\\s+') as toks,
-    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
-                x -> x <> '') as lines,
-    cast(len(regexp_extract_all(text, '#|\\.\\.\\.')) as bigint) as n_symbols
-  from corpus),
-m as (
-  select doc_id, source,
-    cast(len(toks) as bigint) as n_words,
-    cast(list_sum(list_transform(toks, t -> length(t))) as bigint) as total_wl,
-    n_symbols,
-    cast(len(lines) as bigint) as n_lines,
-    cast(len(list_filter(lines, x -> starts_with(x, '-')
-             or starts_with(x, '*') or starts_with(x, '•'))) as bigint) as n_bullets,
-    cast(len(lines) - len(list_distinct(lines)) as bigint) as n_dup_lines
-  from feats),
-p as (
-  select doc_id, source,
-    case when n_words >= 50 and n_words <= 100000
-      and round(case when n_words > 0 then total_wl / n_words else 0.0 end, 4)
-          between 3.0 and 10.0
-      and round(case when n_words > 0 then n_symbols / n_words else 0.0 end, 4)
-          <= 0.1
-      and round(case when n_lines > 0 then n_bullets / n_lines else 0.0 end, 4)
-          <= 0.9
-      and round(case when n_lines > 0 then n_dup_lines / n_lines else 0.0 end, 4)
-          <= 0.3
-    then 1 else 0 end as pass
-  from m),
-dg as (select doc_id, source, md5(text) as d from corpus),
-dupd as (select d from dg group by d having count(*) >= 2),
-fl as (select dg.doc_id, case when dupd.d is not null then 1 else 0 end as is_dup
-       from dg left join dupd using (d)),
-roll as (
-  select dg.source as host,
-         cast(count(*) as bigint) as n_docs,
-         cast(sum(p.pass) as bigint) as n_pass,
-         cast(sum(fl.is_dup) as bigint) as n_dup
-  from dg join p using (doc_id) join fl using (doc_id)
-  group by dg.source),
+SQL_PIPELINE_HOST_SUBSTRING = f"""
+with {_HOST_REP_SQL_CTES},
 okh as (select host from roll
         where (10000 * n_pass) // n_docs >= 5000
           and (10000 * n_dup) // n_docs <= 3000),
 kept as (select c.doc_id, c.source, c.text
          from corpus c join okh on c.source = okh.host),
 ktoks as (select doc_id, source,
-                 list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-                             t -> t <> '') as l
+                 regexp_split_to_array(lower(trim(text)), '\\s+') as l
           from kept),
 w as (select doc_id, unnest(list_transform(range(1, len(l) - 18),
-             i -> {'pos': i, 'sh': array_to_string(l[i:i+19], ' ')})) as u
+             i -> {{'pos': i, 'sh': array_to_string(l[i:i+19], ' ')}})) as u
       from ktoks where len(l) >= 20),
 wh as (select doc_id, u.pos as pos, u.sh as sh from w),
 cnt as (select sh from wh group by sh having count(*) >= 2),

@@ -106,10 +106,12 @@ AUDITED = [
      "span-merge Window ops share ONE per-doc sort+exchange; only hit "
      "rows reach it"),
     ("host_reputation",
-     "domain rollup: gopher gates + md5 digest pure codegen over the "
-     "scan; ONE digest exchange (partial-combined) + ONE host exchange; "
-     "the verdict table is broadcast-sized for downstream corpus "
-     "filters"),
+     "domain rollup: gopher gate + md5 digest + host in ONE projection "
+     "(no corpus-by-id joins); per-doc frame id-fanned and materialized "
+     "once (reuse_rows); digest count = partial-combined HashAggregate "
+     "around one exchange, surviving dup digests probe back as the "
+     "BROADCAST build side; ONE host exchange; the verdict table is "
+     "broadcast-sized for downstream corpus filters"),
     ("pipeline_host_substring",
      "composed gate→dedup→rollup: the ok-host verdict side collapses to "
      "a BroadcastExchange feeding a left_semi BroadcastHashJoin (the "
