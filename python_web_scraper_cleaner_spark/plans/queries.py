@@ -3500,6 +3500,66 @@ def _sql_warc_scan():
         order_by="segment_id")
 
 
+def q_wet_scan_tokens(spark, sf_dir):
+    """WET ingestion round trip (sources/warc.py WET tier): conversion
+    records (extracted text, NO HTTP envelope — the file Common Crawl
+    ships beside each WARC) in per-record gzip members → length-delimited
+    parse → per-segment text manifest, all JVM after the Arrow parse.
+    Failed extractions are ABSENT from WET by construction (118 of 1200
+    pages here), so record counts differ from the WARC twin — the oracle
+    recomputes everything from the logical pages through the same kernel,
+    proving the write→gzip→parse chain lossless on the text framing.
+    Token counts use the JVM \\s semantics; the oracle twin splits on
+    Java's exact class ([ \\t\\n\\x0b\\f\\r] — NBSP is NOT whitespace in
+    Java regex, and the fixture texts contain NBSP)."""
+    from ..sources.warc import synthesize_wet_segments, wet_records
+    segs = synthesize_wet_segments(spark, 1200, pages_per_segment=50,
+                                   gzip_members=True)
+    recs = wet_records(segs)
+    return (recs.groupBy("segment_id")
+            .agg(F.count("*").alias("n_records"),
+                 F.sum(F.length("text")).cast("long").alias("sum_chars"),
+                 F.sum(TS.token_count_col(F.col("text"))).cast("long")
+                 .alias("sum_tokens"),
+                 F.countDistinct("url").alias("n_urls"))
+            .orderBy("segment_id"))
+
+
+@lru_cache(maxsize=None)
+def _sql_wet_scan():
+    """Per-segment expectation from the pages ENCODED into each WET
+    segment, via the same kernel — independent of the writer/parser
+    under test."""
+    import re
+
+    from ..functions import kernel as K
+    from ..sources.pages import page_record
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java regex \s, exactly
+    rows = []
+    for seg in range(24):
+        lo, hi = seg * 50, min(seg * 50 + 50, 1200)
+        n = chars = toks = 0
+        urls = set()
+        for i in range(lo, hi):
+            page = page_record(i)
+            out = K.clean_html(page["html"], output_format="txt")
+            if not out.ok:
+                continue
+            n += 1
+            chars += len(out.text)
+            t = out.text.strip(" ")
+            toks += 0 if t == "" else len(ws.split(t))
+            urls.add(page["url"])
+        rows.append((seg, n, chars, toks, len(urls)))
+    return _values_sql(
+        rows,
+        ["segment_id", "n_records", "sum_chars", "sum_tokens", "n_urls"],
+        bigint_cols={"segment_id", "n_records", "sum_chars", "sum_tokens",
+                     "n_urls"},
+        order_by="segment_id")
+
+
 def q_anchor_text_rollup(spark, sf_dir):
     """Per-target anchor-text corpus (operators/graph.py:anchor_rollup) —
     how OTHER pages describe a target, the classic web-ranking signal the
@@ -3935,6 +3995,7 @@ def registry():
                                     SQL_PIPELINE_HOST_SUBSTRING),
         "cdx_stored_lookup": (q_cdx_stored_lookup, SQL_CDX_PREFIX),
         "warc_scan_extract_gz": (q_warc_scan_extract_gz, _sql_warc_scan),
+        "wet_scan_tokens": (q_wet_scan_tokens, _sql_wet_scan),
         "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCS),
         "sample_by_quality": (q_sample_by_quality, SQL_SAMPLE_BY_QUALITY),
         # -- 2. last driver-green in round 3 or earlier (absent

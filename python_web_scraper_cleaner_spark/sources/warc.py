@@ -86,16 +86,22 @@ def _gunzip_members(blob: bytes) -> bytes:
     return b"".join(parts)
 
 
-def parse_warc_segment(blob: bytes) -> list[tuple]:
-    """(rec_idx, url, warc_ts, status, html) for every WELL-FORMED
-    response record of one segment, in file order. Length-delimited walk;
+def parse_warc_segment(blob: bytes,
+                       record_type: str = "response") -> list[tuple]:
+    """(rec_idx, url, warc_ts, status, payload) for every WELL-FORMED
+    record of the wanted type, in file order. Length-delimited walk;
     truncated/malformed tails stop the walk (partial record dropped),
-    non-response records are skipped but consume their declared length.
+    other record types are skipped but consume their declared length.
+
+    record_type="response" (WARC): the payload is the HTTP body after
+    the header split, with the parsed status; "conversion" (WET): the
+    payload IS the record body (no HTTP envelope), status fixed 0.
 
     Accepts BOTH segment framings transparently: plain concatenated
     records, and per-record gzip members (the actual Common Crawl layout
     — detected by the 0x1f8b magic and inflated via _gunzip_members
     before the walk)."""
+    want = record_type.encode("ascii")
     if blob[:2] == b"\x1f\x8b":
         blob = _gunzip_members(blob)
     out: list[tuple] = []
@@ -128,22 +134,25 @@ def parse_warc_segment(blob: bytes) -> list[tuple]:
         if body_end > n:
             break  # truncated record
         assert body_end > pos  # cursor strictly monotonic — no re-parse
-        if fields.get(b"warc-type") == b"response":
+        if fields.get(b"warc-type") == want:
             body = blob[body_start:body_end]
-            http_end = body.find(b"\r\n\r\n")
             status = 0
-            html = b""
-            if http_end >= 0:
-                status_line = body[:body.find(b"\r\n")].split(b" ")
-                if len(status_line) >= 2 and status_line[1].isdigit():
-                    status = int(status_line[1])
-                html = body[http_end + 4:]
+            if want == b"response":
+                http_end = body.find(b"\r\n\r\n")
+                payload = b""
+                if http_end >= 0:
+                    status_line = body[:body.find(b"\r\n")].split(b" ")
+                    if len(status_line) >= 2 and status_line[1].isdigit():
+                        status = int(status_line[1])
+                    payload = body[http_end + 4:]
+            else:
+                payload = body  # conversion: the body IS the text
             out.append((idx,
                         fields.get(b"warc-target-uri", b"").decode("utf-8",
                                                                    "replace"),
                         fields.get(b"warc-date", b"").decode("ascii",
                                                              "replace"),
-                        status, html))
+                        status, payload))
         idx += 1
         pos = body_end
         while blob.startswith(b"\r\n", pos):
@@ -210,3 +219,90 @@ def warc_records(segments: DataFrame, *,
                 "html"])
 
     return segments.mapInPandas(gen, schema=WARC_RECORD_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WET (extracted-text conversion records) — the WARC sibling Common Crawl
+# ships alongside each segment
+# ---------------------------------------------------------------------------
+
+WET_RECORD_SCHEMA = ("segment_id long, rec_idx int, url string, "
+                     "warc_ts string, text string")
+
+
+def build_wet_record(url: str, ts: str, text: str) -> bytes:
+    """One WARC/1.0 conversion record — the WET (extracted-text) sibling
+    of build_warc_record: no HTTP envelope, the payload IS the UTF-8
+    text. Real WET files contain one conversion record per successfully
+    extracted page (failed extractions are absent), plus the leading
+    warcinfo."""
+    body = text.encode("utf-8")
+    head = (f"WARC/1.0\r\n"
+            f"WARC-Type: conversion\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {ts}\r\n"
+            f"Content-Type: text/plain\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n").encode("ascii")
+    return head + body + b"\r\n\r\n"
+
+
+def synthesize_wet_segments(spark, n_pages: int, *,
+                            pages_per_segment: int = 50,
+                            gzip_members: bool = False) -> DataFrame:
+    """(segment_id, wet:binary): deterministic WET segments — the
+    extracted-text twin of synthesize_warc_segments, built by running the
+    SAME kernel extraction the WARC path uses (kernel.clean_html) over
+    each logical page and emitting conversion records for the ok ones
+    (failed extractions are absent, exactly like real WET). Segment
+    boundaries mirror the WARC layout so (warc, wet) pairs align."""
+    import pandas as pd
+
+    from ..functions.kernel import clean_html
+    from .pages import page_record
+
+    n_segments = -(-n_pages // pages_per_segment)
+    frame = gzip_member if gzip_members else (lambda b: b)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for seg in pdf["id"]:
+                seg = int(seg)
+                lo = seg * pages_per_segment
+                hi = min(lo + pages_per_segment, n_pages)
+                parts = [frame(build_warcinfo(seg))]
+                for i in range(lo, hi):
+                    page = page_record(i)
+                    out = clean_html(page["html"], output_format="txt")
+                    if out.ok:
+                        parts.append(frame(build_wet_record(
+                            page["url"], "2026-06-01T00:00:00Z",
+                            out.text)))
+                rows.append((seg, b"".join(parts)))
+            yield pd.DataFrame(rows, columns=["segment_id", "wet"])
+
+    return (spark.range(n_segments)
+            .repartition(min(n_segments, 32))
+            .mapInPandas(gen, schema="segment_id long, wet binary"))
+
+
+def wet_records(segments: DataFrame, *,
+                blob_col: str = "wet") -> DataFrame:
+    """Explode WET segment blobs into conversion-record rows
+    (WET_RECORD_SCHEMA) — same Arrow-stage contract as warc_records:
+    the blob never leaves the stage, only narrow (url, ts, text) rows
+    do."""
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for seg_id, blob in zip(pdf["segment_id"], pdf[blob_col]):
+                for idx, url, ts, _status, body in parse_warc_segment(
+                        bytes(blob), record_type="conversion"):
+                    rows.append((int(seg_id), idx, url, ts,
+                                 body.decode("utf-8", "replace")))
+            yield pd.DataFrame(rows, columns=[
+                "segment_id", "rec_idx", "url", "warc_ts", "text"])
+
+    return segments.mapInPandas(gen, schema=WET_RECORD_SCHEMA)

@@ -104,3 +104,57 @@ def test_spark_segments_roundtrip_counts(spark):
     assert by_seg == {0: 40, 1: 40, 2: 40}
     urls = recs.select("url").distinct().count()
     assert urls == 120
+
+
+def test_wet_conversion_record_roundtrip():
+    from python_web_scraper_cleaner_spark.sources.warc import (
+        build_warc_record, build_wet_record, parse_warc_segment)
+    wet = build_wet_record("http://a.example/1", "2026-06-01T00:00:00Z",
+                           "hello\nworld WARC/1.0\r\n\r\n quoted")
+    # conversion parse returns the body verbatim even when it quotes
+    # warc header bytes (the length-delimited guarantee)
+    recs = parse_warc_segment(wet, record_type="conversion")
+    assert len(recs) == 1
+    idx, url, ts, status, body = recs[0]
+    assert body.decode() == "hello\nworld WARC/1.0\r\n\r\n quoted"
+    assert status == 0 and url == "http://a.example/1"
+    # a response record in the same stream is skipped by the
+    # conversion parse and vice versa
+    mixed = build_warc_record("http://a.example/2", ts, b"<p>x</p>") + wet
+    assert len(parse_warc_segment(mixed, record_type="conversion")) == 1
+    assert len(parse_warc_segment(mixed)) == 1
+    assert parse_warc_segment(mixed)[0][1] == "http://a.example/2"
+
+
+def test_wet_segments_exclude_failed_extractions(spark):
+    from python_web_scraper_cleaner_spark.functions.kernel import clean_html
+    from python_web_scraper_cleaner_spark.sources.pages import page_record
+    from python_web_scraper_cleaner_spark.sources.warc import (
+        synthesize_wet_segments, wet_records)
+    n_ok = sum(clean_html(page_record(i)["html"], output_format="txt").ok
+               for i in range(120))
+    assert n_ok < 120  # the fixture must exercise the absent-record case
+    recs = wet_records(synthesize_wet_segments(
+        spark, 120, pages_per_segment=40))
+    assert recs.count() == n_ok
+    # texts are the kernel outputs byte-for-byte
+    got = {r.url: r.text for r in recs.collect()}
+    for i in range(120):
+        page = page_record(i)
+        out = clean_html(page["html"], output_format="txt")
+        if out.ok:
+            assert got[page["url"]] == out.text
+        else:
+            assert page["url"] not in got
+
+
+def test_wet_gzip_members_match_plain(spark):
+    from python_web_scraper_cleaner_spark.sources.warc import (
+        synthesize_wet_segments, wet_records)
+    plain = wet_records(synthesize_wet_segments(
+        spark, 80, pages_per_segment=40)).orderBy("segment_id", "rec_idx")
+    gz = wet_records(synthesize_wet_segments(
+        spark, 80, pages_per_segment=40, gzip_members=True)) \
+        .orderBy("segment_id", "rec_idx")
+    assert [tuple(r) for r in plain.collect()] == \
+           [tuple(r) for r in gz.collect()]
