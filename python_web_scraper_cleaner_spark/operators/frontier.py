@@ -252,3 +252,38 @@ def surt_key(url: Column) -> Column:
         F.lit(")"), path,
         F.when(query.isNotNull() & (query != ""),
                F.concat(F.lit("?"), F.lower(query))).otherwise(F.lit("")))
+
+
+def parse_sitemaps(sitemaps: DataFrame, *,
+                   xml_col: str = "sitemap_xml") -> DataFrame:
+    """Sitemap-protocol (sitemaps.org) urlset parse: one input row per
+    sitemap document → one output row per listed URL, columns ``url``
+    and ``lastmod`` ('' when the optional tag is absent) appended to the
+    input row. The crawl seed source the reference lacks entirely — its
+    seed list is an external API (scripts/news.py:1-9); a real crawler
+    bootstraps frontiers from published sitemaps.
+
+    Pure JVM expressions (regexp_extract_all + explode — whole-stage
+    codegen, no UDF): <url> BLOCKS are extracted first and each block is
+    parsed independently, so an entry without <lastmod> cannot misalign
+    a positional loc↔lastmod zip (the classic bug in naive two-list
+    parsers — lastmod IS optional in the protocol). Sitemap-index files
+    (<sitemapindex> of child sitemap <loc>s) are the same parse applied
+    twice: extract child locations with this function, fetch, re-parse.
+
+    Scale shape: sitemap documents are small per-host files; the parse
+    is a narrow per-row regex inside codegen, the explode multiplies
+    rows without a shuffle, and everything downstream (canonicalize,
+    seen anti-join) joins on the url key."""
+    block = F.explode(
+        F.regexp_extract_all(F.col(xml_col),
+                             F.lit(r"<url>(.*?)</url>"), F.lit(1)))
+    out = sitemaps.withColumn("_block", block).drop(xml_col)
+    return (out
+            .withColumn("url",
+                        F.regexp_extract("_block", r"<loc>([^<]*)</loc>", 1))
+            .withColumn("lastmod",
+                        F.regexp_extract("_block",
+                                         r"<lastmod>([^<]*)</lastmod>", 1))
+            .drop("_block")
+            .filter(F.col("url") != ""))

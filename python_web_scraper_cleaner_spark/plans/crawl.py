@@ -17,7 +17,9 @@ html_cleaner_core.py:run_batch), re-expressed as north_rule demands:
       near-dup probe vs the persisted MinHash signature index (optional,
       dedup_index=True: batch band-probes sig_index, near-dups flagged,
       only kept docs' bands appended — corpus never re-shingled)
-    transactional commits: pages+r, sig_index+r, links+r, url_seen+r,
+    transactional commits: pages+r, warc_segments+r (optional,
+      archive=True: WARC capture + WET extracted-text twins — the pair
+      of files Common Crawl ships), sig_index+r, links+r, url_seen+r,
       crawl_log+r, frontier−batch
 
 Every table commit is one TableIO snapshot per round, so a killed job
@@ -170,7 +172,10 @@ class CrawlEngine:
                  pagerank_iters: int = 3,
                  rank_refresh_every: int = 1,
                  dedup_index: bool = False,
-                 dedup_threshold: float = 0.7) -> None:
+                 dedup_threshold: float = 0.7,
+                 archive: bool = False,
+                 archive_pages_per_segment: int = 50,
+                 archive_gzip: bool = True) -> None:
         self.spark = spark
         self.io = TableIO(spark, root)
         self.per_host_budget = per_host_budget
@@ -226,6 +231,16 @@ class CrawlEngine:
         self.dedup_index = dedup_index
         self.dedup_threshold = dedup_threshold
         self._sig_k, self._sig_hashes, self._sig_band = 3, 16, 4
+        # Archival sink: commit each round's captures as WARC segments
+        # plus their WET (extracted-text conversion) twins — the exact
+        # pair of files Common Crawl ships — in the same transactional
+        # commit set as the round's tables (sources/warc.py writers,
+        # gzip-member framing by default, the real CC layout).
+        self.archive = archive
+        if archive_pages_per_segment < 1:
+            raise ValueError("archive_pages_per_segment must be >= 1")
+        self.archive_pages_per_segment = archive_pages_per_segment
+        self.archive_gzip = archive_gzip
 
     # -- lifecycle ------------------------------------------------------------
     def bootstrap(self, seeds: DataFrame, robots: DataFrame | None = None,
@@ -420,6 +435,71 @@ class CrawlEngine:
                             F.coalesce(F.col("_nd"), F.lit(False)))
                 .drop("_nd"))
 
+    ARCHIVE_SCHEMA = T.StructType([
+        T.StructField("round", T.IntegerType(), nullable=False),
+        T.StructField("host", T.StringType(), nullable=False),
+        T.StructField("seg_block", T.IntegerType(), nullable=False),
+        T.StructField("n_warc", T.IntegerType(), nullable=False),
+        T.StructField("n_wet", T.IntegerType(), nullable=False),
+        T.StructField("warc", T.BinaryType(), nullable=False),
+        T.StructField("wet", T.BinaryType(), nullable=False),
+    ])
+
+    def _build_segments(self, pages: DataFrame, round_id: int) -> DataFrame:
+        """The round's archival output: one WARC segment (response records,
+        raw capture) + its WET twin (conversion records, the committed
+        extracted text — failed extractions absent, real WET semantics)
+        per (host, fetch_slot-block) group, in crawl order within each
+        segment. Everything is a PURE FUNCTION of the committed pages rows
+        — which is what makes the commit replay-safe: a crash between the
+        pages and warc_segments commits heals to byte-identical segments
+        (gzip members are mtime-0 deterministic).
+
+        Scale shape: segment grouping is (host, fetch_slot // N) — dense
+        per-host slots bound every segment at N records with NO global
+        window or extra shuffle beyond the one groupBy; blobs are built
+        and stay inside the Arrow stage. In this sandbox html regenerates
+        from the url via the deterministic simulated-fetch seam
+        (sources/pages.page_record — same seam simulated_fetch uses); in
+        a real deployment the capture is taken inside the fetch task and
+        this builder consumes the fetch cache instead."""
+        from ..sources.warc import (build_warc_record, build_warcinfo,
+                                    build_wet_record, gzip_member)
+
+        pps = self.archive_pages_per_segment
+        frame = gzip_member if self.archive_gzip else (lambda b: b)
+        src = (pages.filter("fetch_ok")
+               .withColumn("seg_block",
+                           (F.col("fetch_slot") / pps).cast("int"))
+               .select("host", "seg_block", "fetch_slot", "url",
+                       F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+                       .alias("ts"), "ok", "text"))
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("fetch_slot").reset_index(drop=True)
+            host, block = pdf["host"][0], int(pdf["seg_block"][0])
+            warc_parts = [frame(build_warcinfo(block))]
+            wet_parts = [frame(build_warcinfo(block))]
+            n_warc = n_wet = 0
+            for row in pdf.itertuples():
+                m = _DOCID_RE.search(row.url)
+                html = page_record(int(m.group(1)))["html"]
+                warc_parts.append(frame(
+                    build_warc_record(row.url, row.ts, html)))
+                n_warc += 1
+                if row.ok:
+                    wet_parts.append(frame(
+                        build_wet_record(row.url, row.ts, row.text)))
+                    n_wet += 1
+            return pd.DataFrame(
+                [(round_id, host, block, n_warc, n_wet,
+                  b"".join(warc_parts), b"".join(wet_parts))],
+                columns=["round", "host", "seg_block", "n_warc", "n_wet",
+                         "warc", "wet"])
+
+        return (src.groupBy("host", "seg_block")
+                .applyInPandas(build, schema=self.ARCHIVE_SCHEMA))
+
     def _committed(self, name: str, round_id: int) -> bool:
         """True when ``name`` already carries this round's commit (replay
         must skip it — an append-again would duplicate rows). >= not ==:
@@ -534,6 +614,16 @@ class CrawlEngine:
 
             if not replay:
                 io.append_round(pages, "pages", round_id)
+
+            if self.archive and not self._committed("warc_segments",
+                                                    round_id):
+                # archival capture: WARC + WET segment blobs, a pure
+                # function of the committed pages rows (see
+                # _build_segments) — guarded like every other member of
+                # the commit set, so a crash between the pages and
+                # warc_segments commits replays to identical bytes
+                io.append_round(self._build_segments(pages, round_id),
+                                "warc_segments", round_id)
 
             if self.dedup_index and not self._committed("sig_index",
                                                         round_id):
@@ -683,7 +773,8 @@ class CrawlEngine:
         ever reads LATEST."""
         out = {}
         for name in ("frontier", "bloom", "url_seen", "pages", "crawl_log",
-                     "robots", "links", "sig_index", "fetch_history"):
+                     "robots", "links", "sig_index", "fetch_history",
+                     "warc_segments"):
             if self.io.exists(name):
                 out[name] = self.io.vacuum(name, keep_last=keep_last)
         return out

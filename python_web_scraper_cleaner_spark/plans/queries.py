@@ -703,6 +703,106 @@ def _sql_robots_parse():
                        bigint_cols={"crawl_delay_ms"}, order_by="host")
 
 
+def q_sitemap_seed_extract(spark, sf_dir):
+    """Sitemap-protocol seed ingestion (operators/frontier.py:
+    parse_sitemaps): per-host sitemap XML documents → listed URLs with
+    optional <lastmod> → canonicalize (F10) → anti-join vs the url_seen
+    set → per-host (n_listed, n_new, latest_lastmod) — the 'bootstrap
+    the frontier from published sitemaps' decision. The reference seeds
+    only from an external API (scripts/news.py:1-9); sitemaps are the
+    standard discovery channel a production crawler adds.
+
+    The fixture makes every parse hazard live: ~1/4 of entries omit
+    <lastmod> (optional per the protocol — block-level parsing must not
+    misalign), URLs carry mixed case, ports, and #fragments (canonical-
+    ization collapses some listed URLs onto one canonical key).
+
+    Scale shape: everything is JVM regex/explode inside codegen (zero
+    UDFs); the only exchanges are the per-host XML assembly groupBy
+    (fixture-only — real sitemaps arrive as files), the seen anti-join
+    on the canonical key, and the final per-host rollup."""
+    from ..operators.frontier import parse_sitemaps
+    # demo bound: the fixture ASSEMBLY (7-group collect_list) is the cost,
+    # not the parse under test — real sitemaps arrive as per-host files
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 4000)
+    urls = _doc_urls(docs)
+    d = F.col("doc_id")
+    entry = F.concat(
+        F.lit("<url><loc>"), F.col("url"), F.lit("</loc>"),
+        F.when(d % 4 != 1,
+               F.concat(F.lit("<lastmod>2026-0"),
+                        ((d % 6) + 1).cast("string"), F.lit("-0"),
+                        ((d % 9) + 1).cast("string"), F.lit("</lastmod>")))
+        .otherwise(F.lit("")),
+        F.lit("</url>"))
+    sitemaps = (urls
+                .select((d % 7).cast("string").alias("sm_host"),
+                        "doc_id", entry.alias("e"))
+                .groupBy("sm_host")
+                .agg(F.concat(
+                    F.lit("<urlset>"),
+                    F.array_join(F.transform(
+                        F.array_sort(F.collect_list(F.struct("doc_id",
+                                                             "e"))),
+                        lambda s: s["e"]), ""),
+                    F.lit("</urlset>")).alias("sitemap_xml")))
+    parsed = _canonicalize(parse_sitemaps(sitemaps))
+    seen = (_canonicalize(_doc_urls(docs.filter(d % 3 == 0)))
+            .select("canonical_url").distinct()
+            .withColumn("_s", F.lit(True)))
+    flagged = parsed.join(seen, "canonical_url", "left")
+    return (flagged.groupBy("sm_host")
+            .agg(F.count("*").alias("n_listed"),
+                 F.sum(F.col("_s").isNull().cast("int")).cast("long")
+                 .alias("n_new"),
+                 F.max(F.when(F.col("lastmod") != "", F.col("lastmod")))
+                 .alias("latest_lastmod"))
+            .orderBy("sm_host"))
+
+
+SQL_SITEMAP = f"""
+with urls as ({_DOC_URLS_SQL.replace('from documents', 'from (select * from documents where doc_id < 4000)')}),
+entries as (
+  select cast(doc_id % 7 as varchar) as sm_host, doc_id,
+         '<url><loc>' || url || '</loc>'
+         || case when doc_id % 4 <> 1
+                 then '<lastmod>2026-0' || cast(doc_id % 6 + 1 as varchar)
+                      || '-0' || cast(doc_id % 9 + 1 as varchar)
+                      || '</lastmod>'
+                 else '' end
+         || '</url>' as e
+  from urls),
+sitemaps as (
+  select sm_host,
+         '<urlset>' || string_agg(e, '' order by doc_id) || '</urlset>'
+         as xml
+  from entries group by sm_host),
+blocks as (
+  select sm_host,
+         unnest(regexp_extract_all(xml, '<url>(.*?)</url>', 1)) as block
+  from sitemaps),
+parsed_urls as (
+  select sm_host,
+         regexp_extract(block, '<loc>([^<]*)</loc>', 1) as url,
+         regexp_extract(block, '<lastmod>([^<]*)</lastmod>', 1) as lastmod
+  from blocks
+  where regexp_extract(block, '<loc>([^<]*)</loc>', 1) <> ''),
+canon as ({_CANON_SQL.replace("from urls", "from parsed_urls")}),
+seen_urls as (select url from urls where doc_id % 3 = 0),
+seen as (select distinct canonical_url
+         from ({_CANON_SQL.replace("from urls", "from seen_urls")})),
+flagged as (
+  select c.sm_host, c.lastmod,
+         s.canonical_url is not null as is_seen
+  from canon c left join seen s using (canonical_url))
+select sm_host,
+       count(*) as n_listed,
+       cast(sum(case when is_seen then 0 else 1 end) as bigint) as n_new,
+       max(case when lastmod <> '' then lastmod end) as latest_lastmod
+from flagged group by sm_host order by sm_host
+"""
+
+
 _F1_MESS = "\r\rMiddle  line   \n\n\n\n\nTail line  \n\n"
 
 
@@ -3996,6 +4096,7 @@ def registry():
         "cdx_stored_lookup": (q_cdx_stored_lookup, SQL_CDX_PREFIX),
         "warc_scan_extract_gz": (q_warc_scan_extract_gz, _sql_warc_scan),
         "wet_scan_tokens": (q_wet_scan_tokens, _sql_wet_scan),
+        "sitemap_seed_extract": (q_sitemap_seed_extract, SQL_SITEMAP),
         "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCS),
         "sample_by_quality": (q_sample_by_quality, SQL_SAMPLE_BY_QUALITY),
         # -- 2. last driver-green in round 3 or earlier (absent

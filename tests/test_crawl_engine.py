@@ -858,3 +858,95 @@ def test_crash_after_pages_commit_replays_identically(spark, tmp_path):
     # window B: crash after pages+sig_index+links, before url_seen
     assert_identical(crash_and_resume(
         tmp_path / "b", keep_tables=("sig_index", "links")))
+
+
+def test_archive_sink_emits_warc_wet_segments(spark, tmp_path):
+    """archive=True commits each round's captures as WARC segments plus
+    their WET twins: every fetch_ok row appears as a response record with
+    the exact capture bytes, every ok extraction as a conversion record
+    with the committed text, segments bounded at archive_pages_per_segment
+    records, gzip-member framed."""
+    import collections
+    import re
+
+    from python_web_scraper_cleaner_spark.sources.pages import page_record
+    from python_web_scraper_cleaner_spark.sources.warc import (
+        parse_warc_segment)
+
+    eng = CrawlEngine(spark, str(tmp_path / "a"), per_host_budget=4,
+                      archive=True, archive_pages_per_segment=3)
+    eng.bootstrap(make_seeds(spark, 60), make_robots(spark))
+    eng.run(max_rounds=2)
+
+    pages = eng.io.read("pages")
+    segs = eng.io.read("warc_segments").collect()
+    assert segs and all(bytes(s["warc"])[:2] == b"\x1f\x8b" for s in segs)
+
+    got_warc: collections.Counter = collections.Counter()
+    got_wet: collections.Counter = collections.Counter()
+    wet_texts = {}
+    docid = re.compile(r"/(\d+)\.html$")
+    for s in segs:
+        recs = parse_warc_segment(bytes(s["warc"]))
+        wets = parse_warc_segment(bytes(s["wet"]), record_type="conversion")
+        assert len(recs) == s["n_warc"] <= 3
+        assert len(wets) == s["n_wet"] <= s["n_warc"]
+        got_warc[s["round"]] += len(recs)
+        got_wet[s["round"]] += len(wets)
+        for _idx, url, _ts, status, html in recs:
+            assert status == 200
+            assert bytes(html) == \
+                page_record(int(docid.search(url).group(1)))["html"]
+        for _idx, url, _ts, _st, body in wets:
+            wet_texts[(s["round"], url)] = body.decode()
+
+    exp_warc = {r["round"]: r["n"] for r in pages.filter("fetch_ok")
+                .groupBy("round").agg(F.count("*").alias("n")).collect()}
+    exp_wet = {r["round"]: r["n"] for r in pages.filter("ok")
+               .groupBy("round").agg(F.count("*").alias("n")).collect()}
+    assert dict(got_warc) == {k: v for k, v in exp_warc.items() if v}
+    assert dict(got_wet) == {k: v for k, v in exp_wet.items() if v}
+    # WET text is byte-identical to the committed extraction (the same
+    # kernel-output invariant real WET files carry)
+    for r in pages.filter("ok").collect():
+        assert wet_texts[(r["round"], r["url"])] == r["text"]
+
+
+def test_archive_heals_crash_window(spark, tmp_path):
+    """Crash between the pages and warc_segments commits: the replay path
+    rebuilds the round's segments from the committed pages rows and the
+    healed store is BYTE-identical to an uninterrupted run (deterministic
+    writer: mtime-0 gzip members, committed sort keys)."""
+    seeds = _one_host_seeds(spark, list(range(10)),
+                            priorities=[0] * 5 + [5] * 5)
+
+    def mk(root):
+        e = CrawlEngine(spark, str(root), per_host_budget=5, archive=True,
+                        archive_pages_per_segment=2)
+        e.bootstrap(seeds, _hostq_robots(spark))
+        return e
+
+    full = mk(tmp_path / "full")
+    full.run(max_rounds=3)
+
+    crashed = mk(tmp_path / "c")
+    crashed.run(max_rounds=3)
+    # crash window: round-1 pages landed, everything after was lost
+    for t in ("warc_segments", "url_seen", "bloom", "crawl_log",
+              "frontier"):
+        _rollback_to_round(crashed.io, t, 0)
+    del crashed
+
+    resumed = CrawlEngine(spark, str(tmp_path / "c"), per_host_budget=5,
+                          archive=True, archive_pages_per_segment=2)
+    assert resumed.last_round() == 0
+    resumed.run(max_rounds=3)
+
+    def blob_set(eng):
+        return sorted(
+            (r["round"], r["host"], r["seg_block"],
+             bytes(r["warc"]), bytes(r["wet"]))
+            for r in eng.io.read("warc_segments").collect())
+
+    assert blob_set(resumed) == blob_set(full)
+    assert resumed.crawl_order() == full.crawl_order()

@@ -39,6 +39,8 @@ MODES = {
     "pagerank_k2": {"priority_mode": "pagerank", "rank_refresh_every": 2},
     "dedup": {"dedup_index": True},
     "both": {"priority_mode": "pagerank", "dedup_index": True},
+    # archival sink: per-round WARC+WET segment commits (gzip members)
+    "archive": {"archive": True},
 }
 
 
