@@ -255,7 +255,8 @@ def surt_key(url: Column) -> Column:
 
 
 def parse_sitemaps(sitemaps: DataFrame, *,
-                   xml_col: str = "sitemap_xml") -> DataFrame:
+                   xml_col: str = "sitemap_xml",
+                   block_tag: str = "url") -> DataFrame:
     """Sitemap-protocol (sitemaps.org) urlset parse: one input row per
     sitemap document → one output row per listed URL, columns ``url``
     and ``lastmod`` ('' when the optional tag is absent) appended to the
@@ -268,8 +269,8 @@ def parse_sitemaps(sitemaps: DataFrame, *,
     parsed independently, so an entry without <lastmod> cannot misalign
     a positional loc↔lastmod zip (the classic bug in naive two-list
     parsers — lastmod IS optional in the protocol). Sitemap-index files
-    (<sitemapindex> of child sitemap <loc>s) are the same parse applied
-    twice: extract child locations with this function, fetch, re-parse.
+    (<sitemapindex> of child sitemap <loc>s) are the same block parse
+    with ``block_tag='sitemap'`` — see :func:`parse_sitemap_index`.
 
     Scale shape: sitemap documents are small per-host files; the parse
     is a narrow per-row regex inside codegen, the explode multiplies
@@ -277,7 +278,8 @@ def parse_sitemaps(sitemaps: DataFrame, *,
     seen anti-join) joins on the url key."""
     block = F.explode(
         F.regexp_extract_all(F.col(xml_col),
-                             F.lit(r"<url>(.*?)</url>"), F.lit(1)))
+                             F.lit(rf"<{block_tag}>(.*?)</{block_tag}>"),
+                             F.lit(1)))
     out = sitemaps.withColumn("_block", block).drop(xml_col)
     return (out
             .withColumn("url",
@@ -287,3 +289,43 @@ def parse_sitemaps(sitemaps: DataFrame, *,
                                          r"<lastmod>([^<]*)</lastmod>", 1))
             .drop("_block")
             .filter(F.col("url") != ""))
+
+
+def parse_sitemap_index(index_docs: DataFrame, *,
+                        xml_col: str = "sitemap_xml") -> DataFrame:
+    """Sitemap-INDEX parse (sitemaps.org two-level layout: a
+    ``<sitemapindex>`` of child-sitemap ``<sitemap><loc>`` entries, the
+    shape every large site publishes because urlsets cap at 50k URLs):
+    one input row per index document → one row per child sitemap,
+    columns ``child_url`` / ``child_lastmod`` appended. Same pure-JVM
+    block parse as :func:`parse_sitemaps`; the caller fetches the child
+    documents and runs ``parse_sitemaps`` on them — the fetch itself is
+    outside the data plane, like every fetch in this engine.
+
+    Input must not already carry ``url``/``lastmod`` columns (they are
+    the parse's scratch names before the rename)."""
+    out = parse_sitemaps(index_docs, xml_col=xml_col, block_tag="sitemap")
+    return (out.withColumnRenamed("url", "child_url")
+            .withColumnRenamed("lastmod", "child_lastmod"))
+
+
+def robots_sitemap_urls(robots_txt: DataFrame, *, host_col: str = "host",
+                        txt_col: str = "robots_txt") -> DataFrame:
+    """``Sitemap:`` directive extraction from raw robots.txt bodies:
+    (host, robots_txt) → one row per advertised sitemap URL, columns
+    ``host`` and ``sitemap_url``. Per the sitemaps.org protocol the
+    directive is independent of user-agent groups (it can appear
+    anywhere in the file, any case), so this is a flat line scan — NOT
+    part of the per-group kernel parser (functions/kernel.py:745), whose
+    rules tables stay unchanged. Hosts advertising nothing simply emit
+    no rows (explode of the empty match array).
+
+    Pure JVM `(?im)` anchored regex inside codegen; composes with
+    :func:`parse_sitemap_index` / :func:`parse_sitemaps` into the
+    standard discovery bootstrap: robots → index → urlsets → frontier
+    seeds (plans/queries.q_robots_sitemap_discovery)."""
+    sm = F.explode(F.regexp_extract_all(
+        F.col(txt_col),
+        F.lit(r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)"), F.lit(1)))
+    return robots_txt.select(F.col(host_col).alias("host"),
+                             sm.alias("sitemap_url"))

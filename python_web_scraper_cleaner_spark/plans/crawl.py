@@ -243,17 +243,49 @@ class CrawlEngine:
         self.archive_gzip = archive_gzip
 
     # -- lifecycle ------------------------------------------------------------
-    def bootstrap(self, seeds: DataFrame, robots: DataFrame | None = None,
-                  *, robots_txt: DataFrame | None = None) -> None:
+    def bootstrap(self, seeds: DataFrame | None = None,
+                  robots: DataFrame | None = None,
+                  *, robots_txt: DataFrame | None = None,
+                  sitemap_docs: DataFrame | None = None,
+                  sitemap_priority: int = 9) -> None:
         """Seed the frontier and robots tables. ``robots`` is a pre-parsed
         rules table (host, crawl_delay_ms, disallow_prefixes[,
         allow_prefixes]); alternatively pass ``robots_txt`` as raw
         (host, robots_txt) rows and the RFC-9309-subset parser builds the
-        rules (operators/frontier.parse_robots_table)."""
+        rules (operators/frontier.parse_robots_table).
+
+        ``sitemap_docs`` seeds the frontier from fetched sitemap-protocol
+        urlset documents (rows with a ``sitemap_xml`` column — the output
+        of fetching what robots_sitemap_urls / parse_sitemap_index
+        discovered): each listed URL becomes a seed at
+        ``sitemap_priority`` with ``discovered_ts`` taken from the
+        optional <lastmod> (epoch when absent — 'age unknown' sorts
+        oldest, so explicit seeds and dated entries outrank it). Explicit
+        ``seeds`` and sitemap entries landing on the same canonical URL
+        collapse in canonicalize_seeds (min priority / earliest ts win —
+        an explicit priority-0 seed beats its sitemap twin
+        deterministically)."""
         if robots is None:
             if robots_txt is None:
                 raise ValueError("pass robots or robots_txt")
             robots = FR.parse_robots_table(robots_txt)
+        if seeds is None and sitemap_docs is None:
+            raise ValueError("pass seeds and/or sitemap_docs")
+        if sitemap_docs is not None:
+            parsed = FR.parse_sitemaps(sitemap_docs)
+            sm_seeds = parsed.select(
+                "url",
+                F.lit(int(sitemap_priority)).alias("priority"),
+                F.coalesce(
+                    # try_: a malformed <lastmod> in one wild sitemap must
+                    # degrade to the epoch default, not ANSI-abort the job
+                    F.try_to_timestamp(F.when(F.col("lastmod") != "",
+                                              F.col("lastmod"))),
+                    F.to_timestamp(F.lit("1970-01-01")),
+                ).alias("discovered_ts"))
+            seeds = (sm_seeds if seeds is None
+                     else seeds.select("url", "priority", "discovered_ts")
+                     .unionByName(sm_seeds))
         frontier = canonicalize_seeds(seeds)
         self.io.overwrite(frontier, "frontier", round_id=-1)
         self.io.overwrite(robots, "robots", round_id=-1)

@@ -950,3 +950,81 @@ def test_archive_heals_crash_window(spark, tmp_path):
 
     assert blob_set(resumed) == blob_set(full)
     assert resumed.crawl_order() == full.crawl_order()
+
+
+def test_sitemap_bootstrap_seeds_frontier(spark, tmp_path):
+    """bootstrap(sitemap_docs=...) seeds the frontier from sitemap-protocol
+    urlset documents: listed URLs enter at sitemap_priority with
+    discovered_ts from the optional <lastmod> (epoch when absent), an
+    explicit seed for the same canonical URL wins the priority/ts merge,
+    and the engine crawls the sitemap-seeded frontier normally."""
+    recs = pages_local(12)
+    xml = "<urlset>" + "".join(
+        f"<url><loc>{r['url']}</loc>"
+        + (f"<lastmod>2026-02-0{(i % 8) + 1}</lastmod>" if i % 2 == 0
+           else "")
+        + "</url>"
+        for i, r in enumerate(recs)) + "</urlset>"
+    docs = spark.createDataFrame([(xml,)], "sitemap_xml string")
+    explicit = spark.createDataFrame(
+        [(recs[0]["url"], 0, dt.datetime(2026, 1, 1))],
+        "url string, priority int, discovered_ts timestamp")
+
+    eng = CrawlEngine(spark, str(tmp_path / "s"), per_host_budget=50)
+    eng.bootstrap(explicit, make_robots(spark), sitemap_docs=docs,
+                  sitemap_priority=9)
+    rows = {r["url"]: r for r in eng.io.read("frontier").collect()}
+    assert len(rows) == 12                      # canonical twin collapsed
+    assert rows[recs[0]["url"]]["priority"] == 0  # explicit seed wins merge
+    assert rows[recs[0]["url"]]["warc_ts"] == dt.datetime(2026, 1, 1)
+    for i, r in enumerate(recs[1:], start=1):
+        row = rows[r["url"]]
+        assert row["priority"] == 9
+        if i % 2 == 0:
+            assert row["warc_ts"] == dt.datetime(2026, 2, (i % 8) + 1)
+        else:
+            assert row["warc_ts"] == dt.datetime(1970, 1, 1)
+
+    eng.run(max_rounds=1)
+    fetched = {r["url"] for r in eng.io.read("pages").collect()}
+    assert fetched == {r["url"] for r in recs}
+
+    with pytest.raises(ValueError, match="seeds and/or sitemap_docs"):
+        CrawlEngine(spark, str(tmp_path / "e")).bootstrap(
+            None, make_robots(spark))
+
+
+def test_robots_sitemap_discovery_operators(spark):
+    """robots_sitemap_urls: any-case, group-independent Sitemap directive
+    extraction (hosts advertising nothing emit no rows); parse_sitemap_index
+    expands the two-level sitemapindex layout."""
+    from python_web_scraper_cleaner_spark.operators.frontier import (
+        parse_sitemap_index, robots_sitemap_urls)
+
+    robots = spark.createDataFrame(
+        [("a.example", "User-agent: *\nDisallow: /x\n"
+          "Sitemap: https://a.example/s1.xml\n"
+          "  sitemap:\thttps://a.example/s2.xml\n"),
+         ("b.example", "SITEMAP: https://b.example/sm.xml"),
+         ("c.example", "User-agent: *\nDisallow: /\n"),
+         # directive text INSIDE a rule value must not match (^ anchor)
+         ("d.example", "Disallow: /sitemap: trap\n")],
+        "host string, robots_txt string")
+    got = sorted((r["host"], r["sitemap_url"])
+                 for r in robots_sitemap_urls(robots).collect())
+    assert got == [("a.example", "https://a.example/s1.xml"),
+                   ("a.example", "https://a.example/s2.xml"),
+                   ("b.example", "https://b.example/sm.xml")]
+
+    idx = spark.createDataFrame(
+        [("a.example",
+          "<sitemapindex>"
+          "<sitemap><loc>https://a.example/u0.xml</loc>"
+          "<lastmod>2026-03-01</lastmod></sitemap>"
+          "<sitemap><loc>https://a.example/u1.xml</loc></sitemap>"
+          "</sitemapindex>")],
+        "host string, sitemap_xml string")
+    kids = sorted((r["child_url"], r["child_lastmod"])
+                  for r in parse_sitemap_index(idx).collect())
+    assert kids == [("https://a.example/u0.xml", "2026-03-01"),
+                    ("https://a.example/u1.xml", "")]
