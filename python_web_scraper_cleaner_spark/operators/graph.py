@@ -102,3 +102,71 @@ def anchor_rollup(pages: DataFrame, *, url_col: str = "url",
                  F.min_by("anchor",
                           F.struct((-F.col("n")).alias("neg_n"),
                                    F.col("anchor"))).alias("top_anchor")))
+
+
+def resolve_redirect_chains(redirects: DataFrame, *, src_col: str = "src",
+                            dst_col: str = "dst",
+                            max_hops: int = 32) -> DataFrame:
+    """HTTP redirect-chain resolution: (src, dst) single-hop redirect
+    records → (src, final_url, hops, unresolved) — every source mapped to
+    the terminal URL its chain lands on, with the exact hop count. The
+    step a crawl pipeline runs before URL-seen/canonical bookkeeping so
+    captures are attributed to the page that actually served them (the
+    reference follows redirects implicitly inside requests/trafilatura,
+    /root/reference/scripts/trafilatura_scraper.py:43 — it never records
+    the chain; Common Crawl ships redirects as first-class records).
+
+    Algorithm: PATH DOUBLING, the pointer-jumping trick connected
+    components uses (operators/dedup.py) — each round every unresolved
+    pointer jumps through the CURRENT pointer table, doubling the covered
+    distance, so ceil(log2(max_hops)) rounds bound chains of max_hops
+    links. Hop counts stay EXACT: a jump through an already-terminal row
+    adds that row's remaining hops, never overshooting. A linear
+    walk-one-hop loop would need max_hops shuffle rounds; doubling needs
+    5 for 32.
+
+    ``unresolved`` = the chain did not reach a terminal within
+    ``max_hops`` — a redirect cycle (self-loops included) or an
+    over-budget chain; real crawlers cap exactly this way (browsers stop
+    near 20). final_url/hops are NULL for those rows.
+
+    One dst per src is enforced by min(dst) (deterministic last-writer
+    pick when the input carries competing records).
+
+    Scale shape: per round, ONE self-join of the pointer table keyed on
+    the jump target plus a localCheckpoint lineage cut (the iterative-op
+    lesson: persist alone leaves per-round Catalyst re-analysis growing
+    with plan depth). State is |srcs| rows forever; nothing is ever
+    collected to the driver; early-exit when all rows are done.
+    """
+    import math
+
+    m = (redirects
+         .select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+         .groupBy("src").agg(F.min("dst").alias("dst"))
+         .localCheckpoint(eager=True))
+    has_out = m.select(F.col("src").alias("cur"),
+                       F.lit(True).alias("_has_out"))
+    p = (m.select("src", F.col("dst").alias("cur"),
+                  F.lit(1).alias("hops"))
+         .join(has_out, "cur", "left")
+         .select("src", "cur", "hops",
+                 F.col("_has_out").isNull().alias("done")))
+    for _ in range(max(1, math.ceil(math.log2(max(2, max_hops))))):
+        p = p.localCheckpoint(eager=True)
+        if p.filter(~F.col("done")).isEmpty():
+            break
+        jumped = (p.filter(~F.col("done"))
+                  .join(p.select(F.col("src").alias("cur"),
+                                 F.col("cur").alias("_cur2"),
+                                 F.col("hops").alias("_hops2"),
+                                 F.col("done").alias("_done2")), "cur")
+                  .select("src", F.col("_cur2").alias("cur"),
+                          (F.col("hops") + F.col("_hops2")).alias("hops"),
+                          F.col("_done2").alias("done")))
+        p = p.filter(F.col("done")).unionByName(jumped)
+    return p.select(
+        "src",
+        F.when(F.col("done"), F.col("cur")).alias("final_url"),
+        F.when(F.col("done"), F.col("hops")).alias("hops"),
+        (~F.col("done")).alias("unresolved"))

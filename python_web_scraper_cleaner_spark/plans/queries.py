@@ -979,6 +979,66 @@ from canon group by rhost order by host
 """
 
 
+def q_resolve_redirects(spark, sf_dir):
+    """Redirect-chain resolution (operators/graph.py:
+    resolve_redirect_chains): single-hop redirect records → every source
+    mapped to its terminal URL with the EXACT hop count, cycles and
+    over-budget chains flagged ``unresolved`` — via path doubling
+    (ceil(log2(max_hops)) pointer-jump rounds, not max_hops walk rounds).
+    Oracle: DuckDB WITH RECURSIVE walks every chain to the same
+    ``max_hops`` budget, so the bounded-resolution contract is pinned on
+    both engines.
+
+    Fixture (pure doc_id arithmetic, no division): chains of 20 nodes
+    (doc_id groups of 20, each node redirecting to the next, last node
+    terminal), except every 10th group closes into a 20-cycle
+    (doc_id % 200 == 159 redirects back to its group head) — so hops
+    spans 1..19 and ~10% of sources are genuinely unresolvable."""
+    from ..operators.graph import resolve_redirect_chains
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 3000)
+    d = F.col("doc_id")
+    u = lambda c: F.concat(F.lit("https://r.example/"),  # noqa: E731
+                           c.cast("string"))
+    chain = (docs.filter(d % 20 < 19)
+             .select(u(d).alias("src"), u(d + 1).alias("dst")))
+    cyc = (docs.filter(d % 200 == 159)
+           .select(u(d).alias("src"), u(d - 19).alias("dst")))
+    return (resolve_redirect_chains(chain.unionByName(cyc), max_hops=32)
+            .orderBy("src"))
+
+
+SQL_RESOLVE_REDIRECTS = """
+with recursive
+src_rows as (select doc_id from documents where doc_id < 3000),
+redirects as (
+  select 'https://r.example/' || cast(doc_id as varchar) as src,
+         'https://r.example/' || cast(doc_id + 1 as varchar) as dst
+  from src_rows where doc_id % 20 < 19
+  union all
+  select 'https://r.example/' || cast(doc_id as varchar) as src,
+         'https://r.example/' || cast(doc_id - 19 as varchar) as dst
+  from src_rows where doc_id % 200 = 159),
+m as (select src, min(dst) as dst from redirects group by src),
+walk as (
+  select src, dst as cur, 1 as hops from m
+  union all
+  select w.src, m2.dst, w.hops + 1
+  from walk w join m m2 on m2.src = w.cur
+  where w.hops < 32),
+outs as (select distinct src as node from m),
+term as (
+  select w.src, w.cur as final_url, w.hops
+  from walk w left join outs o on o.node = w.cur
+  where o.node is null)
+select m.src,
+       t.final_url,
+       t.hops,
+       t.src is null as unresolved
+from m left join term t on t.src = m.src
+order by m.src
+"""
+
+
 _F1_MESS = "\r\rMiddle  line   \n\n\n\n\nTail line  \n\n"
 
 
@@ -4267,6 +4327,7 @@ def registry():
         # -- 1. never driver-checked (new in round 5) --
         "robots_sitemap_discovery": (q_robots_sitemap_discovery,
                                      SQL_ROBOTS_SITEMAP),
+        "resolve_redirects": (q_resolve_redirects, SQL_RESOLVE_REDIRECTS),
         "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
         "host_reputation": (q_host_reputation, SQL_HOST_REPUTATION),
         "pipeline_host_substring": (q_pipeline_host_substring,

@@ -257,3 +257,51 @@ def test_incremental_index_append_loop(spark):
                                        threshold=0.7)
     got = {(r.id_a, r.id_b) for r in pairs2.select("id_a", "id_b").collect()}
     assert got == {(101, 200)}
+
+
+def _redirects(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_resolve_redirects_exact_hops_and_terminals(spark):
+    """Path doubling resolves every chain position to the shared terminal
+    with EXACT hop counts (a jump through an already-terminal row adds
+    its remaining hops, never overshooting)."""
+    # chain a0->a1->...->a6 (terminal a6) + a separate 1-hop pair
+    pairs = [(f"a{i}", f"a{i+1}") for i in range(6)] + [("b0", "b1")]
+    out = {r["src"]: r for r in G.resolve_redirect_chains(
+        _redirects(spark, pairs), max_hops=8).collect()}
+    assert len(out) == 7
+    for i in range(6):
+        r = out[f"a{i}"]
+        assert (r["final_url"], r["hops"], r["unresolved"]) == \
+            ("a6", 6 - i, False)
+    assert (out["b0"]["final_url"], out["b0"]["hops"]) == ("b1", 1)
+
+
+def test_resolve_redirects_cycles_and_budget(spark):
+    """Cycles (self-loops included) and over-budget chains flag
+    unresolved with NULL final_url/hops; raising the budget resolves the
+    long chain."""
+    cycle = [("c0", "c1"), ("c1", "c2"), ("c2", "c0"), ("s", "s")]
+    # entering a cycle from outside is unresolvable too
+    pairs = cycle + [("e", "c0")] + \
+        [(f"L{i}", f"L{i+1}") for i in range(40)]
+    out = {r["src"]: r for r in G.resolve_redirect_chains(
+        _redirects(spark, pairs), max_hops=32).collect()}
+    for s in ("c0", "c1", "c2", "s", "e", "L0"):
+        r = out[s]
+        assert r["unresolved"] and r["final_url"] is None \
+            and r["hops"] is None
+    assert not out["L20"]["unresolved"]          # 20 hops fits the budget
+    wide = {r["src"]: r for r in G.resolve_redirect_chains(
+        _redirects(spark, pairs), max_hops=64).collect()}
+    assert (wide["L0"]["final_url"], wide["L0"]["hops"]) == ("L40", 40)
+
+
+def test_resolve_redirects_competing_records_pick_min_dst(spark):
+    """Multiple records for one src collapse deterministically to
+    min(dst) before resolution."""
+    out = {r["src"]: r for r in G.resolve_redirect_chains(
+        _redirects(spark, [("x", "z"), ("x", "a"), ("a", "m")])).collect()}
+    assert (out["x"]["final_url"], out["x"]["hops"]) == ("m", 2)
