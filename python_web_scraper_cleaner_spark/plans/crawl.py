@@ -175,7 +175,9 @@ class CrawlEngine:
                  dedup_threshold: float = 0.7,
                  archive: bool = False,
                  archive_pages_per_segment: int = 50,
-                 archive_gzip: bool = True) -> None:
+                 archive_gzip: bool = True,
+                 revisit: bool = False,
+                 revisit_base_hours: int = 1) -> None:
         self.spark = spark
         self.io = TableIO(spark, root)
         self.per_host_budget = per_host_budget
@@ -241,6 +243,14 @@ class CrawlEngine:
             raise ValueError("archive_pages_per_segment must be >= 1")
         self.archive_pages_per_segment = archive_pages_per_segment
         self.archive_gzip = archive_gzip
+        # Re-crawl loop: revisit=True makes the engine MAINTAIN the
+        # fetch_history table (per-fetch content-change observations —
+        # the substrate _apply_priority's due-ness ordering and
+        # schedule_revisits' Cho–G-M backoff consume). The engine's time
+        # axis is the round id: 1 round == 1 "hour" of the backoff
+        # schedule (revisit_base_hours scales it).
+        self.revisit = revisit
+        self.revisit_base_hours = revisit_base_hours
 
     # -- lifecycle ------------------------------------------------------------
     def bootstrap(self, seeds: DataFrame | None = None,
@@ -532,6 +542,130 @@ class CrawlEngine:
         return (src.groupBy("host", "seg_block")
                 .applyInPandas(build, schema=self.ARCHIVE_SCHEMA))
 
+    def _build_fetch_history(self, pages: DataFrame,
+                             round_id: int) -> DataFrame:
+        """The round's content-change observations (revisit=True): one row
+        per successful fetch with page_id=url_hash, ts=round (the engine's
+        time axis), a text digest, and ``changed`` = the digest differs
+        from the LAST committed digest for that page (first-ever fetch
+        counts as a change — it starts the backoff clock at base). Fetch
+        failures don't advance the change clock (no row). A pure function
+        of (this round's committed pages rows, fetch_history rounds < r),
+        so replay after a crash between the pages and fetch_history
+        commits re-derives identical rows.
+
+        Scale shape: one per-page max_by aggregate over history < r plus
+        an 8-byte-keyed left join; digests are xxhash64 inside codegen;
+        text never shuffles (digest is computed before the join)."""
+        fetched = (pages.filter("fetch_ok")
+                   .select(F.col("url_hash").alias("page_id"),
+                           F.lit(round_id).cast("int").alias("ts"),
+                           F.col("url_hash").alias("fetch_id"),
+                           F.xxhash64(F.coalesce(F.col("text"), F.lit("")))
+                           .alias("digest")))
+        if self.io.exists("fetch_history"):
+            prev = (self.io.read("fetch_history")
+                    .filter(F.col("ts") < round_id)
+                    .groupBy("page_id")
+                    .agg(F.max_by("digest", F.struct("ts", "fetch_id"))
+                         .alias("_prev")))
+            fetched = fetched.join(prev, "page_id", "left")
+        else:
+            fetched = fetched.withColumn("_prev",
+                                         F.lit(None).cast("long"))
+        return (fetched
+                .withColumn("changed",
+                            F.col("_prev").isNull()
+                            | (F.col("_prev") != F.col("digest")))
+                .select("page_id", "ts", "fetch_id", "changed", "digest"))
+
+    def schedule_revisits(self, round_id: int) -> int:
+        """The re-crawl transition: pages DUE under the Cho–G-M backoff
+        (last fetch ts + next_interval_hours ≤ round_id, intervals from
+        operators/frontier.revisit_schedule over the committed
+        fetch_history) re-enter the frontier, leave url_seen, and the
+        bloom filter is rebuilt over the compacted seen set — all
+        committed at ``round_id`` (the transition owns a round id so
+        last_round()/resume see it). Returns the number of due pages.
+
+        IDEMPOTENT BY CONSTRUCTION, which is the crash-healing story:
+        the due set is a pure function of (fetch_history, pages,
+        round_id) — tables this transition never writes — and each
+        commit is a set operation that re-applies to the same result
+        (frontier ∪ due deduped on the canonical key; url_seen − due
+        twice is url_seen − due; bloom/crawl_log rebuild/guard). A crash
+        between any two commits heals by re-running the whole
+        transition (run() detects frontier round > last_round and does
+        exactly that), landing byte-identical to an uninterrupted one.
+
+        Scale shape: everything is keyed on the 8-byte url_hash; the
+        due set is typically a small fraction of the corpus, so the
+        frontier/url_seen updates are anti/semi joins with a small
+        build side; the bloom rebuild is the one full url_seen scan —
+        the same cost _bloom already pays on any geometry drift.
+
+        With dedup_index=True a refetched page probes an index that
+        already contains its own bands: the probe drops self-pairs
+        (same url_hash) structurally, so an unchanged refetch is NOT
+        self-flagged; its bands append again (demo-acceptable index
+        growth — production would merge bands per url_hash on append).
+        """
+        io = self.io
+        if round_id <= self.last_round():
+            raise ValueError("schedule_revisits round_id must be beyond "
+                             "the last committed round")
+        if not io.exists("fetch_history"):
+            return 0
+        fh = io.read("fetch_history")
+        rev = FR.revisit_schedule(fh, base_hours=self.revisit_base_hours)
+        last = fh.groupBy("page_id").agg(F.max("ts").alias("_last_ts"))
+        due = (rev.join(last, "page_id")
+               .filter(F.col("_last_ts") + F.col("next_interval_hours")
+                       <= F.lit(round_id))
+               .select(F.col("page_id").alias("url_hash"))
+               .localCheckpoint(eager=True))
+        n_due = due.count()
+        if n_due == 0:
+            return 0
+        cols = ["url", "canonical_url", "host", "priority", "warc_ts"]
+        latest = (io.read("pages").groupBy("url_hash")
+                  .agg(F.max_by(F.struct(*cols), F.col("round"))
+                       .alias("_p"))
+                  .select("url_hash", "_p.*"))
+        due_rows = (latest.join(due, "url_hash", "left_semi")
+                    .select(*[f.name for f in FRONTIER_SCHEMA]))
+        merged = (io.read("frontier").unionByName(due_rows)
+                  .groupBy("canonical_url", "host")
+                  .agg(F.min("url").alias("url"),
+                       F.min("priority").cast("int").alias("priority"),
+                       F.min("warc_ts").alias("warc_ts"),
+                       F.min("url_hash").alias("url_hash"))
+                  .select(*[f.name for f in FRONTIER_SCHEMA]))
+        io.overwrite(merged, "frontier", round_id)
+        # the reads below resolved their snapshot dirs BEFORE the
+        # overwrites above (TableIO.read pins dirs eagerly), so the
+        # lineage stays on the pre-transition versions
+        compacted = io.read("url_seen").join(due, "url_hash", "left_anti")
+        io.overwrite(compacted, "url_seen", round_id)
+        io.overwrite(
+            B.build_bloom(compacted.select("url_hash"),
+                          n_buckets=self.n_bloom_buckets,
+                          m_bits=self._bloom_m, n_hashes=self._bloom_k),
+            "bloom", round_id)
+        if not self._committed("crawl_log", round_id):
+            # partition_id = -1 marks the revisit-transition row; it
+            # advances last_round() so resume lands after the transition
+            marker = self.spark.range(1).select(
+                F.lit(round_id).cast("int").alias("round"),
+                F.lit(-1).cast("int").alias("partition_id"),
+                F.lit(0).cast("long").alias("n_urls"),
+                F.lit(0).cast("long").alias("n_ok"),
+                F.lit(0).cast("long").alias("n_err"),
+                F.lit(0).cast("long").alias("extracted_chars"),
+                F.lit(time.time()).cast("double").alias("wall_ts"))
+            io.append_round(marker, "crawl_log", round_id)
+        return n_due
+
     def _committed(self, name: str, round_id: int) -> bool:
         """True when ``name`` already carries this round's commit (replay
         must skip it — an append-again would duplicate rows). >= not ==:
@@ -735,6 +869,15 @@ class CrawlEngine:
             merged = delta if bloom is None else B.merge_blooms(bloom, delta)
             io.overwrite(merged, "bloom", round_id)
 
+            if self.revisit and not self._committed("fetch_history",
+                                                    round_id):
+                # re-crawl substrate: per-fetch change observations, a
+                # pure function of (pages@r, fetch_history<r) — guarded
+                # like every member of the commit set (crash between the
+                # pages and fetch_history commits replays identically)
+                io.append_round(self._build_fetch_history(pages, round_id),
+                                "fetch_history", round_id)
+
             # K3: per-partition lineage/metrics (manifest analog)
             log = (pages.groupBy("round", "partition_id")
                    .agg(F.count("*").alias("n_urls"),
@@ -784,16 +927,37 @@ class CrawlEngine:
             pages.unpersist()
         return stats
 
-    def run(self, *, max_rounds: int = 100) -> list[dict]:
+    def run(self, *, max_rounds: int = 100,
+            refresh_cycles: int = 0) -> list[dict]:
         """Run rounds until the frontier drains (resumable: starts after the
-        last committed round)."""
+        last committed round). With revisit=True and refresh_cycles=K,
+        each drain triggers schedule_revisits (the Cho–G-M re-crawl
+        transition) up to K times — the full crawl → age → re-crawl loop
+        in one call, still deterministic and resumable: the transition
+        owns a round id, and an interrupted one is detected here
+        (frontier committed past last_round) and idempotently re-run."""
         stats = []
         r = self.last_round() + 1
-        for round_id in range(r, r + max_rounds):
+        if self.revisit and self.io.exists("frontier"):
+            fr = self.io.latest_round("frontier")
+            if fr is not None and fr >= r:
+                # crash landed inside a revisit transition (its crawl_log
+                # marker — the last commit — is missing): complete it
+                self.schedule_revisits(fr)
+                r = self.last_round() + 1
+        round_id, end, cycles = r, r + max_rounds, refresh_cycles
+        while round_id < end:
             s = self.run_round(round_id)
             stats.append(s)
             if s["n_fetched"] == 0:
-                break
+                if not (self.revisit and cycles > 0):
+                    break
+                cycles -= 1
+                if self.schedule_revisits(round_id + 1) == 0:
+                    break
+                round_id += 2      # the transition consumed round_id+1
+                continue
+            round_id += 1
         return stats
 
     def vacuum(self, *, keep_last: int = 2) -> dict:

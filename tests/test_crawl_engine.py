@@ -1028,3 +1028,104 @@ def test_robots_sitemap_discovery_operators(spark):
                   for r in parse_sitemap_index(idx).collect())
     assert kids == [("https://a.example/u0.xml", "2026-03-01"),
                     ("https://a.example/u1.xml", "")]
+
+
+def test_fetch_history_change_detection(spark, tmp_path):
+    """_build_fetch_history: first-ever fetch counts as a change; later
+    fetches compare text digests against the LAST committed digest
+    (unchanged -> False, mutated -> True); fetch failures emit no row."""
+    eng = CrawlEngine(spark, str(tmp_path / "h"), revisit=True)
+    pg = "url_hash long, fetch_ok boolean, text string"
+    r0 = spark.createDataFrame(
+        [(1, True, "aaa"), (2, True, "bbb"), (3, False, None)], pg)
+    fh0 = eng._build_fetch_history(r0, 0)
+    rows0 = {r["page_id"]: r for r in fh0.collect()}
+    assert set(rows0) == {1, 2} and all(r["changed"]
+                                        for r in rows0.values())
+    eng.io.append_round(fh0, "fetch_history", 0)
+
+    r1 = spark.createDataFrame([(1, True, "aaa"), (2, True, "BBB")], pg)
+    rows1 = {r["page_id"]: r
+             for r in eng._build_fetch_history(r1, 1).collect()}
+    assert rows1[1]["changed"] is False      # identical text
+    assert rows1[2]["changed"] is True       # mutated text
+
+
+def test_revisit_loop_backoff_and_refetch(spark, tmp_path):
+    """revisit=True + refresh_cycles: the engine maintains fetch_history,
+    drains, re-enqueues due pages via the Cho-G-M transition (own round
+    id, crawl_log marker), refetches them, and backs off geometrically on
+    unchanged content — the full crawl -> age -> re-crawl loop."""
+    from python_web_scraper_cleaner_spark.operators.frontier import (
+        revisit_schedule)
+
+    eng = CrawlEngine(spark, str(tmp_path / "r"), per_host_budget=10,
+                      revisit=True)
+    eng.bootstrap(_one_host_seeds(spark, list(range(6))),
+                  _hostq_robots(spark))
+    stats = eng.run(max_rounds=20, refresh_cycles=2)
+
+    pages = eng.io.read("pages")
+    per_url = {r["url"]: r["n"] for r in pages.groupBy("url")
+               .agg(F.count("*").alias("n")).collect()}
+    assert len(per_url) == 6 and set(per_url.values()) == {3}
+    assert sorted({r["round"] for r in pages.collect()}) == [0, 3, 6]
+
+    fh = eng.io.read("fetch_history").collect()
+    by_page = {}
+    for r in fh:
+        by_page.setdefault(r["page_id"], []).append((r["ts"], r["changed"]))
+    assert all(sorted(v) == [(0, True), (3, False), (6, False)]
+               for v in by_page.values())
+    sched = revisit_schedule(eng.io.read("fetch_history")).collect()
+    assert all(r["unchanged_tail"] == 2 and r["next_interval_hours"] == 4
+               for r in sched)
+
+    markers = sorted(r["round"] for r in eng.io.read("crawl_log")
+                     .filter("partition_id = -1").collect())
+    assert markers == [2, 5]                 # the two transitions
+    # drained rounds report 0; crawl rounds report 6
+    assert [s["n_fetched"] for s in stats] == [6, 0, 6, 0, 6, 0]
+
+
+def test_revisit_transition_crash_heals(spark, tmp_path):
+    """Crash inside schedule_revisits (frontier committed, url_seen/bloom/
+    crawl_log lost): run() detects the frontier round past last_round and
+    idempotently re-runs the transition — the healed store matches an
+    uninterrupted run table-for-table."""
+    seeds = _one_host_seeds(spark, list(range(5)))
+
+    def mk(root, **kw):
+        e = CrawlEngine(spark, str(root), per_host_budget=5, revisit=True,
+                        **kw)
+        e.bootstrap(seeds, _hostq_robots(spark))
+        return e
+
+    full = mk(tmp_path / "full")
+    full.run(max_rounds=20, refresh_cycles=1)
+
+    crashed = mk(tmp_path / "c")
+    crashed.run(max_rounds=20, refresh_cycles=1)
+    # crash window: transition round 2 wrote frontier, everything after
+    # was lost (url_seen/bloom/crawl_log roll back to drained round 1,
+    # frontier to the transition's own snapshot)
+    _rollback_to_round(crashed.io, "frontier", 2)
+    for t in ("url_seen", "bloom", "crawl_log"):
+        _rollback_to_round(crashed.io, t, 1)
+    # pages/fetch_history of the post-transition rounds are also gone
+    for t in ("pages", "fetch_history"):
+        _rollback_to_round(crashed.io, t, 1)
+    del crashed
+
+    resumed = CrawlEngine(spark, str(tmp_path / "c"), per_host_budget=5,
+                          revisit=True)
+    assert resumed.last_round() == 1
+    resumed.run(max_rounds=20, refresh_cycles=0)
+
+    def table(eng, name, key):
+        return sorted(map(tuple, eng.io.read(name).collect()),
+                      key=lambda t: tuple(str(x) for x in t))
+
+    for name in ("pages", "url_seen", "fetch_history", "frontier"):
+        assert table(resumed, name, None) == table(full, name, None), name
+    assert resumed.crawl_order() == full.crawl_order()

@@ -41,6 +41,10 @@ MODES = {
     "both": {"priority_mode": "pagerank", "dedup_index": True},
     # archival sink: per-round WARC+WET segment commits (gzip members)
     "archive": {"archive": True},
+    # re-crawl substrate: per-round fetch_history change-observation
+    # commits (the Cho–G-M revisit loop's input; transitions themselves
+    # only fire on frontier drain, so this prices the per-round tax)
+    "revisit": {"revisit": True},
 }
 
 
