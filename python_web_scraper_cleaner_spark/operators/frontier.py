@@ -329,3 +329,38 @@ def robots_sitemap_urls(robots_txt: DataFrame, *, host_col: str = "host",
         F.lit(r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)"), F.lit(1)))
     return robots_txt.select(F.col(host_col).alias("host"),
                              sm.alias("sitemap_url"))
+
+
+def url_trap_signals(urls: DataFrame, *, host_col: str = "host",
+                     path_col: str = "path", query_col: str = "query",
+                     min_variants: int = 50) -> DataFrame:
+    """Crawler-trap detection: per-host signals for paths whose QUERY
+    VARIANT count explodes — calendars, faceted search, session ids —
+    the URL spaces that are infinite even though the content isn't. A
+    (host, path) is a trap candidate when ≥ ``min_variants`` distinct
+    query strings were discovered for it. Output per host: n_paths,
+    n_trap_paths, max_variants, worst_path (deterministic min-by on
+    (−variants, path)). The frontier consumes the verdict as a
+    broadcast gate (hosts/paths ≪ urls), the same shape as
+    host_reputation — the reference crawls a fixed 10-URL list and
+    cannot meet traps (scripts/news.py:3-7); a discovery crawler meets
+    them immediately.
+
+    Scale shape: one (host, path, query)-distinct + (host, path) count
+    (map-side partials on 8-byte-ish keys), one per-host rollup —
+    aggregates all the way down, no windows, no UDFs; query strings
+    collapse to hashes before shuffling."""
+    per_path = (urls.select(F.col(host_col).alias("host"),
+                            F.col(path_col).alias("path"),
+                            F.xxhash64(F.col(query_col)).alias("_q"))
+                .distinct()
+                .groupBy("host", "path")
+                .agg(F.count("*").alias("n_variants")))
+    return (per_path.groupBy("host")
+            .agg(F.count("*").alias("n_paths"),
+                 F.sum((F.col("n_variants") >= F.lit(min_variants))
+                       .cast("int")).cast("long").alias("n_trap_paths"),
+                 F.max("n_variants").alias("max_variants"),
+                 F.min_by("path", F.struct(
+                     (-F.col("n_variants")).alias("_neg"),
+                     F.col("path"))).alias("worst_path")))

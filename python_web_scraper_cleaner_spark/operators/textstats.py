@@ -386,3 +386,74 @@ def host_reputation(df: DataFrame, *, id_col: str = "doc_id",
         .withColumn("reputation_ok",
                     (F.col("pass_bp") >= min_pass_bp)
                     & (F.col("dup_bp") <= max_dup_bp)))
+
+
+def strip_boilerplate_lines(docs: DataFrame, id_col: str = "id",
+                            host_col: str = "host",
+                            text_col: str = "text", *,
+                            min_doc_frac: float = 0.5,
+                            min_docs: int = 2) -> DataFrame:
+    """Per-host template/boilerplate line removal (the CCNet/fineweb
+    cleaning tier between raw extraction and dedup): a LINE is
+    boilerplate on host H when it occurs in ≥ ``min_docs`` documents AND
+    in ≥ ``min_doc_frac`` of H's documents — nav bars, cookie banners,
+    footers that per-page extraction can't see because they ARE the
+    page-level common mode. Output: one row per doc with ``clean_text``
+    (surviving lines re-joined in original order), ``n_lines``, and
+    ``n_boiler_lines``. Empty lines are never counted as boilerplate
+    (they carry paragraph structure) and always survive.
+
+    The reference cleans each page in isolation
+    (/root/reference/scraper_cleaner/html_cleaner_core.py) — cross-page
+    common-mode removal needs corpus-level aggregation, which is exactly
+    what a distributed engine adds.
+
+    Scale shape: two shuffles total. (1) line doc-frequency: distinct
+    (host, line_hash, id) → count per (host, line_hash) — the map-side
+    distinct collapses within-doc repeats early, and only 8-byte line
+    HASHES shuffle, never line text; per-host doc counts ride a
+    broadcast join (hosts ≪ docs). (2) regroup the surviving lines by
+    doc id (sort_array over (pos, line) structs inside the aggregate —
+    no window). Boilerplate verdicts join back as a broadcast-able
+    (host, line_hash) build side sized by the DISTINCT frequent lines,
+    not the corpus. Hash collisions: xxhash64 over 10^9 distinct lines
+    gives ~3·10^-2 birthday odds of ONE collision pair — acceptable for
+    a cleaning filter; use the line text itself as the key if not.
+    """
+    d = docs.select(F.col(id_col).alias("id"),
+                    F.col(host_col).alias("host"),
+                    F.col(text_col).alias("text"))
+    lines = (d.select(
+        "id", "host",
+        F.posexplode(F.split(F.col("text"), "\n", -1))
+        .alias("pos", "line"))
+        .withColumn("line_hash", F.xxhash64("line")))
+    host_docs = d.groupBy("host").agg(
+        F.countDistinct("id").alias("_n_docs"))
+    df_per_line = (lines.filter(F.col("line") != "")
+                   .select("host", "line_hash", "id").distinct()
+                   .groupBy("host", "line_hash")
+                   .agg(F.count("*").alias("_df")))
+    boiler = (df_per_line
+              .join(F.broadcast(host_docs), "host")
+              .filter((F.col("_df") >= F.lit(min_docs))
+                      & (F.col("_df") * F.lit(1.0)
+                         >= F.lit(min_doc_frac) * F.col("_n_docs")))
+              .select("host", "line_hash",
+                      F.lit(True).alias("_boiler")))
+    flagged = (lines.join(boiler, ["host", "line_hash"], "left")
+               .withColumn("_boiler",
+                           F.coalesce(F.col("_boiler"), F.lit(False))))
+    return (flagged.groupBy("id")
+            .agg(F.count("*").alias("n_lines"),
+                 F.sum(F.col("_boiler").cast("int")).cast("long")
+                 .alias("n_boiler_lines"),
+                 F.array_join(
+                     F.transform(
+                         F.sort_array(F.collect_list(
+                             F.when(~F.col("_boiler"),
+                                    F.struct("pos", "line")))),
+                         lambda s: s["line"]), "\n").alias("clean_text"))
+            .select("id", "clean_text",
+                    F.col("n_lines").cast("long").alias("n_lines"),
+                    "n_boiler_lines"))

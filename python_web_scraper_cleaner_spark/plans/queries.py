@@ -1039,6 +1039,132 @@ order by m.src
 """
 
 
+def q_strip_boilerplate(spark, sf_dir):
+    """Per-host template/boilerplate line removal (operators/textstats.py:
+    strip_boilerplate_lines) — the corpus-level cleaning tier the
+    reference's page-at-a-time extractor cannot express: a line occurring
+    in ≥ 50% of a host's documents (and ≥ 2 docs) is common-mode chrome
+    (nav/footer/cookie banner) and is stripped; surviving lines re-join
+    in original order. Fixture: every doc of host b{h} gets the same NAV
+    header and Copyright footer (must strip), docs with doc_id % 3 == 0
+    add a 'Subscribe' line (~33% < 50% — must SURVIVE the threshold),
+    body text stays unique. Output: (id, clean_text, n_lines,
+    n_boiler_lines).
+
+    Scale notes in the operator docstring (two shuffles; line HASHES
+    shuffle, never text; boilerplate verdicts are a broadcast build
+    side)."""
+    from ..operators.textstats import strip_boilerplate_lines
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1500)
+    d = F.col("doc_id")
+    host = F.concat(F.lit("b"), (d % 5).cast("string"))
+    txt = F.concat(
+        F.lit("NAV "), host, F.lit(" home | about\n"),
+        F.col("text"),
+        F.when(d % 3 == 0,
+               F.concat(F.lit("\nSubscribe to "), host,
+                        F.lit(" newsletter"))).otherwise(F.lit("")),
+        F.lit("\nCopyright "), host)
+    corpus = docs.select(d.alias("id"), host.alias("host"),
+                         txt.alias("text"))
+    return (strip_boilerplate_lines(corpus, min_doc_frac=0.5, min_docs=2)
+            .orderBy("id"))
+
+
+SQL_STRIP_BOILERPLATE = """
+with corpus as (
+  select doc_id as id,
+         'b' || cast(doc_id % 5 as varchar) as host,
+         'NAV ' || 'b' || cast(doc_id % 5 as varchar) || ' home | about'
+         || chr(10) || text
+         || case when doc_id % 3 = 0
+                 then chr(10) || 'Subscribe to b'
+                      || cast(doc_id % 5 as varchar) || ' newsletter'
+                 else '' end
+         || chr(10) || 'Copyright b' || cast(doc_id % 5 as varchar)
+         as text
+  from documents where doc_id < 1500),
+lines as (
+  select id, host,
+         unnest(range(1, len(l) + 1)) as pos,
+         unnest(l) as line
+  from (select id, host, string_split(text, chr(10)) as l from corpus)),
+host_docs as (
+  select host, count(distinct id) as n_docs from corpus group by host),
+line_df as (
+  select host, line, count(*) as df
+  from (select distinct host, line, id from lines where line <> '')
+  group by host, line),
+boiler as (
+  select d.host, d.line
+  from line_df d join host_docs h using (host)
+  where d.df >= 2 and d.df >= 0.5 * h.n_docs),
+flagged as (
+  select l.id, l.pos, l.line,
+         b.line is not null as is_boiler
+  from lines l left join boiler b
+    on b.host = l.host and b.line = l.line)
+select id,
+       coalesce(string_agg(line, chr(10) order by pos)
+                filter (where not is_boiler), '') as clean_text,
+       count(*) as n_lines,
+       cast(sum(case when is_boiler then 1 else 0 end) as bigint)
+       as n_boiler_lines
+from flagged group by id order by id
+"""
+
+
+def q_trap_detection(spark, sf_dir):
+    """Crawler-trap detection (operators/frontier.py:url_trap_signals):
+    per-host query-variant explosion signals — the '/calendar?date=...'
+    infinite-URL-space problem a discovery crawler meets immediately.
+    Fixture: hosts t1/t4 concentrate a calendar trap (one '/cal' path,
+    every doc a distinct date= query) plus normal pages; other hosts have
+    only per-doc paths with ≤ 2 query variants each. min_variants=50
+    flags exactly the trap paths. Output per host: n_paths,
+    n_trap_paths, max_variants, worst_path."""
+    from ..operators.frontier import url_trap_signals
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 4000)
+    d = F.col("doc_id")
+    host = F.concat(F.lit("t"), (d % 6).cast("string"))
+    is_trap_host = (d % 6 == 1) | (d % 6 == 4)
+    urls = docs.select(
+        host.alias("host"),
+        F.when(is_trap_host & (d % 3 == 0), F.lit("/cal"))
+        .otherwise(F.concat(F.lit("/p/"), d.cast("string")))
+        .alias("path"),
+        F.when(is_trap_host & (d % 3 == 0),
+               F.concat(F.lit("date="), d.cast("string")))
+        .when(d % 2 == 0, F.lit("ref=home")).otherwise(F.lit(""))
+        .alias("qs"))
+    return (url_trap_signals(urls, query_col="qs", min_variants=50)
+            .orderBy("host"))
+
+
+SQL_TRAP_DETECTION = """
+with urls as (
+  select 't' || cast(doc_id % 6 as varchar) as host,
+         case when doc_id % 6 in (1, 4) and doc_id % 3 = 0
+              then '/cal' else '/p/' || cast(doc_id as varchar) end as path,
+         case when doc_id % 6 in (1, 4) and doc_id % 3 = 0
+              then 'date=' || cast(doc_id as varchar)
+              when doc_id % 2 = 0 then 'ref=home'
+              else '' end as qs
+  from documents where doc_id < 4000),
+per_path as (
+  select host, path, count(*) as n_variants
+  from (select distinct host, path, qs from urls)
+  group by host, path)
+select host,
+       count(*) as n_paths,
+       cast(sum(case when n_variants >= 50 then 1 else 0 end) as bigint)
+       as n_trap_paths,
+       max(n_variants) as max_variants,
+       (list(path order by n_variants desc, path asc))[1] as worst_path
+from per_path group by host order by host
+"""
+
+
 _F1_MESS = "\r\rMiddle  line   \n\n\n\n\nTail line  \n\n"
 
 
@@ -4328,6 +4454,8 @@ def registry():
         "robots_sitemap_discovery": (q_robots_sitemap_discovery,
                                      SQL_ROBOTS_SITEMAP),
         "resolve_redirects": (q_resolve_redirects, SQL_RESOLVE_REDIRECTS),
+        "strip_boilerplate": (q_strip_boilerplate, SQL_STRIP_BOILERPLATE),
+        "trap_detection": (q_trap_detection, SQL_TRAP_DETECTION),
         "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
         "host_reputation": (q_host_reputation, SQL_HOST_REPUTATION),
         "pipeline_host_substring": (q_pipeline_host_substring,

@@ -66,3 +66,43 @@ def test_thresholds_are_parameters(spark):
     lax = _by_host(TS.host_reputation(docs, min_pass_bp=5000))
     assert not strict["h"]["reputation_ok"]
     assert lax["h"]["reputation_ok"]
+
+
+def test_strip_boilerplate_threshold_and_order(spark):
+    """Lines in >= min_doc_frac of a host's docs strip; rarer lines and
+    empty lines survive; surviving lines keep original order; a fully-
+    boilerplate doc yields clean_text '' (not NULL)."""
+    from python_web_scraper_cleaner_spark.operators.textstats import (
+        strip_boilerplate_lines)
+    rows = [
+        (1, "h", "NAV\nalpha\n\nbeta\nFOOT"),
+        (2, "h", "NAV\ngamma\nrare\nFOOT"),
+        (3, "h", "NAV\ndelta\nFOOT"),
+        (4, "h", "NAV\nFOOT"),              # fully boilerplate
+        (5, "g", "NAV\nsolo"),              # other host: NAV in 1 doc only
+    ]
+    docs = spark.createDataFrame(rows, "id long, host string, text string")
+    out = {r["id"]: r for r in strip_boilerplate_lines(
+        docs, min_doc_frac=0.5, min_docs=2).collect()}
+    assert out[1]["clean_text"] == "alpha\n\nbeta"
+    assert (out[1]["n_lines"], out[1]["n_boiler_lines"]) == (5, 2)
+    assert out[2]["clean_text"] == "gamma\nrare"
+    assert out[4]["clean_text"] == ""
+    # min_docs guard: host g's NAV appears in 100% of docs but only 1 doc
+    assert out[5]["clean_text"] == "NAV\nsolo"
+
+
+def test_url_trap_signals_flags_variant_explosion(spark):
+    from python_web_scraper_cleaner_spark.operators.frontier import (
+        url_trap_signals)
+    rows = ([("t", "/cal", f"d={i}") for i in range(60)]
+            + [("t", "/page", ""), ("t", "/page", "ref=x")]
+            + [("ok", "/a", ""), ("ok", "/b", "x=1")])
+    urls = spark.createDataFrame(rows, "host string, path string, "
+                                       "query string")
+    out = {r["host"]: r for r in url_trap_signals(
+        urls, min_variants=50).collect()}
+    assert (out["t"]["n_paths"], out["t"]["n_trap_paths"],
+            out["t"]["max_variants"], out["t"]["worst_path"]) == \
+        (2, 1, 60, "/cal")
+    assert (out["ok"]["n_trap_paths"], out["ok"]["max_variants"]) == (0, 1)
