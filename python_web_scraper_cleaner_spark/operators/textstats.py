@@ -408,12 +408,13 @@ def strip_boilerplate_lines(docs: DataFrame, id_col: str = "id",
     common-mode removal needs corpus-level aggregation, which is exactly
     what a distributed engine adds.
 
-    Scale shape: two shuffles total. (1) line doc-frequency: distinct
-    (host, line_hash, id) → count per (host, line_hash) — the map-side
-    distinct collapses within-doc repeats early, and only 8-byte line
-    HASHES shuffle, never line text; per-host doc counts ride a
-    broadcast join (hosts ≪ docs). (2) regroup the surviving lines by
-    doc id (sort_array over (pos, line) structs inside the aggregate —
+    Scale shape: three shuffles total (audited, PLANS_AUDIT.md). Line
+    doc-frequency takes two — the (host, line_hash, id) distinct (its
+    map-side partial collapses within-doc repeats early) and the
+    (host, line_hash) count — and only 8-byte line HASHES cross them,
+    never line text; per-host doc counts ride a broadcast join
+    (hosts ≪ docs). The third regroups surviving lines by doc id
+    (sort_array over (pos, line) structs inside the aggregate —
     no window). Boilerplate verdicts join back as a broadcast-able
     (host, line_hash) build side sized by the DISTINCT frequent lines,
     not the corpus. Hash collisions: xxhash64 over 10^9 distinct lines

@@ -142,6 +142,29 @@ AUDITED = [
      "one revisit window/aggregate sharing a page_id exchange + an "
      "8-byte-key join + TakeOrderedAndProject — no extra exchanges "
      "added by the composition"),
+    ("robots_sitemap_discovery",
+     "robots→index→urlsets discovery chain: every parse stage is "
+     "regexp_extract_all+explode inside codegen (zero UDFs); the "
+     "advertised→index and refs→urlset joins carry per-host-small build "
+     "sides (broadcast); the only wide exchange is the final per-host "
+     "rollup"),
+    ("resolve_redirects",
+     "path doubling: per round ONE self-join of the pointer table keyed "
+     "on the jump target (8-byte-ish string keys) over a checkpointed "
+     "scan — no window, no per-hop rounds; final projection is "
+     "codegen-only"),
+    ("strip_boilerplate",
+     "three exchanges total: line doc-frequency takes two (the "
+     "(host,line_hash,id) distinct with map-side partials, then the "
+     "(host,line_hash) count — line TEXT never shuffles, hashes do), "
+     "and the per-doc regroup whose sort_array((pos,line)) runs inside "
+     "the aggregate (not a window) takes the third; boilerplate "
+     "verdicts join back as a BroadcastHashJoin build side"),
+    ("trap_detection",
+     "aggregates all the way down: (host,path,query-hash) distinct with "
+     "partial combine, per-(host,path) count, per-host rollup via "
+     "min_by struct — no windows, no UDFs, query strings collapse to "
+     "hashes before any exchange"),
 ]
 
 KEEP = re.compile(
