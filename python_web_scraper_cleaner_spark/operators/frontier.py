@@ -364,3 +364,41 @@ def url_trap_signals(urls: DataFrame, *, host_col: str = "host",
                  F.min_by("path", F.struct(
                      (-F.col("n_variants")).alias("_neg"),
                      F.col("path"))).alias("worst_path")))
+
+
+def cap_trap_variants(frontier: DataFrame, *, max_variants: int,
+                      order_cols=None) -> tuple:
+    """Frontier-side crawler-trap cap (the enforcement half of
+    url_trap_signals): per (host, path) — path taken from canonical_url,
+    query excluded — at most ``max_variants`` pending URLs survive, the
+    deterministic FRONTIER_ORDER-best ones; the rest are DROPPED (a
+    crawler abandons a calendar, it doesn't queue it forever). Returns
+    (kept, dropped).
+
+    Scale shape: the window runs ONLY over rows of paths whose pending
+    count exceeds the cap (same pattern as select_round_batch's
+    hot-host branch): a count aggregate finds the trap paths, the
+    verdict broadcasts (trap paths ≪ paths by construction — that's
+    what makes them traps), cold rows bypass the window entirely. A
+    single mega-trap path still lands on one reducer, but its input is
+    that path's rows only — and the cap itself keeps re-applying every
+    round, so the pending set for a capped path never grows unbounded."""
+    path_expr = F.regexp_extract(
+        F.col("canonical_url"),
+        r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    tagged = frontier.withColumn("_tp", path_expr)
+    hot = (tagged.groupBy("host", "_tp")
+           .agg(F.count("*").alias("_n"))
+           .filter(F.col("_n") > max_variants)
+           .select("host", "_tp", F.lit(True).alias("_hot")))
+    j = tagged.join(F.broadcast(hot), ["host", "_tp"], "left")
+    cold = j.filter(F.col("_hot").isNull()).drop("_tp", "_hot")
+    w = Window.partitionBy("host", "_tp").orderBy(*order_exprs(order_cols))
+    ranked = (j.filter(F.col("_hot").isNotNull())
+              .withColumn("_tr", F.row_number().over(w)))
+    kept = (cold.unionByName(
+        ranked.filter(F.col("_tr") <= max_variants)
+        .drop("_tp", "_hot", "_tr")))
+    dropped = (ranked.filter(F.col("_tr") > max_variants)
+               .drop("_tp", "_hot", "_tr"))
+    return kept, dropped

@@ -177,7 +177,8 @@ class CrawlEngine:
                  archive_pages_per_segment: int = 50,
                  archive_gzip: bool = True,
                  revisit: bool = False,
-                 revisit_base_hours: int = 1) -> None:
+                 revisit_base_hours: int = 1,
+                 trap_variant_cap: int | None = None) -> None:
         self.spark = spark
         self.io = TableIO(spark, root)
         self.per_host_budget = per_host_budget
@@ -251,6 +252,14 @@ class CrawlEngine:
         # schedule (revisit_base_hours scales it).
         self.revisit = revisit
         self.revisit_base_hours = revisit_base_hours
+        # Crawler-trap guard: at most N pending urls per (host, path)
+        # enter a round; the overflow is DROPPED from the frontier (the
+        # enforcement half of operators/frontier.url_trap_signals /
+        # cap_trap_variants — a crawler abandons a calendar, it doesn't
+        # queue it forever)
+        if trap_variant_cap is not None and trap_variant_cap < 1:
+            raise ValueError("trap_variant_cap must be >= 1")
+        self.trap_variant_cap = trap_variant_cap
 
     # -- lifecycle ------------------------------------------------------------
     def bootstrap(self, seeds: DataFrame | None = None,
@@ -677,6 +686,14 @@ class CrawlEngine:
     def run_round(self, round_id: int) -> dict:
         io = self.io
         pending = io.read("frontier")
+        trap_dropped = None
+        if self.trap_variant_cap is not None:
+            # applied to the COMMITTED frontier before any other stage,
+            # so both the normal and WAL-replay paths see the same capped
+            # pending set (the drop re-derives identically on resume —
+            # it's a pure function of the committed frontier)
+            pending, trap_dropped = FR.cap_trap_variants(
+                pending, max_variants=self.trap_variant_cap)
         seen = io.read_or_empty("url_seen", SEEN_SCHEMA)
         robots = io.read("robots")
 
@@ -923,6 +940,8 @@ class CrawlEngine:
                      "n_remaining": io.read("frontier").count()}
             if self.dedup_index:
                 stats["n_near_dup"] = pages.filter("near_dup").count()
+            if trap_dropped is not None:
+                stats["n_trap_dropped"] = trap_dropped.count()
         finally:
             pages.unpersist()
         return stats

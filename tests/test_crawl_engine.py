@@ -1129,3 +1129,35 @@ def test_revisit_transition_crash_heals(spark, tmp_path):
     for name in ("pages", "url_seen", "fetch_history", "frontier"):
         assert table(resumed, name, None) == table(full, name, None), name
     assert resumed.crawl_order() == full.crawl_order()
+
+
+def test_trap_variant_cap_drops_overflow_deterministically(spark, tmp_path):
+    """trap_variant_cap=N: at most N pending urls per (host, path) enter a
+    round; the overflow is dropped from the frontier (reported in stats),
+    normal paths are untouched, and two fresh runs agree exactly."""
+    trap = [(f"https://hostq.example/7.html?d={i}", 0,
+             dt.datetime(2026, 1, 1)) for i in range(12)]
+    normal = [(f"https://hostq.example/news/{i}.html", 0,
+               dt.datetime(2026, 1, 1)) for i in (100, 101, 102)]
+    seeds = spark.createDataFrame(
+        trap + normal, "url string, priority int, discovered_ts timestamp")
+
+    def crawl(root):
+        eng = CrawlEngine(spark, str(root), per_host_budget=50,
+                          trap_variant_cap=4)
+        eng.bootstrap(seeds, _hostq_robots(spark))
+        stats = eng.run(max_rounds=5)
+        return eng, stats
+
+    eng, stats = crawl(tmp_path / "a")
+    assert stats[0]["n_fetched"] == 7          # 4 capped + 3 normal
+    assert stats[0]["n_trap_dropped"] == 8
+    fetched = sorted(r["url"] for r in eng.io.read("pages").collect())
+    # deterministic FRONTIER_ORDER pick: lexicographically-first variants
+    expect_trap = sorted(u for u, _, _ in trap)[:4]
+    assert [u for u in fetched if "?d=" in u] == expect_trap
+    assert eng.io.read("frontier").count() == 0   # overflow is gone
+
+    eng2, stats2 = crawl(tmp_path / "b")
+    assert eng2.crawl_order() == eng.crawl_order()
+    assert stats2[0] == {k: v for k, v in stats[0].items()}
