@@ -68,6 +68,62 @@ def pagerank_fixed_point(edges: DataFrame, nodes: DataFrame, *,
     return ranks
 
 
+def _hits_half(edges: DataFrame, scores: DataFrame, nodes: DataFrame, *,
+               join_side: str, group_side: str, scale: int) -> DataFrame:
+    """One HITS half-step: sum partner scores over edges, then
+    max-normalize back to [0, scale] in integer arithmetic. Nodes with no
+    contributing edge get 0."""
+    raw = (edges.join(scores.withColumnRenamed("id", join_side), join_side)
+           .groupBy(group_side).agg(F.sum("v").alias("_raw")))
+    mx = raw.agg(F.greatest(F.max("_raw"), F.lit(1).cast("long"))
+                 .alias("_mx"))
+    return (nodes.join(raw.withColumnRenamed(group_side, "id"), "id", "left")
+            .crossJoin(F.broadcast(mx))
+            .select("id", F.coalesce(
+                F.expr(f"_raw * {scale} div _mx"),
+                F.lit(0).cast("long")).alias("v")))
+
+
+def hits_fixed_point(edges: DataFrame, nodes: DataFrame, *,
+                     iters: int = 2, scale: int = 10**6) -> DataFrame:
+    """HITS hubs-and-authorities over ``edges`` (src, dst) for ``nodes``
+    (id) — the complementary centrality to PageRank for frontier
+    prioritization: authority ranks CONTENT worth fetching, hub ranks
+    DIRECTORY pages worth re-visiting for discovery (the distinction a
+    seed-list crawler like the reference, scripts/news.py:3-7, never
+    needs — a discovery crawler schedules hubs early to widen the
+    frontier fast).
+
+    Fixed-point integer arithmetic throughout, like pagerank_fixed_point
+    above: scores live in [0, scale]; each half-step sums partner scores
+    (bigint, associative → shuffle-order-proof) then MAX-normalizes via
+    ``v * scale div max`` (floor division, positive operands — identical
+    in Spark and DuckDB). Returns (id, auth_fp, hub_fp).
+
+    Overflow bound: a summed score ≤ n_nodes·scale, and normalization
+    multiplies by scale again, so pick scale ≤ sqrt(2^63 / n_nodes) —
+    the default 10^6 is safe to ~9×10^6 nodes; a 10^10-node graph wants
+    scale = 10^4 (rank resolution trades against headroom).
+
+    Scale shape per half-step: one edges⋈scores hash join keyed on the
+    edge endpoint + one integer SUM with map-side partials (same
+    two-shuffle profile as a pagerank iteration), plus a scalar max agg
+    whose single row broadcasts. 2·iters half-steps total; for deep
+    iteration counts, localCheckpoint the score table every few rounds
+    (same lineage note as pagerank)."""
+    auth = nodes.select("id", F.lit(scale).cast("long").alias("v"))
+    hub = auth
+    for _ in range(iters):
+        # hub(i) = Σ auth(j) over i→j: join scores on dst, group by src
+        hub = _hits_half(edges, auth, nodes, join_side="dst",
+                         group_side="src", scale=scale)
+        # auth(j) = Σ hub(i) over i→j: join scores on src, group by dst
+        auth = _hits_half(edges, hub, nodes, join_side="src",
+                          group_side="dst", scale=scale)
+    return (auth.withColumnRenamed("v", "auth_fp")
+            .join(hub.withColumnRenamed("v", "hub_fp"), "id"))
+
+
 def anchor_rollup(pages: DataFrame, *, url_col: str = "url",
                   html_col: str = "html") -> DataFrame:
     """Per-target anchor-text corpus from the link graph — the classic

@@ -1998,6 +1998,57 @@ def _sql_link_pagerank(iters: int = 3) -> str:
 SQL_LINK_PAGERANK = _sql_link_pagerank()
 
 
+def q_link_hits(spark, sf_dir):
+    """Hub/authority frontier scoring: fixed-point integer HITS
+    (operators/graph.py:hits_fixed_point) over the same deterministic doc
+    link graph as link_pagerank (dst = id//2 and (3·id+1) mod n). Top 20
+    by authority; pure bigint sums + max-normalized floor division, so
+    the unrolled-CTE oracle matches bit-for-bit."""
+    from ..operators import graph as G
+    nodes = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"))
+    n = nodes.count()
+    edges = (nodes.select(F.col("id").alias("src"),
+                          F.expr("id div 2").alias("dst"))
+             .unionByName(
+                 nodes.select(F.col("id").alias("src"),
+                              F.expr(f"(3*id + 1) % {n}").alias("dst"))))
+    res = G.hits_fixed_point(edges, nodes, iters=2)
+    return (res.select(F.col("id").alias("doc_id"), "auth_fp", "hub_fp")
+            .orderBy(F.desc("auth_fp"), "doc_id").limit(20))
+
+
+def _sql_link_hits(iters: int = 2, scale: int = 10**6) -> str:
+    ctes = ["nn as (select count(*) as c from documents)",
+            "nodes as (select doc_id as id from documents)",
+            """edges as (
+  select doc_id as src, doc_id // 2 as dst from documents
+  union all
+  select doc_id, (3*doc_id + 1) % (select c from nn) from documents)""",
+            f"a0 as (select id, cast({scale} as bigint) as v from nodes)"]
+    prev = "a0"
+    for k in range(1, iters + 1):
+        for name, jcol, gcol in ((f"h{k}", "dst", "src"),
+                                 (f"a{k}", "src", "dst")):
+            ctes.append(f"""{name}r as (
+  select e.{gcol} as id, cast(sum(s.v) as bigint) as raw
+  from edges e join {prev} s on s.id = e.{jcol} group by e.{gcol})""")
+            ctes.append(f"{name}m as (select greatest(max(raw), 1) as mx "
+                        f"from {name}r)")
+            ctes.append(f"""{name} as (
+  select n.id, coalesce((r.raw * {scale}) // (select mx from {name}m),
+                        0) as v
+  from nodes n left join {name}r r on r.id = n.id)""")
+            prev = name
+    return ("with " + ",\n".join(ctes) +
+            f"\nselect a.id as doc_id, a.v as auth_fp, h.v as hub_fp"
+            f"\nfrom a{iters} a join h{iters} h on h.id = a.id"
+            "\norder by auth_fp desc, doc_id limit 20")
+
+
+SQL_LINK_HITS = _sql_link_hits()
+
+
 def q_frontier_priority(spark, sf_dir):
     """The 'what do we fetch next' decision composed end-to-end: link
     centrality (pagerank_fixed_point over the doc graph) × freshness
@@ -4451,6 +4502,7 @@ def registry():
     """
     return {
         # -- 1. never driver-checked (new in round 5) --
+        "link_hits": (q_link_hits, SQL_LINK_HITS),
         "robots_sitemap_discovery": (q_robots_sitemap_discovery,
                                      SQL_ROBOTS_SITEMAP),
         "resolve_redirects": (q_resolve_redirects, SQL_RESOLVE_REDIRECTS),

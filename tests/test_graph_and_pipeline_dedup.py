@@ -305,3 +305,61 @@ def test_resolve_redirects_competing_records_pick_min_dst(spark):
     out = {r["src"]: r for r in G.resolve_redirect_chains(
         _redirects(spark, [("x", "z"), ("x", "a"), ("a", "m")])).collect()}
     assert (out["x"]["final_url"], out["x"]["hops"]) == ("m", 2)
+
+
+def test_hits_star_separates_hubs_from_authority(spark):
+    """Spokes 1..5 → hub 0 (no out-edge from 0): node 0 is the ONLY
+    authority (max-normalized to scale), spokes are equal pure hubs."""
+    scale = 10**6
+    edges = _edges(spark, [(i, 0) for i in range(1, 6)])
+    rows = {r.id: r for r in G.hits_fixed_point(
+        edges, _nodes(spark, range(6)), iters=2, scale=scale).collect()}
+    assert rows[0].auth_fp == scale and rows[0].hub_fp == 0
+    for i in range(1, 6):
+        assert rows[i].hub_fp == scale and rows[i].auth_fp == 0
+
+
+def test_hits_bipartite_roles_are_disjoint(spark):
+    """Edges {0,1}→{2,3}: hub mass only on the left, authority mass only
+    on the right; 1 links to both targets so it out-hubs 0."""
+    edges = _edges(spark, [(0, 2), (1, 2), (1, 3)])
+    rows = {r.id: r for r in G.hits_fixed_point(
+        edges, _nodes(spark, range(4)), iters=2).collect()}
+    assert rows[0].auth_fp == 0 and rows[1].auth_fp == 0
+    assert rows[2].hub_fp == 0 and rows[3].hub_fp == 0
+    assert rows[1].hub_fp == 10**6 > rows[0].hub_fp > 0
+    assert rows[2].auth_fp == 10**6 > rows[3].auth_fp > 0
+
+
+def test_hits_empty_edges_all_zero_no_div_error(spark):
+    """No edges: every score collapses to 0 via the greatest(max,1)
+    guard — never an ANSI division-by-zero abort."""
+    edges = _edges(spark, []).limit(0)
+    rows = G.hits_fixed_point(edges, _nodes(spark, range(3)),
+                              iters=1).collect()
+    assert all(r.auth_fp == 0 and r.hub_fp == 0 for r in rows)
+
+
+def test_hits_matches_float_reference(spark):
+    """Integer fixed-point tracks float HITS with max-normalization
+    within rounding (1 unit per floor division per half-step)."""
+    n, iters, scale = 8, 3, 10**6
+    edge_list = [(i, (i * 3 + 1) % n) for i in range(n)] + \
+                [(i, (i + 2) % n) for i in range(n)]
+    got = {r.id: r for r in G.hits_fixed_point(
+        _edges(spark, edge_list), _nodes(spark, range(n)),
+        iters=iters, scale=scale).collect()}
+    auth = {i: 1.0 for i in range(n)}
+    hub = {}
+    for _ in range(iters):
+        hub = {i: sum(auth[d] for s, d in edge_list if s == i)
+               for i in range(n)}
+        mx = max(max(hub.values()), 1e-12)
+        hub = {i: v / mx for i, v in hub.items()}
+        auth = {j: sum(hub[s] for s, d in edge_list if d == j)
+                for j in range(n)}
+        mx = max(max(auth.values()), 1e-12)
+        auth = {j: v / mx for j, v in auth.items()}
+    for i in range(n):
+        assert abs(got[i].auth_fp - auth[i] * scale) <= 2 * iters + 2
+        assert abs(got[i].hub_fp - hub[i] * scale) <= 2 * iters + 2
