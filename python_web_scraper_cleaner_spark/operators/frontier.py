@@ -402,3 +402,50 @@ def cap_trap_variants(frontier: DataFrame, *, max_variants: int,
     dropped = (ranked.filter(F.col("_tr") > max_variants)
                .drop("_tp", "_hot", "_tr"))
     return kept, dropped
+
+
+def assign_fetch_slots(urls: DataFrame, *, n_slots: int,
+                       hot_threshold: int = 1000,
+                       host_col: str = "host") -> DataFrame:
+    """Host → fetch-slot bin packing: assign every host to one of
+    ``n_slots`` fetcher slots (executors / politeness lanes) so per-slot
+    pending load balances. Politeness pins a host to ONE slot (its
+    crawl-delay clock lives there — splitting a host across fetchers
+    breaks rate limiting, which is why the engine's round batches group
+    by host, plans/crawl.py); the reference never faces this because one
+    process fetches everything sequentially (scripts/news.py:37-48).
+
+    Two-tier assignment (the hot/cold split url_trap_signals and
+    cap_trap_variants use):
+    - HOT hosts (pending > hot_threshold) get exact serpentine placement:
+      ranked by (pending desc, host), rank r lands in slot r%K on even
+      passes and K-1-r%K on odd passes — the boustrophedon LPT
+      approximation, so the 2nd-heaviest host never stacks on the 1st.
+      The global window is safe because hot hosts are BOUNDED (≪ hosts
+      by construction — that's what makes them hot).
+    - COLD hosts hash to a slot (md5-prefix mod K — bit-identical in the
+      DuckDB oracle); with pending ≤ hot_threshold each, hashing is
+      load-balanced in expectation and shuffle-free per row.
+
+    Output: (host, pending, hot, slot). Deterministic: counts, md5, and
+    rank tiebreaks only. Scale shape: one per-host count (map-side
+    partials), one bounded-set window, no joins wider than the hot
+    verdict."""
+    per_host = (urls.groupBy(F.col(host_col).alias("host"))
+                .agg(F.count("*").alias("pending")))
+    hot = per_host.filter(F.col("pending") > hot_threshold)
+    cold = per_host.filter(F.col("pending") <= hot_threshold)
+    w = Window.orderBy(F.desc("pending"), F.asc("host"))
+    hot_assigned = (hot.withColumn("_idx", F.row_number().over(w) - 1)
+                    .select("host", "pending", F.lit(True).alias("hot"),
+                            F.when(
+                                (F.col("_idx") / n_slots).cast("long")
+                                % 2 == 0,
+                                F.col("_idx") % n_slots)
+                            .otherwise(n_slots - 1 - F.col("_idx") % n_slots)
+                            .cast("long").alias("slot")))
+    cold_assigned = cold.select(
+        "host", "pending", F.lit(False).alias("hot"),
+        (F.conv(F.substring(F.md5(F.col("host")), 1, 8), 16, 10)
+         .cast("long") % n_slots).alias("slot"))
+    return hot_assigned.unionByName(cold_assigned)

@@ -1165,6 +1165,52 @@ from per_path group by host order by host
 """
 
 
+def q_fetch_slot_assignment(spark, sf_dir):
+    """Host → fetch-slot bin packing (operators/frontier.py:
+    assign_fetch_slots): every host pinned to ONE of 8 politeness lanes,
+    heavy hosts placed by serpentine rank (2nd-heaviest never stacks on
+    the heaviest), long-tail hosts hashed. Fixture: 3 hot hosts hold
+    half the URL mass (doc_id even → h0/h1/h2), 211 cold hosts share the
+    rest; hot_threshold derives from the corpus size so the same shape
+    separates at every SF."""
+    from ..operators.frontier import assign_fetch_slots
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    d = F.col("doc_id")
+    urls = docs.select(
+        F.concat(F.lit("h"), F.when(d % 2 == 0, d % 3)
+                 .otherwise(d % 211).cast("string")).alias("host"))
+    return (assign_fetch_slots(urls, n_slots=8,
+                               hot_threshold=max(2, n // 12))
+            .orderBy("host"))
+
+
+SQL_FETCH_SLOTS = f"""
+with nn as (select count(*) as c from documents),
+urls as (
+  select 'h' || cast(case when doc_id % 2 = 0 then doc_id % 3
+                          else doc_id % 211 end as varchar) as host
+  from documents),
+per_host as (select host, count(*) as pending from urls group by host),
+thr as (select greatest(2, (select c from nn) // 12) as t),
+hot as (select host, pending,
+               row_number() over (order by pending desc, host asc) - 1
+               as idx
+        from per_host where pending > (select t from thr)),
+hot_a as (select host, pending, true as hot,
+                 cast(case when (idx // 8) % 2 = 0 then idx % 8
+                           else 7 - (idx % 8) end as bigint) as slot
+          from hot),
+cold_a as (select host, pending, false as hot,
+                  cast({_hex_int_sql('md5(host)', 1)} % 8 as bigint) as slot
+           from per_host where pending <= (select t from thr))
+select host, pending, hot, slot from hot_a
+union all
+select host, pending, hot, slot from cold_a
+order by host
+"""
+
+
 _F1_MESS = "\r\rMiddle  line   \n\n\n\n\nTail line  \n\n"
 
 
@@ -4503,6 +4549,7 @@ def registry():
     return {
         # -- 1. never driver-checked (new in round 5) --
         "link_hits": (q_link_hits, SQL_LINK_HITS),
+        "fetch_slot_assignment": (q_fetch_slot_assignment, SQL_FETCH_SLOTS),
         "robots_sitemap_discovery": (q_robots_sitemap_discovery,
                                      SQL_ROBOTS_SITEMAP),
         "resolve_redirects": (q_resolve_redirects, SQL_RESOLVE_REDIRECTS),

@@ -106,3 +106,46 @@ def test_url_trap_signals_flags_variant_explosion(spark):
             out["t"]["max_variants"], out["t"]["worst_path"]) == \
         (2, 1, 60, "/cal")
     assert (out["ok"]["n_trap_paths"], out["ok"]["max_variants"]) == (0, 1)
+
+
+def _slot_urls(spark, loads):
+    """loads: {host: n_pending} → one row per pending URL."""
+    rows = [(h,) for h, n in loads.items() for _ in range(n)]
+    return spark.createDataFrame(rows, "host string")
+
+
+def test_fetch_slots_hot_serpentine_balances_heavies(spark):
+    """8 hot hosts over K=4 slots: ranks 0..7 land 0,1,2,3,3,2,1,0 —
+    heaviest + lightest-of-the-hot share a slot (LPT shape)."""
+    from python_web_scraper_cleaner_spark.operators.frontier import (
+        assign_fetch_slots)
+    loads = {f"h{i}": 100 - i for i in range(8)}
+    out = {r["host"]: r for r in assign_fetch_slots(
+        _slot_urls(spark, loads), n_slots=4, hot_threshold=10).collect()}
+    assert all(out[h]["hot"] for h in loads)
+    assert [out[f"h{i}"]["slot"] for i in range(8)] == [
+        0, 1, 2, 3, 3, 2, 1, 0]
+    per_slot = {}
+    for h, n in loads.items():
+        per_slot[out[h]["slot"]] = per_slot.get(out[h]["slot"], 0) + n
+    assert max(per_slot.values()) - min(per_slot.values()) <= 7
+
+
+def test_fetch_slots_cold_hashed_and_threshold_boundary(spark):
+    """pending == threshold stays cold; cold slots are stable md5 picks
+    in [0, K); every host appears exactly once with its true count."""
+    from python_web_scraper_cleaner_spark.operators.frontier import (
+        assign_fetch_slots)
+    loads = {"big": 50, "edge": 10, **{f"c{i}": 1 + i % 3
+                                       for i in range(20)}}
+    df = assign_fetch_slots(_slot_urls(spark, loads), n_slots=4,
+                            hot_threshold=10)
+    rows = df.collect()
+    assert len(rows) == len(loads)
+    out = {r["host"]: r for r in rows}
+    assert out["big"]["hot"] and not out["edge"]["hot"]
+    assert all(0 <= r["slot"] < 4 for r in rows)
+    assert all(out[h]["pending"] == n for h, n in loads.items())
+    again = {r["host"]: r["slot"] for r in assign_fetch_slots(
+        _slot_urls(spark, loads), n_slots=4, hot_threshold=10).collect()}
+    assert again == {r["host"]: r["slot"] for r in rows}
