@@ -147,3 +147,52 @@ def bm25_topk(df: DataFrame, query: str, *, k: int = 20,
             .filter(F.col("score") > 0)
             .orderBy(F.desc("score"), F.asc("id"))
             .limit(k))
+
+
+def build_postings(df: DataFrame, *, k: int = 10, n_salts: int = 8,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Inverted-index construction: token → (df, cf, capped posting list)
+    — the index the reference's per-query full scans (news_server.py:103-
+    113: every search re-reads every file) are a stand-in for; a corpus
+    engine builds the index ONCE and serves queries from it.
+
+    Output per token: df (documents containing it), cf (total
+    occurrences), postings ("id:tf" pairs for the top-``k`` documents by
+    (tf desc, id asc) — the impact-ordered index head, Common-Crawl-scale
+    indexes cap posting storage exactly this way).
+
+    Scale shape — SALTED TWO-STAGE TOP-K, the hot-key pattern
+    select_round_batch uses for hosts: stopword tokens appear in
+    virtually every document, so a naive per-token collect would build
+    corpus-sized lists on single reducers. Stage 1 groups by (token,
+    id % n_salts) and keeps only the per-salt top-k (sort_array + slice
+    over a collect_list bounded by that salt's share of the token's
+    docs); stage 2 merges n_salts·k candidates per token — bounded
+    regardless of document frequency — and sums the exact df/cf from the
+    per-salt partials. Size ``n_salts`` to the corpus: per-salt lists
+    hold ≈ df_max/n_salts entries. Everything is built-in JVM exprs:
+    struct sort keys (−tf, id) make (tf desc, id asc) a plain ascending
+    sort_array in both stages."""
+    tf = (df.select(F.col(id_col).alias("id"),
+                    F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                      r"\s+")).alias("tok"))
+          .filter(F.col("tok") != "")
+          .groupBy("tok", "id").agg(F.count("*").alias("tf")))
+    entry = F.struct((-F.col("tf")).alias("ntf"), F.col("id").alias("id"))
+    part = (tf.withColumn("_salt", F.col("id") % n_salts)
+            .groupBy("tok", "_salt")
+            .agg(F.slice(F.sort_array(F.collect_list(entry)), 1, k)
+                 .alias("top"),
+                 F.count("*").alias("pdf"), F.sum("tf").alias("pcf")))
+    merged = (part.groupBy("tok")
+              .agg(F.slice(F.sort_array(F.flatten(F.collect_list("top"))),
+                           1, k).alias("top"),
+                   F.sum("pdf").cast("long").alias("df"),
+                   F.sum("pcf").cast("long").alias("cf")))
+    return merged.select(
+        "tok", "df", "cf",
+        F.array_join(F.transform(
+            "top", lambda s: F.concat(s["id"].cast("string"), F.lit(":"),
+                                      (-s["ntf"]).cast("string"))),
+            ",").alias("postings"))

@@ -1884,6 +1884,37 @@ order by id
 """
 
 
+def q_build_postings(spark, sf_dir):
+    """Inverted-index construction (operators/search.py:build_postings):
+    token → (df, cf, top-8 'id:tf' postings) via the salted two-stage
+    top-k, so corpus-wide stopwords can't build corpus-sized reducer
+    lists. Head of the index: top 100 tokens by (df desc, tok) — the
+    hot tokens ARE the interesting ones here (they exercise the salt
+    merge)."""
+    return (S.build_postings(_t(spark, sf_dir, "documents"),
+                             k=8, n_salts=8)
+            .orderBy(F.desc("df"), "tok").limit(100))
+
+
+SQL_BUILD_POSTINGS = r"""
+with toks as (
+  select doc_id as id, unnest(
+    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                t -> t <> '')) as tok
+  from documents),
+tf as (select tok, id, count(*) as tf from toks group by tok, id),
+post as (
+  select tok, cast(count(*) as bigint) as df,
+         cast(sum(tf) as bigint) as cf,
+         array_to_string(
+           (list(cast(id as varchar) || ':' || cast(tf as varchar)
+                 order by tf desc, id asc))[1:8], ',') as postings
+  from tf group by tok)
+select tok, df, cf, postings from post
+order by df desc, tok asc limit 100
+"""
+
+
 _INCR_INDEX_CACHE: dict = {}
 
 
@@ -4550,6 +4581,7 @@ def registry():
         # -- 1. never driver-checked (new in round 5) --
         "link_hits": (q_link_hits, SQL_LINK_HITS),
         "fetch_slot_assignment": (q_fetch_slot_assignment, SQL_FETCH_SLOTS),
+        "build_postings": (q_build_postings, SQL_BUILD_POSTINGS),
         "robots_sitemap_discovery": (q_robots_sitemap_discovery,
                                      SQL_ROBOTS_SITEMAP),
         "resolve_redirects": (q_resolve_redirects, SQL_RESOLVE_REDIRECTS),

@@ -122,3 +122,43 @@ def test_bm25_empty_query_returns_empty_frame(spark):
         out = S.bm25_topk(docs, q, k=5)
         assert [f.name for f in out.schema.fields] == ["id", "score"]
         assert out.count() == 0
+
+
+def test_build_postings_exact_counts_and_order(spark):
+    """Hand corpus: df/cf exact, postings ordered (tf desc, id asc) and
+    capped at k."""
+    from python_web_scraper_cleaner_spark.operators.search import (
+        build_postings)
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"),
+         (2, "banana banana banana cherry"),
+         (3, "apple cherry cherry"),
+         (4, "   ")],
+        "doc_id long, text string")
+    out = {r["tok"]: r for r in build_postings(docs, k=2).collect()}
+    assert set(out) == {"apple", "banana", "cherry"}
+    assert (out["apple"]["df"], out["apple"]["cf"]) == (2, 3)
+    assert out["apple"]["postings"] == "1:2,3:1"
+    assert (out["banana"]["df"], out["banana"]["cf"]) == (2, 4)
+    assert out["banana"]["postings"] == "2:3,1:1"
+    # k=2 cap drops cherry's third doc; tf tie breaks by id asc
+    assert (out["cherry"]["df"], out["cherry"]["cf"]) == (2, 3)
+    assert out["cherry"]["postings"] == "3:2,2:1"
+
+
+def test_build_postings_salt_count_is_invisible(spark):
+    """The salted two-stage merge is exact: any n_salts yields the
+    identical index (df, cf, AND posting heads)."""
+    from python_web_scraper_cleaner_spark.operators.search import (
+        build_postings)
+    docs = spark.createDataFrame(
+        [(i, " ".join(["the"] * (1 + i % 4) + [f"w{i % 7}", "corpus"]))
+         for i in range(40)],
+        "doc_id long, text string")
+    base = sorted(build_postings(docs, k=3, n_salts=1).collect())
+    for s in (2, 5, 16):
+        assert sorted(build_postings(docs, k=3, n_salts=s).collect()) \
+            == base
+    the = {r["tok"]: r for r in base}["the"]
+    assert the["df"] == 40 and the["cf"] == sum(1 + i % 4
+                                                for i in range(40))
