@@ -406,7 +406,8 @@ def cap_trap_variants(frontier: DataFrame, *, max_variants: int,
 
 def assign_fetch_slots(urls: DataFrame, *, n_slots: int,
                        hot_threshold: int = 1000,
-                       host_col: str = "host") -> DataFrame:
+                       host_col: str = "host",
+                       persist: bool = True) -> DataFrame:
     """Host → fetch-slot bin packing: assign every host to one of
     ``n_slots`` fetcher slots (executors / politeness lanes) so per-slot
     pending load balances. Politeness pins a host to ONE slot (its
@@ -433,6 +434,13 @@ def assign_fetch_slots(urls: DataFrame, *, n_slots: int,
     verdict."""
     per_host = (urls.groupBy(F.col(host_col).alias("host"))
                 .agg(F.count("*").alias("pending")))
+    if persist:
+        # hot and cold branches both read per_host: without reuse each
+        # branch re-scans the URL corpus and re-pays the count shuffle —
+        # the host table is corpus-scan-expensive to build but tiny to
+        # hold (hosts ≪ urls)
+        from ..caching import bounded_persist
+        per_host = bounded_persist(per_host, tag="fetch_slots")
     hot = per_host.filter(F.col("pending") > hot_threshold)
     cold = per_host.filter(F.col("pending") <= hot_threshold)
     w = Window.orderBy(F.desc("pending"), F.asc("host"))
