@@ -447,8 +447,7 @@ def assign_fetch_slots(urls: DataFrame, *, n_slots: int,
     hot_assigned = (hot.withColumn("_idx", F.row_number().over(w) - 1)
                     .select("host", "pending", F.lit(True).alias("hot"),
                             F.when(
-                                (F.col("_idx") / n_slots).cast("long")
-                                % 2 == 0,
+                                F.expr(f"_idx div {n_slots}") % 2 == 0,
                                 F.col("_idx") % n_slots)
                             .otherwise(n_slots - 1 - F.col("_idx") % n_slots)
                             .cast("long").alias("slot")))
