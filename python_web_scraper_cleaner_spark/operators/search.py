@@ -174,6 +174,27 @@ def build_postings(df: DataFrame, *, k: int = 10, n_salts: int = 8,
     hold ≈ df_max/n_salts entries. Everything is built-in JVM exprs:
     struct sort keys (−tf, id) make (tf desc, id asc) a plain ascending
     sort_array in both stages."""
+    heads = posting_heads(df, k=k, n_salts=n_salts, id_col=id_col,
+                          text_col=text_col)
+    return heads.select(
+        "tok", "df", "cf",
+        F.array_join(F.transform(
+            "top", lambda s: F.concat(s["id"].cast("string"), F.lit(":"),
+                                      (-s["ntf"]).cast("string"))),
+            ",").alias("postings"))
+
+
+def posting_heads(df: DataFrame, *, k: int = 10, n_salts: int = 8,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """The structured index build_postings formats: token → (df, cf,
+    top: array<struct(ntf, id)>) with top the (tf desc, id asc) head of
+    the posting list, stored with the negated tf so ascending struct
+    sorts in both stages ARE the impact order. A deployment persists
+    THIS table and serves queries from it (postings_lookup) — the same
+    build-once/probe-per-round shape as the dedup signature index
+    (dedup_incremental). See build_postings for the salted-top-k scale
+    argument."""
     tf = (df.select(F.col(id_col).alias("id"),
                     F.explode(F.split(F.lower(F.trim(F.col(text_col))),
                                       r"\s+")).alias("tok"))
@@ -185,14 +206,35 @@ def build_postings(df: DataFrame, *, k: int = 10, n_salts: int = 8,
             .agg(F.slice(F.sort_array(F.collect_list(entry)), 1, k)
                  .alias("top"),
                  F.count("*").alias("pdf"), F.sum("tf").alias("pcf")))
-    merged = (part.groupBy("tok")
-              .agg(F.slice(F.sort_array(F.flatten(F.collect_list("top"))),
-                           1, k).alias("top"),
-                   F.sum("pdf").cast("long").alias("df"),
-                   F.sum("pcf").cast("long").alias("cf")))
-    return merged.select(
-        "tok", "df", "cf",
-        F.array_join(F.transform(
-            "top", lambda s: F.concat(s["id"].cast("string"), F.lit(":"),
-                                      (-s["ntf"]).cast("string"))),
-            ",").alias("postings"))
+    return (part.groupBy("tok")
+            .agg(F.slice(F.sort_array(F.flatten(F.collect_list("top"))),
+                         1, k).alias("top"),
+                 F.sum("pdf").cast("long").alias("df"),
+                 F.sum("pcf").cast("long").alias("cf")))
+
+
+def postings_lookup(heads: DataFrame, terms: list[str], *,
+                    k: int = 10) -> DataFrame:
+    """Serve a conjunctive-ish query FROM the built index (no corpus
+    scan): filter the heads table to the query terms (an IN filter the
+    scan pushes down — at 10^10 docs the heads table is sorted/
+    bucketed by tok so this is an index seek, the cdx_stored_lookup
+    argument), explode only those terms' capped heads, and rank docs by
+    (matched terms desc, summed tf desc, id asc), top ``k``.
+
+    Impact-ordered-index semantics: candidates come from the stored
+    top-``k_head`` head of each term's posting list, exactly how
+    early-termination engines bound per-query work — a doc outside
+    every queried head can't surface (documented approximation; the
+    exact variant is bm25_topk's corpus scan). Scale shape: the head
+    explode is |terms|·k_head rows, the rollup is a map-side-combined
+    aggregate on doc id, and the final top-k is TakeOrderedAndProject."""
+    hits = (heads.filter(F.col("tok").isin([t.lower() for t in terms]))
+            .select("tok", F.explode("top").alias("p"))
+            .select("tok", F.col("p.id").alias("id"),
+                    (-F.col("p.ntf")).alias("tf")))
+    return (hits.groupBy("id")
+            .agg(F.count("*").cast("long").alias("matched"),
+                 F.sum("tf").cast("long").alias("score"))
+            .orderBy(F.desc("matched"), F.desc("score"), "id")
+            .limit(k))

@@ -1896,6 +1896,39 @@ def q_build_postings(spark, sf_dir):
             .orderBy(F.desc("df"), "tok").limit(100))
 
 
+def q_postings_lookup(spark, sf_dir):
+    """Index SERVE side (operators/search.py:postings_lookup): the query
+    ('data','spark','query' — the reference's scoring terms) runs
+    against the BUILT index heads, never the corpus: candidates are the
+    stored top-8 of each term's posting list (impact-ordered early
+    termination), ranked by (matched terms, summed tf, id). The exact
+    row_number oracle matches because the salted head is an exact
+    top-k."""
+    heads = S.posting_heads(_t(spark, sf_dir, "documents"),
+                            k=8, n_salts=8)
+    return S.postings_lookup(heads, ["data", "spark", "query"], k=10)
+
+
+SQL_POSTINGS_LOOKUP = r"""
+with toks as (
+  select doc_id as id, unnest(
+    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                t -> t <> '')) as tok
+  from documents),
+tf as (select tok, id, count(*) as tf from toks group by tok, id),
+heads as (
+  select tok, id, tf,
+         row_number() over (partition by tok
+                            order by tf desc, id asc) as rn
+  from tf where tok in ('data', 'spark', 'query'))
+select id, cast(count(*) as bigint) as matched,
+       cast(sum(tf) as bigint) as score
+from heads where rn <= 8
+group by id
+order by matched desc, score desc, id asc limit 10
+"""
+
+
 SQL_BUILD_POSTINGS = r"""
 with toks as (
   select doc_id as id, unnest(
@@ -4582,6 +4615,7 @@ def registry():
         "link_hits": (q_link_hits, SQL_LINK_HITS),
         "fetch_slot_assignment": (q_fetch_slot_assignment, SQL_FETCH_SLOTS),
         "build_postings": (q_build_postings, SQL_BUILD_POSTINGS),
+        "postings_lookup": (q_postings_lookup, SQL_POSTINGS_LOOKUP),
         "robots_sitemap_discovery": (q_robots_sitemap_discovery,
                                      SQL_ROBOTS_SITEMAP),
         "resolve_redirects": (q_resolve_redirects, SQL_RESOLVE_REDIRECTS),

@@ -162,3 +162,28 @@ def test_build_postings_salt_count_is_invisible(spark):
     the = {r["tok"]: r for r in base}["the"]
     assert the["df"] == 40 and the["cf"] == sum(1 + i % 4
                                                 for i in range(40))
+
+
+def test_postings_lookup_ranks_by_matched_then_score(spark):
+    """Serve from the built heads: docs matching more query terms beat
+    higher-tf single-term docs; ties rank by summed tf then id; a doc
+    outside every queried head cannot surface."""
+    from python_web_scraper_cleaner_spark.operators.search import (
+        posting_heads, postings_lookup)
+    docs = spark.createDataFrame(
+        [(1, "data spark spark"),      # in spark head (tf 2) + data tf 1
+         (2, "data data data"),        # data head only, tf 3
+         (3, "spark data data"),       # both heads: data tf 2, spark tf 1
+         (4, "other words only"),
+         (5, "data")],
+        "doc_id long, text string")
+    heads = posting_heads(docs, k=2, n_salts=3)
+    got = postings_lookup(heads, ["data", "SPARK"], k=10).collect()
+    ids = [r["id"] for r in got]
+    # data's k=2 head = docs 2,3 (tf 3,2) — docs 1 and 5 (tf 1) fall
+    # outside it; spark's head = docs 1,3. Two-term doc 3 leads; the
+    # tf-3 single-term doc 2 beats doc 1's spark-only tf 2.
+    assert ids == [3, 2, 1]
+    assert [(r["matched"], r["score"]) for r in got] == [
+        (2, 3), (1, 3), (1, 2)]
+    assert 4 not in ids and 5 not in ids
