@@ -100,10 +100,15 @@ def hits_fixed_point(edges: DataFrame, nodes: DataFrame, *,
     ``v * scale div max`` (floor division, positive operands — identical
     in Spark and DuckDB). Returns (id, auth_fp, hub_fp).
 
-    Overflow bound: a summed score ≤ n_nodes·scale, and normalization
-    multiplies by scale again, so pick scale ≤ sqrt(2^63 / n_nodes) —
-    the default 10^6 is safe to ~9×10^6 nodes; a 10^10-node graph wants
-    scale = 10^4 (rank resolution trades against headroom).
+    Overflow bound: a summed score ≤ D·scale where D is the maximum
+    IN-EDGE ROW count of any node (duplicate (src,dst) rows each
+    contribute — this operator does NOT dedup edges, so a multigraph
+    links table counts multiplicities), and normalization multiplies by
+    scale again: pick scale ≤ sqrt(2^63 / D). The default 10^6 is safe
+    to D ~ 9×10^6; a 10^10-edge crawl graph wants scale = 10^4 (rank
+    resolution trades against headroom), or pre-`edges.distinct()` when
+    simple-graph semantics are wanted — which also shrinks D to the
+    true in-degree.
 
     Scale shape per half-step: one edges⋈scores hash join keyed on the
     edge endpoint + one integer SUM with map-side partials (same

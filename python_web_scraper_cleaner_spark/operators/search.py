@@ -195,13 +195,20 @@ def posting_heads(df: DataFrame, *, k: int = 10, n_salts: int = 8,
     build-once/probe-per-round shape as the dedup signature index
     (dedup_incremental). See build_postings for the salted-top-k scale
     argument."""
+    from .dedup import tokens  # the one whitespace tokenizer all
+    # oracle-paired text ops share — a drifting copy here would silently
+    # break build_postings/postings_lookup oracle parity
+
     tf = (df.select(F.col(id_col).alias("id"),
-                    F.explode(F.split(F.lower(F.trim(F.col(text_col))),
-                                      r"\s+")).alias("tok"))
+                    F.explode(tokens(F.col(text_col))).alias("tok"))
           .filter(F.col("tok") != "")
           .groupBy("tok", "id").agg(F.count("*").alias("tf")))
     entry = F.struct((-F.col("tf")).alias("ntf"), F.col("id").alias("id"))
-    part = (tf.withColumn("_salt", F.col("id") % n_salts)
+    # type-agnostic salt: pmod(xxhash64) keeps the per-salt bound for
+    # string doc ids too (arithmetic % on a string id casts to NULL in
+    # default mode — every row in ONE salt — and aborts under ANSI)
+    part = (tf.withColumn("_salt", F.pmod(F.xxhash64("id"),
+                                          F.lit(n_salts)))
             .groupBy("tok", "_salt")
             .agg(F.slice(F.sort_array(F.collect_list(entry)), 1, k)
                  .alias("top"),

@@ -187,3 +187,20 @@ def test_postings_lookup_ranks_by_matched_then_score(spark):
     assert [(r["matched"], r["score"]) for r in got] == [
         (2, 3), (1, 3), (1, 2)]
     assert 4 not in ids and 5 not in ids
+
+
+def test_build_postings_string_doc_ids(spark):
+    """The salt is type-agnostic (pmod(xxhash64)): string doc ids — the
+    natural key for a web corpus — keep the per-salt bound instead of
+    collapsing into one NULL salt (or aborting under ANSI)."""
+    from python_web_scraper_cleaner_spark.operators.search import (
+        build_postings)
+    docs = spark.createDataFrame(
+        [(f"https://h{i}.example/p", "common w" + str(i % 3))
+         for i in range(12)],
+        "doc_id string, text string")
+    out = {r["tok"]: r for r in build_postings(
+        docs, k=3, n_salts=4, id_col="doc_id").collect()}
+    assert out["common"]["df"] == 12 and out["common"]["cf"] == 12
+    # head is (tf desc, id asc): ties on tf=1 break by string id order
+    assert out["common"]["postings"].startswith("https://h0.example/p:1")
