@@ -113,6 +113,44 @@ def main() -> None:
                  "localCheckpoints the fingerprint frame so both "
                  "branches share one materialization")}
 
+    # -- inverted-index build + serve, 1M docs / ~10M token rows ----------
+    # three corpus-wide stopwords (df = 1M each) are the salted-top-k
+    # stress case: n_salts=64 bounds their per-salt collect at ~15.6k
+    # entries; n_salts=1 makes the same collect 1M structs on ONE reducer
+    from python_web_scraper_cleaner_spark.operators.search import (
+        posting_heads, postings_lookup)
+    idocs = (spark.range(1_000_000)
+             .select(F.col("id").alias("doc_id"),
+                     F.concat(
+                         F.lit("the a of w"),
+                         (F.col("id") % 50_000).cast("string"),
+                         F.lit(" v"), (F.col("id") % 997).cast("string"),
+                         F.lit(" x"), (F.col("id") % 31).cast("string"),
+                         F.lit(" the a of the")).alias("text")))
+    heads64 = best_of(lambda: (
+        posting_heads(idocs, k=10, n_salts=64)
+        .agg(F.count("*"), F.sum("cf")).collect()), n=2)
+    heads1 = best_of(lambda: (
+        posting_heads(idocs, k=10, n_salts=1)
+        .agg(F.count("*"), F.sum("cf")).collect()), n=2)
+    stored = posting_heads(idocs, k=10, n_salts=64).persist()
+    stored.count()
+    probe = best_of(lambda: (
+        postings_lookup(stored, ["the", "v7", "x3"], k=10).collect()))
+    stored.unpersist()
+    out["postings_1m_docs_10m_tokens"] = {
+        "build_sec_n_salts_64": heads64,
+        "build_sec_n_salts_1": heads1,
+        "probe_sec_persisted_heads": probe,
+        "note": ("3 stopwords with df=1M; 64 salts bound their per-salt "
+                 "collect at ~15.6k entries vs 1M structs (~16 MB) on "
+                 "ONE reducer at n_salts=1. At this scale the unsalted "
+                 "collect still fits and is ~1.5x faster (one fewer "
+                 "combine stage) - the salting buys the BOUND, not demo "
+                 "speed: at 100-TB df the unsalted shape cannot complete "
+                 "at all; probe = IN-filter + 30-row head explode + "
+                 "TakeOrderedAndProject against the persisted heads")}
+
     out["loadavg_1m_end"] = round(os.getloadavg()[0], 2)
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH_CORPUS_OPS.json")
