@@ -231,3 +231,70 @@ def resolve_redirect_chains(redirects: DataFrame, *, src_col: str = "src",
         F.when(F.col("done"), F.col("cur")).alias("final_url"),
         F.when(F.col("done"), F.col("hops")).alias("hops"),
         (~F.col("done")).alias("unresolved"))
+
+
+def host_link_rollup(edges: DataFrame, *, src_host_col: str = "src_host",
+                     dst_host_col: str = "dst_host",
+                     persist: bool = True) -> DataFrame:
+    """Host-level link-graph rollup — the STRUCTURE-side spam signal
+    complementing host_reputation's content-side one: link farms show up
+    as high reciprocity between small host cliques, mirror/self-promo
+    hosts as high intra-host link fractions, long before any content
+    model fires (classic TrustRank-era heuristics). The reference's
+    fixed seed list never sees hostile link structure; a discovery
+    crawler budget-allocates by it.
+
+    Input: page-level edges already mapped to (src_host, dst_host) —
+    URL→host is the caller's one-liner and keeps this operator join-free
+    on the big side. Output per host: n_out / n_in (edge rows),
+    intra_bp (basis points of out-edges staying on-host), n_peers_out
+    (distinct other hosts linked), recip_bp (basis points of those
+    peers that link BACK).
+
+    Scale shape: edges collapse to the (src_host, dst_host) pair table
+    in ONE map-side-combined aggregate — the only exchange that sees
+    edge cardinality; pairs are |hosts|²-bounded in theory and
+    near-linear in |hosts| in practice, so everything after (per-host
+    sums, the reversed-pair reciprocity self-join keyed on both hosts,
+    the final rollup) runs on the small table. The pair table feeds
+    FOUR branches (inter, its reversal, outs, ins), so ``persist``
+    (default on, bounded) materializes it once — without it each branch
+    re-pays the edge-cardinality aggregate. Integer bp outputs with
+    zero-guarded denominators (ANSI-safe)."""
+    hp = (edges.select(F.col(src_host_col).alias("s"),
+                       F.col(dst_host_col).alias("d"))
+          .groupBy("s", "d").agg(F.count("*").alias("n")))
+    if persist:
+        from ..caching import bounded_persist
+        hp = bounded_persist(hp, tag="host_link_rollup")
+    inter = hp.filter(F.col("s") != F.col("d"))
+    back = inter.select(F.col("d").alias("s"), F.col("s").alias("d"),
+                        F.lit(True).alias("_back"))
+    peers = (inter.join(back, ["s", "d"], "left")
+             .groupBy("s")
+             .agg(F.count("*").alias("n_peers_out"),
+                  F.sum(F.col("_back").isNotNull().cast("long"))
+                  .alias("n_recip")))
+    outs = (hp.groupBy("s")
+            .agg(F.sum("n").cast("long").alias("n_out"),
+                 F.sum(F.when(F.col("s") == F.col("d"), F.col("n"))
+                       .otherwise(F.lit(0))).cast("long")
+                 .alias("n_intra")))
+    ins = (hp.groupBy(F.col("d").alias("host"))
+           .agg(F.sum("n").cast("long").alias("n_in")))
+    return (outs.select(F.col("s").alias("host"), "n_out", "n_intra")
+            .join(ins, "host", "full")
+            .join(peers.withColumnRenamed("s", "host"), "host", "left")
+            .select("host",
+                    F.coalesce("n_out", F.lit(0)).cast("long")
+                    .alias("n_out"),
+                    F.coalesce("n_in", F.lit(0)).cast("long")
+                    .alias("n_in"),
+                    F.when(F.coalesce("n_out", F.lit(0)) > 0,
+                           F.expr("10000 * n_intra div n_out"))
+                    .otherwise(F.lit(0)).cast("long").alias("intra_bp"),
+                    F.coalesce("n_peers_out", F.lit(0)).cast("long")
+                    .alias("n_peers_out"),
+                    F.when(F.coalesce("n_peers_out", F.lit(0)) > 0,
+                           F.expr("10000 * n_recip div n_peers_out"))
+                    .otherwise(F.lit(0)).cast("long").alias("recip_bp")))

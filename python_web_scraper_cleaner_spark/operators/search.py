@@ -176,6 +176,14 @@ def build_postings(df: DataFrame, *, k: int = 10, n_salts: int = 8,
     sort_array in both stages."""
     heads = posting_heads(df, k=k, n_salts=n_salts, id_col=id_col,
                           text_col=text_col)
+    return format_posting_heads(heads)
+
+
+def format_posting_heads(heads: DataFrame) -> DataFrame:
+    """Render a heads table (tok, top, df, cf) to the storage/export
+    shape: postings = comma-joined 'id:tf' in impact order. Shared by
+    build_postings and the merge/retract maintenance ops so the export
+    format can't drift between build and maintenance paths."""
     return heads.select(
         "tok", "df", "cf",
         F.array_join(F.transform(
@@ -218,6 +226,85 @@ def posting_heads(df: DataFrame, *, k: int = 10, n_salts: int = 8,
                          1, k).alias("top"),
                  F.sum("pdf").cast("long").alias("df"),
                  F.sum("pcf").cast("long").alias("cf")))
+
+
+def merge_posting_heads(old: DataFrame, delta: DataFrame, *,
+                        k: int = 10) -> DataFrame:
+    """Merge a DELTA index (the heads built from one crawl round's NEW
+    docs) into the stored heads table — the serve-path analog of the
+    dedup signature index's append_to_signature_index: each round
+    indexes only its own batch and folds it in, never re-tokenizing the
+    corpus (the reference rescans every file per query,
+    news_server.py:103-113; a deployment must not rescan per ROUND
+    either).
+
+    EXACT, not approximate, under the deployment's own invariants:
+    (1) the round batch is dedup'd against the corpus first (engine
+    order: probe signature index → drop dups → index the kept docs), so
+    no doc id appears in both inputs and df/cf partial sums are exact;
+    (2) ``k`` ≤ both builds' k, so any doc in the true top-k of the
+    merged corpus is in its own corpus's stored head (its tf is what it
+    is; fewer competitors in the part than in the whole) — the merged
+    slice can't miss it. The registry entry proves this literally:
+    merge(build(A), build(B)) hash-equals build(A ∪ B).
+
+    Scale shape: ONE map-side-combined aggregate on tok over the two
+    heads tables (index-sized, not corpus-sized); per-token state is
+    bounded by 2k structs. The sort keys (−tf, id) are stored negated,
+    so ascending sort_array IS impact order — same trick as the build."""
+    cols = ["tok", "top", "df", "cf"]
+    u = old.select(*cols).unionByName(delta.select(*cols))
+    return (u.groupBy("tok")
+            .agg(F.slice(F.sort_array(F.flatten(F.collect_list("top"))),
+                         1, k).alias("top"),
+                 F.sum("df").cast("long").alias("df"),
+                 F.sum("cf").cast("long").alias("cf")))
+
+
+def retract_from_postings(heads: DataFrame, removed: DataFrame, *,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Takedown/compliance retraction: remove a batch of documents from
+    the stored index WITHOUT rebuilding it — robots revocation, DMCA,
+    right-to-be-forgotten all land here, and at 10^10 docs "rebuild the
+    index" is not a same-day answer.
+
+    ``removed`` carries the doc TEXT (the corpus table still has it at
+    retraction time), so the per-token df/cf corrections are EXACT: the
+    batch is re-tokenized (batch-sized work, not corpus-sized) and its
+    (df, cf) contributions subtracted. Head arrays drop the removed ids
+    in place. Capped-head tombstone semantics, stated plainly: a doc
+    OUTSIDE a token's stored top-k cannot be backfilled in — heads
+    shrink under retraction until the next compaction rebuild, exactly
+    how impact-ordered indexes handle deletes in production. df/cf stay
+    exact throughout; only head depth decays.
+
+    Scale shape: the removed batch aggregates to a per-token correction
+    table (rdf, rcf, rem_ids) that BROADCASTS into a left join against
+    the heads table; untouched tokens pass through the join null-side
+    with their head unchanged; the in-place strip is a codegen
+    higher-order F.filter. Tokens whose df hits zero drop out."""
+    from .dedup import tokens  # shared tokenizer — see posting_heads
+
+    rtf = (removed.select(F.col(id_col).alias("id"),
+                          F.explode(tokens(F.col(text_col))).alias("tok"))
+           .filter(F.col("tok") != "")
+           .groupBy("tok", "id").agg(F.count("*").alias("tf")))
+    corr = (rtf.groupBy("tok")
+            .agg(F.count("*").cast("long").alias("rdf"),
+                 F.sum("tf").cast("long").alias("rcf"),
+                 F.collect_list("id").alias("rem_ids")))
+    stripped = F.filter(
+        "top", lambda s: ~F.array_contains(F.col("rem_ids"), s["id"]))
+    return (heads.join(F.broadcast(corr), "tok", "left")
+            .select("tok",
+                    F.when(F.col("rem_ids").isNotNull(), stripped)
+                    .otherwise(F.col("top")).alias("top"),
+                    (F.col("df") - F.coalesce("rdf", F.lit(0)))
+                    .cast("long").alias("df"),
+                    (F.col("cf") - F.coalesce("rcf", F.lit(0)))
+                    .cast("long").alias("cf"))
+            .filter(F.col("df") > 0))
 
 
 def postings_lookup(heads: DataFrame, terms: list[str], *,

@@ -1165,6 +1165,72 @@ from per_path group by host order by host
 """
 
 
+def q_host_link_rollup(spark, sf_dir):
+    """Structure-side spam signals (operators/graph.py:host_link_rollup):
+    page edges collapse to host edges in one map-side-combined aggregate;
+    per host — out/in edge rows, intra-host bp, distinct out-peers, and
+    the bp of peers that link BACK. Fixture: a forward host ring (never
+    reciprocal), per-doc intra edges, and an h0↔h5 mutual clique — the
+    link farm the recip_bp column exists to expose."""
+    from ..operators import graph as G
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    h = lambda e: F.concat(F.lit("h"), (e % 10).cast("string"))
+    e1 = docs.select(h(d).alias("src_host"), h(d + 1).alias("dst_host"))
+    e2 = docs.select(h(d).alias("src_host"),
+                     F.when((d % 10).isin(0, 5), h(d + 5))
+                     .otherwise(h(d)).alias("dst_host"))
+    e3 = docs.select(h(d).alias("src_host"),
+                     F.when(d % 2 == 0, h(d)).otherwise(h(d + 2))
+                     .alias("dst_host"))
+    return (G.host_link_rollup(e1.unionByName(e2).unionByName(e3))
+            .orderBy("host"))
+
+
+SQL_HOST_LINK_ROLLUP = """
+with e as (
+  select 'h' || cast(doc_id % 10 as varchar) as s,
+         'h' || cast((doc_id + 1) % 10 as varchar) as d from documents
+  union all
+  select 'h' || cast(doc_id % 10 as varchar),
+         case when doc_id % 10 in (0, 5)
+              then 'h' || cast((doc_id + 5) % 10 as varchar)
+              else 'h' || cast(doc_id % 10 as varchar) end from documents
+  union all
+  select 'h' || cast(doc_id % 10 as varchar),
+         case when doc_id % 2 = 0 then 'h' || cast(doc_id % 10 as varchar)
+              else 'h' || cast((doc_id + 2) % 10 as varchar) end
+  from documents),
+hp as (select s, d, count(*) as n from e group by s, d),
+inter as (select * from hp where s <> d),
+peers as (select i.s, cast(count(*) as bigint) as n_peers_out,
+                 cast(sum(case when b.s is not null then 1 else 0 end)
+                      as bigint) as n_recip
+          from inter i
+          left join inter b on b.s = i.d and b.d = i.s
+          group by i.s),
+outs as (select s, cast(sum(n) as bigint) as n_out,
+                cast(sum(case when s = d then n else 0 end) as bigint)
+                as n_intra
+         from hp group by s),
+ins as (select d as host, cast(sum(n) as bigint) as n_in
+        from hp group by d)
+select coalesce(o.s, i.host) as host,
+       coalesce(o.n_out, 0) as n_out,
+       coalesce(i.n_in, 0) as n_in,
+       case when coalesce(o.n_out, 0) > 0
+            then (10000 * o.n_intra) // o.n_out else 0 end as intra_bp,
+       coalesce(p.n_peers_out, 0) as n_peers_out,
+       case when coalesce(p.n_peers_out, 0) > 0
+            then (10000 * p.n_recip) // p.n_peers_out else 0 end
+       as recip_bp
+from outs o
+full join ins i on i.host = o.s
+left join peers p on p.s = coalesce(o.s, i.host)
+order by host
+"""
+
+
 def q_fetch_slot_assignment(spark, sf_dir):
     """Host → fetch-slot bin packing (operators/frontier.py:
     assign_fetch_slots): every host pinned to ONE of 8 politeness lanes,
@@ -1944,6 +2010,67 @@ post as (
                  order by tf desc, id asc))[1:8], ',') as postings
   from tf group by tok)
 select tok, df, cf, postings from post
+order by df desc, tok asc limit 100
+"""
+
+
+def q_postings_merge(spark, sf_dir):
+    """Incremental index maintenance (operators/search.py:
+    merge_posting_heads): the corpus is split into two disjoint "rounds"
+    (even/odd doc_id), each round builds ONLY its own heads, and the
+    merge folds them together — never re-tokenizing the other round.
+    The oracle is the full-corpus index SQL (SQL_BUILD_POSTINGS
+    verbatim): merge(build(A), build(B)) must hash-equal build(A ∪ B),
+    the operator's exactness claim proven literally."""
+    docs = _t(spark, sf_dir, "documents")
+    merged = S.merge_posting_heads(
+        S.posting_heads(docs.filter(F.col("doc_id") % 2 == 0),
+                        k=8, n_salts=8),
+        S.posting_heads(docs.filter(F.col("doc_id") % 2 == 1),
+                        k=8, n_salts=8), k=8)
+    return (S.format_posting_heads(merged)
+            .orderBy(F.desc("df"), "tok").limit(100))
+
+
+def q_postings_retract(spark, sf_dir):
+    """Takedown retraction (operators/search.py:retract_from_postings):
+    docs with doc_id % 7 == 3 are retracted from the built index — exact
+    df/cf subtraction (the removed batch is re-tokenized, batch-sized
+    work), removed ids stripped from stored heads in place (capped-head
+    tombstone: no backfill until compaction), df==0 tokens dropped.
+    Oracle mirrors those semantics: head = top-8 of the FULL corpus
+    minus removed ids, df/cf recomputed over surviving docs."""
+    docs = _t(spark, sf_dir, "documents")
+    heads = S.posting_heads(docs, k=8, n_salts=8)
+    removed = docs.filter(F.col("doc_id") % 7 == 3)
+    return (S.format_posting_heads(S.retract_from_postings(heads, removed))
+            .orderBy(F.desc("df"), "tok").limit(100))
+
+
+SQL_POSTINGS_RETRACT = r"""
+with toks as (
+  select doc_id as id, unnest(
+    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                t -> t <> '')) as tok
+  from documents),
+tf as (select tok, id, count(*) as tf from toks group by tok, id),
+ranked as (
+  select tok, id, tf,
+         row_number() over (partition by tok
+                            order by tf desc, id asc) as rn
+  from tf),
+kept as (select tok, id, tf from ranked where rn <= 8 and id % 7 <> 3),
+headstr as (
+  select tok, array_to_string(
+    list(cast(id as varchar) || ':' || cast(tf as varchar)
+         order by tf desc, id asc), ',') as postings
+  from kept group by tok),
+post as (
+  select tok, cast(count(*) as bigint) as df,
+         cast(sum(tf) as bigint) as cf
+  from tf where id % 7 <> 3 group by tok)
+select p.tok, p.df, p.cf, coalesce(h.postings, '') as postings
+from post p left join headstr h using (tok)
 order by df desc, tok asc limit 100
 """
 
@@ -4616,6 +4743,9 @@ def registry():
         "fetch_slot_assignment": (q_fetch_slot_assignment, SQL_FETCH_SLOTS),
         "build_postings": (q_build_postings, SQL_BUILD_POSTINGS),
         "postings_lookup": (q_postings_lookup, SQL_POSTINGS_LOOKUP),
+        "postings_merge": (q_postings_merge, SQL_BUILD_POSTINGS),
+        "postings_retract": (q_postings_retract, SQL_POSTINGS_RETRACT),
+        "host_link_rollup": (q_host_link_rollup, SQL_HOST_LINK_ROLLUP),
         "robots_sitemap_discovery": (q_robots_sitemap_discovery,
                                      SQL_ROBOTS_SITEMAP),
         "resolve_redirects": (q_resolve_redirects, SQL_RESOLVE_REDIRECTS),

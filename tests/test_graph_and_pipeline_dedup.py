@@ -363,3 +363,23 @@ def test_hits_matches_float_reference(spark):
     for i in range(n):
         assert abs(got[i].auth_fp - auth[i] * scale) <= 2 * iters + 2
         assert abs(got[i].hub_fp - hub[i] * scale) <= 2 * iters + 2
+
+
+def test_host_link_rollup_hand_graph(spark):
+    """Hand graph: a↔b reciprocal pair (the link-farm tell), a→a
+    self-links, c linked-to only. All bp integers, zero-guarded."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "a"),   # reciprocal peers
+         ("a", "a"), ("a", "a"),               # intra-host
+         ("a", "c"), ("b", "c")],              # c: in-only host
+        "src_host string, dst_host string")
+    out = {r["host"]: r for r in G.host_link_rollup(edges).collect()}
+    a, b, c = out["a"], out["b"], out["c"]
+    assert (a["n_out"], a["n_in"]) == (5, 3)   # 2ab+2aa+1ac / 1ba+2aa
+    assert a["intra_bp"] == 10000 * 2 // 5
+    # a's distinct out-peers: b, c; only b links back -> 5000 bp
+    assert (a["n_peers_out"], a["recip_bp"]) == (2, 5000)
+    assert (b["n_peers_out"], b["recip_bp"]) == (2, 5000)
+    # c never links out: zero-guarded ratios, not a division error
+    assert (c["n_out"], c["n_in"], c["intra_bp"],
+            c["n_peers_out"], c["recip_bp"]) == (0, 2, 0, 0, 0)

@@ -204,3 +204,69 @@ def test_build_postings_string_doc_ids(spark):
     assert out["common"]["df"] == 12 and out["common"]["cf"] == 12
     # head is (tf desc, id asc): ties on tf=1 break by string id order
     assert out["common"]["postings"].startswith("https://h0.example/p:1")
+
+
+def test_merge_posting_heads_equals_full_build(spark):
+    """The exactness claim, unit-sized: merge(build(A), build(B)) is
+    bit-identical to build(A ∪ B) for disjoint doc sets, any salt
+    count, k ≤ build k."""
+    from python_web_scraper_cleaner_spark.operators.search import (
+        build_postings, format_posting_heads, merge_posting_heads,
+        posting_heads)
+    rows = [(i, " ".join(["the"] * (1 + i % 3) + [f"w{i % 5}", "all"]))
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = docs.filter("doc_id % 2 = 0")
+    b = docs.filter("doc_id % 2 = 1")
+    merged = format_posting_heads(merge_posting_heads(
+        posting_heads(a, k=3, n_salts=4),
+        posting_heads(b, k=3, n_salts=2), k=3))
+    assert sorted(merged.collect()) == \
+        sorted(build_postings(docs, k=3).collect())
+
+
+def test_retract_from_postings_exact_df_cf_and_tombstones(spark):
+    """Retraction: df/cf drop exactly, removed ids vanish from heads
+    with NO backfill (capped-head tombstone), all-doc tokens drop."""
+    from python_web_scraper_cleaner_spark.operators.search import (
+        format_posting_heads, posting_heads, retract_from_postings)
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple gone"),
+         (2, "banana banana cherry"),
+         (3, "apple cherry cherry"),
+         (4, "banana gone")],
+        "doc_id long, text string")
+    heads = posting_heads(docs, k=2)
+    removed = docs.filter("doc_id in (1, 4)")
+    out = {r["tok"]: r for r in format_posting_heads(
+        retract_from_postings(heads, removed)).collect()}
+    # 'gone' appeared only in removed docs -> df 0 -> dropped entirely
+    assert set(out) == {"apple", "banana", "cherry"}
+    assert (out["apple"]["df"], out["apple"]["cf"]) == (1, 1)
+    assert out["apple"]["postings"] == "3:1"
+    # banana head was [2:2, 1:1] at k=2; doc 1 stripped, doc 4 was
+    # outside the stored head so it is NOT backfilled — but df/cf count
+    # it exactly
+    assert (out["banana"]["df"], out["banana"]["cf"]) == (1, 2)
+    assert out["banana"]["postings"] == "2:2"
+    # untouched token passes through the null side of the left join
+    assert (out["cherry"]["df"], out["cherry"]["cf"]) == (2, 3)
+    assert out["cherry"]["postings"] == "3:2,2:1"
+
+
+def test_retract_entire_head_leaves_empty_postings(spark):
+    """A token whose whole stored head is retracted keeps df>0 (other
+    docs exist beyond the cap) with an empty head — the compaction
+    trigger a deployment watches for."""
+    from python_web_scraper_cleaner_spark.operators.search import (
+        format_posting_heads, posting_heads, retract_from_postings)
+    docs = spark.createDataFrame(
+        [(i, "word " * (10 - i)) for i in range(1, 6)],
+        "doc_id long, text string")
+    heads = posting_heads(docs, k=2)  # head = docs 1,2
+    out = format_posting_heads(
+        retract_from_postings(heads, docs.filter("doc_id in (1, 2)"))
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["tok"], r["df"], r["postings"]) == ("word", 3, "")
