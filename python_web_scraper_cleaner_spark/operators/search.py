@@ -193,8 +193,8 @@ def format_posting_heads(heads: DataFrame) -> DataFrame:
 
 
 def posting_heads(df: DataFrame, *, k: int = 10, n_salts: int = 8,
-                  id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
+                  id_col: str = "doc_id", text_col: str = "text",
+                  tokens_subset: DataFrame | None = None) -> DataFrame:
     """The structured index build_postings formats: token → (df, cf,
     top: array<struct(ntf, id)>) with top the (tf desc, id asc) head of
     the posting list, stored with the negated tf so ascending struct
@@ -207,10 +207,16 @@ def posting_heads(df: DataFrame, *, k: int = 10, n_salts: int = 8,
     # oracle-paired text ops share — a drifting copy here would silently
     # break build_postings/postings_lookup oracle parity
 
-    tf = (df.select(F.col(id_col).alias("id"),
-                    F.explode(tokens(F.col(text_col))).alias("tok"))
-          .filter(F.col("tok") != "")
-          .groupBy("tok", "id").agg(F.count("*").alias("tf")))
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.explode(tokens(F.col(text_col))).alias("tok"))
+            .filter(F.col("tok") != ""))
+    if tokens_subset is not None:
+        # partial rebuild (compact_postings): keep only the named tokens
+        # — the broadcast semi-join sits directly above the explode, so
+        # unaffected tokens never reach the tf aggregate
+        toks = toks.join(F.broadcast(tokens_subset.select("tok")),
+                         "tok", "left_semi")
+    tf = toks.groupBy("tok", "id").agg(F.count("*").alias("tf"))
     entry = F.struct((-F.col("tf")).alias("ntf"), F.col("id").alias("id"))
     # type-agnostic salt: pmod(xxhash64) keeps the per-salt bound for
     # string doc ids too (arithmetic % on a string id casts to NULL in
@@ -305,6 +311,39 @@ def retract_from_postings(heads: DataFrame, removed: DataFrame, *,
                     (F.col("cf") - F.coalesce("rcf", F.lit(0)))
                     .cast("long").alias("cf"))
             .filter(F.col("df") > 0))
+
+
+def compact_postings(heads: DataFrame, corpus: DataFrame, *,
+                     k: int = 10, n_salts: int = 8,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Compaction after retraction — the third leg of the index
+    maintenance cycle (build → merge deltas → retract → COMPACT):
+    restore heads that retraction has shrunk below their full depth by
+    re-scanning the corpus for ONLY those tokens.
+
+    Which heads need it is decidable from the index alone: a stripped
+    head of size s always holds exactly the top-s surviving docs (every
+    survivor outside the original head had tf below every head member),
+    so a head is stale iff size(top) < min(k, df) — it has fewer entries
+    than the surviving corpus could fill. Those tokens' heads are
+    rebuilt exactly; every other head is ALREADY the true top-k of the
+    surviving corpus. Hence the exactness identity the registry entry
+    proves literally: compact(retract(build(C), R), C∖R) hash-equals
+    build(C∖R).
+
+    Scale shape: the affected-token set (takedown-driven, small)
+    broadcasts into a semi-join directly above the corpus tokenizer
+    explode — unaffected tokens never reach the tf aggregate, so the
+    rebuild costs scale with the affected tokens' posting mass, not the
+    corpus; untouched heads pass through via one broadcast anti-join."""
+    affected = (heads.filter(F.size("top") < F.least(F.lit(k), F.col("df")))
+                .select("tok"))
+    rebuilt = posting_heads(corpus, k=k, n_salts=n_salts, id_col=id_col,
+                            text_col=text_col, tokens_subset=affected)
+    keep = heads.join(F.broadcast(affected), "tok", "left_anti")
+    return keep.select("tok", "top", "df", "cf").unionByName(
+        rebuilt.select("tok", "top", "df", "cf"))
 
 
 def postings_lookup(heads: DataFrame, terms: list[str], *,

@@ -2075,6 +2075,44 @@ order by df desc, tok asc limit 100
 """
 
 
+def q_postings_compact(spark, sf_dir):
+    """Index compaction (operators/search.py:compact_postings): after
+    retracting doc_id % 7 == 3, heads shrunk below min(k, df) are
+    rebuilt by re-scanning ONLY those tokens (broadcast semi-join above
+    the tokenizer explode); untouched heads pass through. The oracle is
+    the plain build SQL over the surviving corpus — proving the
+    lifecycle identity compact(retract(build(C), R), C∖R) ≡ build(C∖R)
+    literally."""
+    docs = _t(spark, sf_dir, "documents")
+    heads = S.posting_heads(docs, k=8, n_salts=8)
+    removed = docs.filter(F.col("doc_id") % 7 == 3)
+    surviving = docs.filter(F.col("doc_id") % 7 != 3)
+    compacted = S.compact_postings(
+        S.retract_from_postings(heads, removed), surviving,
+        k=8, n_salts=8)
+    return (S.format_posting_heads(compacted)
+            .orderBy(F.desc("df"), "tok").limit(100))
+
+
+SQL_POSTINGS_COMPACT = r"""
+with toks as (
+  select doc_id as id, unnest(
+    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                t -> t <> '')) as tok
+  from documents where doc_id % 7 <> 3),
+tf as (select tok, id, count(*) as tf from toks group by tok, id),
+post as (
+  select tok, cast(count(*) as bigint) as df,
+         cast(sum(tf) as bigint) as cf,
+         array_to_string(
+           (list(cast(id as varchar) || ':' || cast(tf as varchar)
+                 order by tf desc, id asc))[1:8], ',') as postings
+  from tf group by tok)
+select tok, df, cf, postings from post
+order by df desc, tok asc limit 100
+"""
+
+
 _INCR_INDEX_CACHE: dict = {}
 
 
@@ -4745,6 +4783,7 @@ def registry():
         "postings_lookup": (q_postings_lookup, SQL_POSTINGS_LOOKUP),
         "postings_merge": (q_postings_merge, SQL_BUILD_POSTINGS),
         "postings_retract": (q_postings_retract, SQL_POSTINGS_RETRACT),
+        "postings_compact": (q_postings_compact, SQL_POSTINGS_COMPACT),
         "host_link_rollup": (q_host_link_rollup, SQL_HOST_LINK_ROLLUP),
         "robots_sitemap_discovery": (q_robots_sitemap_discovery,
                                      SQL_ROBOTS_SITEMAP),

@@ -270,3 +270,32 @@ def test_retract_entire_head_leaves_empty_postings(spark):
     assert len(out) == 1
     r = out[0]
     assert (r["tok"], r["df"], r["postings"]) == ("word", 3, "")
+
+
+def test_compact_postings_restores_decayed_heads(spark):
+    """The lifecycle identity, unit-sized: retract shrinks heads,
+    compact rebuilds exactly build(surviving) — including backfilling a
+    survivor that the capped head had excluded."""
+    from python_web_scraper_cleaner_spark.operators.search import (
+        build_postings, compact_postings, format_posting_heads,
+        posting_heads, retract_from_postings)
+    docs = spark.createDataFrame(
+        [(i, ("word " * (10 - i)) + ("other " if i % 2 else ""))
+         for i in range(1, 6)],
+        "doc_id long, text string")
+    removed = docs.filter("doc_id in (1, 2)")
+    surviving = docs.filter("doc_id not in (1, 2)")
+    compacted = format_posting_heads(compact_postings(
+        retract_from_postings(posting_heads(docs, k=2), removed),
+        surviving, k=2))
+    out = {r["tok"]: r for r in compacted.collect()}
+    # 'word': stored head was docs 1,2 — BOTH retracted, head decayed
+    # to [] with df=3 > 0, so compaction must rebuild (backfilling docs
+    # 3,4 which the capped head had excluded)
+    assert (out["word"]["df"], out["word"]["postings"]) == (3, "3:7,4:6")
+    # 'other' (docs 1,3,5): head [1:1,3:1] decayed to [3:1] but df=2
+    # still exceeds depth 1 -> rebuilt to the true surviving head
+    assert (out["other"]["df"], out["other"]["postings"]) == (2, "3:1,5:1")
+    # and the full lifecycle identity
+    assert sorted(compacted.collect()) == \
+        sorted(build_postings(surviving, k=2).collect())
