@@ -4648,6 +4648,95 @@ from roll order by host
 """
 
 
+def q_pipeline_host_verdict(spark, sf_dir):
+    """Composed CONTENT × STRUCTURE host gate: host_reputation's
+    per-domain quality/duplication rollup joins host_link_rollup's
+    link-structure signals into one classified verdict table — the two
+    spam detectors a crawl budget-allocator actually runs together
+    (content farms fail gopher/dup gates; link farms look fine
+    textually and only the reciprocity structure betrays them).
+    Fixture: the mirror corpus plants dup farms on src0/src1 (content
+    tell); the link fixture plants a src2↔src7 reciprocal clique (farm
+    tell) and src3 self-links (self-promo tell) over the forward
+    ring(+1, +3) everyone gets. Verdict priority: mirror_farm →
+    low_quality → link_farm → self_promo → ok. Both inputs are
+    host-cardinality tables, so the composition joins broadcast-sized
+    frames — assembly adds zero corpus-scale work."""
+    from ..operators import graph as G
+
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    corpus = _mirror_corpus(docs).repartition(par, F.col("doc_id"))
+    rep = TS.host_reputation(corpus, reuse_rows=True)
+    d, src = F.col("doc_id"), F.col("source")
+    h = lambda e: F.concat(F.lit("src"), (e % 20).cast("string"))
+    e1 = docs.select(src.alias("src_host"), h(d + 1).alias("dst_host"))
+    e2 = docs.select(src.alias("src_host"),
+                     F.when(d % 20 == 2, h(d + 5))
+                     .when(d % 20 == 7, h(d + 15))
+                     .when(d % 20 == 3, src)
+                     .otherwise(h(d + 3)).alias("dst_host"))
+    struct_t = G.host_link_rollup(e1.unionByName(e2))
+    verdict = (F.when(F.col("dup_bp") > 3000, F.lit("mirror_farm"))
+               .when(F.col("pass_bp") < 5000, F.lit("low_quality"))
+               .when(F.col("recip_bp") >= 5000, F.lit("link_farm"))
+               .when(F.col("intra_bp") >= 3000, F.lit("self_promo"))
+               .otherwise(F.lit("ok")))
+    return (rep.join(struct_t, "host")
+            .select("host", "pass_bp", "dup_bp", "intra_bp", "recip_bp",
+                    verdict.alias("verdict"))
+            .orderBy("host"))
+
+
+SQL_PIPELINE_HOST_VERDICT = f"""
+with {_HOST_REP_SQL_CTES},
+rep as (
+  select host, (10000 * n_pass) // n_docs as pass_bp,
+         (10000 * n_dup) // n_docs as dup_bp
+  from roll),
+e as (
+  select source as s,
+         'src' || cast((doc_id + 1) % 20 as varchar) as d from documents
+  union all
+  select source,
+         case when doc_id % 20 = 2
+                then 'src' || cast((doc_id + 5) % 20 as varchar)
+              when doc_id % 20 = 7
+                then 'src' || cast((doc_id + 15) % 20 as varchar)
+              when doc_id % 20 = 3 then source
+              else 'src' || cast((doc_id + 3) % 20 as varchar) end
+  from documents),
+hp as (select s, d, count(*) as n from e group by s, d),
+inter as (select * from hp where s <> d),
+peers as (select i.s, cast(count(*) as bigint) as n_peers_out,
+                 cast(sum(case when b.s is not null then 1 else 0 end)
+                      as bigint) as n_recip
+          from inter i
+          left join inter b on b.s = i.d and b.d = i.s
+          group by i.s),
+outs as (select s, cast(sum(n) as bigint) as n_out,
+                cast(sum(case when s = d then n else 0 end) as bigint)
+                as n_intra
+         from hp group by s),
+strct as (
+  select o.s as host,
+         case when o.n_out > 0 then (10000 * o.n_intra) // o.n_out
+              else 0 end as intra_bp,
+         case when coalesce(p.n_peers_out, 0) > 0
+              then (10000 * p.n_recip) // p.n_peers_out else 0 end
+         as recip_bp
+  from outs o left join peers p on p.s = o.s)
+select r.host, r.pass_bp, r.dup_bp, s.intra_bp, s.recip_bp,
+       case when r.dup_bp > 3000 then 'mirror_farm'
+            when r.pass_bp < 5000 then 'low_quality'
+            when s.recip_bp >= 5000 then 'link_farm'
+            when s.intra_bp >= 3000 then 'self_promo'
+            else 'ok' end as verdict
+from rep r join strct s using (host)
+order by host
+"""
+
+
 def q_pipeline_host_substring(spark, sf_dir):
     """Composed corpus-hygiene pipeline over the two round-5 operators:
     host_reputation gates _mirror_corpus (ok-host verdicts BROADCAST into
@@ -4785,6 +4874,8 @@ def registry():
         "postings_retract": (q_postings_retract, SQL_POSTINGS_RETRACT),
         "postings_compact": (q_postings_compact, SQL_POSTINGS_COMPACT),
         "host_link_rollup": (q_host_link_rollup, SQL_HOST_LINK_ROLLUP),
+        "pipeline_host_verdict": (q_pipeline_host_verdict,
+                                  SQL_PIPELINE_HOST_VERDICT),
         "robots_sitemap_discovery": (q_robots_sitemap_discovery,
                                      SQL_ROBOTS_SITEMAP),
         "resolve_redirects": (q_resolve_redirects, SQL_RESOLVE_REDIRECTS),
