@@ -346,6 +346,42 @@ def compact_postings(heads: DataFrame, corpus: DataFrame, *,
         rebuilt.select("tok", "top", "df", "cf"))
 
 
+def postings_lookup_bm25(heads: DataFrame, terms: list[str],
+                         corpus_stats: DataFrame, *, k: int = 10,
+                         scale: int = 1_000_000) -> DataFrame:
+    """Index-served BM25: the ranked-retrieval twin of postings_lookup —
+    candidates still come from the stored impact-ordered heads (no
+    corpus scan at query time), but they are scored with the SAME
+    fixed-point RSJ IDF as bm25_topk, using the df the index already
+    carries::
+
+        idf_fp(t) = (scale * (2N - 2*df_t + 1)) div (2*df_t + 1)
+        score(d)  = sum_t head_tf(t, d) * idf_fp(t)
+
+    This is how a deployment actually serves relevance queries: the
+    corpus-scanning bm25_topk is the offline/exact tier, this is the
+    online tier whose cost is |terms|·k_head rows regardless of corpus
+    size. ``corpus_stats`` is a 1-row frame with column ``n`` (corpus
+    doc count — index metadata a deployment stores at build/merge time);
+    keeping it a frame keeps the whole query lazy and lets Spark
+    broadcast it, no driver-side scalar plumbing.
+
+    Same documented head-approximation as postings_lookup: a doc's
+    score misses contributions from terms whose stored head excludes
+    it, and a doc outside every queried head can't surface. Integer
+    arithmetic end-to-end — bit-deterministic, plain-SQL-oracle-able."""
+    hits = (heads.filter(F.col("tok").isin([t.lower() for t in terms]))
+            .select("tok", "df", F.explode("top").alias("p"))
+            .select("df", F.col("p.id").alias("id"),
+                    (-F.col("p.ntf")).alias("tf"))
+            .crossJoin(F.broadcast(corpus_stats)))
+    idf = F.expr(f"({scale} * (2*n - 2*df + 1)) div (2*df + 1)")
+    return (hits.select("id", (F.col("tf") * idf).alias("w"))
+            .groupBy("id").agg(F.sum("w").cast("long").alias("score"))
+            .orderBy(F.desc("score"), "id")
+            .limit(k))
+
+
 def postings_lookup(heads: DataFrame, terms: list[str], *,
                     k: int = 10) -> DataFrame:
     """Serve a conjunctive-ish query FROM the built index (no corpus

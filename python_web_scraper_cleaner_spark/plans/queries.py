@@ -2075,6 +2075,47 @@ order by df desc, tok asc limit 100
 """
 
 
+def q_postings_bm25(spark, sf_dir):
+    """Index-served BM25 (operators/search.py:postings_lookup_bm25):
+    the reference's scoring terms ranked from the BUILT index — stored
+    head tf weighted by the fixed-point RSJ IDF over the index's own df
+    (the same integer idf as bm25_topk), corpus doc count broadcast as
+    a 1-row stats frame. Online serve cost is |terms|·k_head rows
+    regardless of corpus size; the oracle mirrors the head-restricted
+    scoring exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    heads = S.posting_heads(docs, k=8, n_salts=8)
+    stats = docs.agg(F.count("*").alias("n"))
+    return S.postings_lookup_bm25(heads, ["data", "spark", "query"],
+                                  stats, k=10)
+
+
+SQL_POSTINGS_BM25 = r"""
+with toks as (
+  select doc_id as id, unnest(
+    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                t -> t <> '')) as tok
+  from documents),
+tf as (select tok, id, count(*) as tf from toks group by tok, id),
+n_t as (select cast(count(*) as bigint) as n from documents),
+dfs as (select tok, cast(count(*) as bigint) as df from tf group by tok),
+heads as (
+  select tok, id, tf,
+         row_number() over (partition by tok
+                            order by tf desc, id asc) as rn
+  from tf where tok in ('data', 'spark', 'query'))
+select h.id,
+       cast(sum(h.tf * ((1000000 * (2 * n.n - 2 * d.df + 1))
+                        // (2 * d.df + 1))) as bigint) as score
+from heads h
+join dfs d using (tok)
+cross join n_t n
+where h.rn <= 8
+group by h.id
+order by score desc, id asc limit 10
+"""
+
+
 def q_postings_compact(spark, sf_dir):
     """Index compaction (operators/search.py:compact_postings): after
     retracting doc_id % 7 == 3, heads shrunk below min(k, df) are
@@ -4873,6 +4914,7 @@ def registry():
         "postings_merge": (q_postings_merge, SQL_BUILD_POSTINGS),
         "postings_retract": (q_postings_retract, SQL_POSTINGS_RETRACT),
         "postings_compact": (q_postings_compact, SQL_POSTINGS_COMPACT),
+        "postings_bm25": (q_postings_bm25, SQL_POSTINGS_BM25),
         "host_link_rollup": (q_host_link_rollup, SQL_HOST_LINK_ROLLUP),
         "pipeline_host_verdict": (q_pipeline_host_verdict,
                                   SQL_PIPELINE_HOST_VERDICT),

@@ -299,3 +299,36 @@ def test_compact_postings_restores_decayed_heads(spark):
     # and the full lifecycle identity
     assert sorted(compacted.collect()) == \
         sorted(build_postings(surviving, k=2).collect())
+
+
+def test_postings_lookup_bm25_scores_and_head_cap(spark):
+    """Hand corpus: the fixed-point RSJ idf weighting is exact, rare
+    terms outweigh common ones, and candidates still come only from the
+    stored heads (impact-order approximation)."""
+    from pyspark.sql import functions as F
+    from python_web_scraper_cleaner_spark.operators.search import (
+        posting_heads, postings_lookup_bm25)
+    docs = spark.createDataFrame(
+        [(1, "common rare"),
+         (2, "common common"),
+         (3, "common"),
+         (4, "filler")],
+        "doc_id long, text string")
+    stats = docs.agg(F.count("*").alias("n"))  # n = 4
+
+    def idf(df):  # mirrors the operator's integer formula, scale=10
+        return (10 * (2 * 4 - 2 * df + 1)) // (2 * df + 1)
+
+    out = {r["id"]: r["score"] for r in postings_lookup_bm25(
+        posting_heads(docs, k=8), ["common", "rare"], stats,
+        k=10, scale=10).collect()}
+    # df(common)=3, df(rare)=1 -> idf 4 vs 23: doc 1 (1 common + 1
+    # rare) must beat doc 2 (2 common)
+    assert out == {1: idf(3) + idf(1), 2: 2 * idf(3), 3: idf(3)}
+    assert out[1] > out[2]
+    # k=1 heads: common's head is doc 2 (tf 2); docs 1,3 fall outside
+    # and can only surface through rare's head
+    capped = {r["id"]: r["score"] for r in postings_lookup_bm25(
+        posting_heads(docs, k=1), ["common", "rare"], stats,
+        k=10, scale=10).collect()}
+    assert capped == {2: 2 * idf(3), 1: idf(1)}

@@ -151,6 +151,43 @@ def main() -> None:
                  "at all; probe = IN-filter + 30-row head explode + "
                  "TakeOrderedAndProject against the persisted heads")}
 
+    # -- index maintenance: delta merge + takedown retract + compact ------
+    # the per-round costs a deployment actually pays: merge two 500k-doc
+    # round indexes (index-sized work), retract a 10k-doc takedown batch
+    # (batch-sized work), compact the decayed heads (affected-token work)
+    from python_web_scraper_cleaner_spark.operators.search import (
+        compact_postings, merge_posting_heads, retract_from_postings)
+    ha = posting_heads(idocs.filter("doc_id % 2 = 0"),
+                       k=10, n_salts=64).persist()
+    hb = posting_heads(idocs.filter("doc_id % 2 = 1"),
+                       k=10, n_salts=64).persist()
+    full = posting_heads(idocs, k=10, n_salts=64).persist()
+    ha.count(); hb.count(); full.count()
+    merge = best_of(lambda: (
+        merge_posting_heads(ha, hb, k=10)
+        .agg(F.count("*"), F.sum("cf")).collect()), n=2)
+    removed = idocs.filter("doc_id % 100 = 7")  # 10k-doc takedown batch
+    retract = best_of(lambda: (
+        retract_from_postings(full, removed)
+        .agg(F.count("*"), F.sum("cf")).collect()), n=2)
+    surviving = idocs.filter("doc_id % 100 <> 7")
+    retracted = retract_from_postings(full, removed).persist()
+    retracted.count()
+    compact = best_of(lambda: (
+        compact_postings(retracted, surviving, k=10, n_salts=64)
+        .agg(F.count("*"), F.sum("cf")).collect()), n=2)
+    for df_ in (ha, hb, full, retracted):
+        df_.unpersist()
+    out["postings_maintenance_1m_docs"] = {
+        "merge_two_500k_indexes_sec": merge,
+        "retract_10k_batch_sec": retract,
+        "compact_after_retract_sec": compact,
+        "note": ("merge = one tok aggregate over two persisted "
+                 "index-sized tables (no corpus re-scan); retract = "
+                 "batch re-tokenize + broadcast correction join; "
+                 "compact re-scans ONLY affected tokens via broadcast "
+                 "semi-join above the tokenizer explode")}
+
     out["loadavg_1m_end"] = round(os.getloadavg()[0], 2)
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH_CORPUS_OPS.json")
