@@ -456,3 +456,50 @@ def assign_fetch_slots(urls: DataFrame, *, n_slots: int,
         (F.conv(F.substring(F.md5(F.col("host")), 1, 8), 16, 10)
          .cast("long") % n_slots).alias("slot"))
     return hot_assigned.unionByName(cold_assigned)
+
+
+def estimate_crawl_delays(fetches: DataFrame, *, host_col: str = "host",
+                          latency_col: str = "latency_ms",
+                          q_bp: int = 9500, factor_bp: int = 15000,
+                          min_delay_ms: int = 100,
+                          max_delay_ms: int = 30000) -> DataFrame:
+    """Adaptive per-host politeness: derive next round's crawl delay
+    from OBSERVED fetch latencies — robots Crawl-delay is a floor the
+    server asked for; a polite crawler also backs off when the server
+    is visibly slow (the "don't be the load" rule every production
+    fleet implements). delay = clamp(factor × p-quantile latency),
+    integers end-to-end.
+
+    The quantile is the EXACT nearest-rank p(q_bp/10000): smallest
+    latency v with cum_count(≤ v) ≥ ceil(q · n). No percentile_approx —
+    approx sketches differ across engines and would break oracle
+    parity; exactness here is cheap because of the histogram shape
+    below.
+
+    Scale shape — bounded histogram, not per-fetch windows: fetches
+    collapse to (host, latency_ms) counts in ONE map-side-combined
+    aggregate (the only exchange that sees fetch cardinality, and the
+    combine collapses hot hosts' millions of fetches into ≤ ~30k
+    distinct ms values). The cumulative walk runs as TWO window
+    functions (running sum + partition total) sharing ONE
+    exchange+sort whose per-host partition is bounded by the distinct
+    latency values — a hot host with 10^8 fetches costs the same
+    window state as a cold one, which is exactly what
+    WindowExec-can't-skew-split demands. Output per host: n_fetches,
+    q_ms (the quantile), delay_ms (clamped)."""
+    counts = (fetches.select(F.col(host_col).alias("host"),
+                             F.col(latency_col).cast("long").alias("lat"))
+              .groupBy("host", "lat").agg(F.count("*").alias("c")))
+    w = Window.partitionBy("host").orderBy("lat")
+    wt = Window.partitionBy("host")
+    cum = (counts.withColumn("cum", F.sum("c").over(w))
+           .withColumn("n", F.sum("c").over(wt)))
+    target = F.expr(f"(n * {q_bp} + 9999) div 10000")
+    hit = cum.filter((F.col("cum") >= target) &
+                     (F.col("cum") - F.col("c") < target))
+    raw = F.expr(f"(lat * {factor_bp}) div 10000")
+    return hit.select(
+        "host", F.col("n").alias("n_fetches"), F.col("lat").alias("q_ms"),
+        F.least(F.lit(max_delay_ms),
+                F.greatest(F.lit(min_delay_ms), raw))
+        .cast("long").alias("delay_ms"))

@@ -1231,6 +1231,44 @@ order by host
 """
 
 
+def q_adaptive_crawl_delay(spark, sf_dir):
+    """Adaptive politeness (operators/frontier.py:estimate_crawl_delays):
+    per-host crawl delay from the observed p95 fetch latency — exact
+    nearest-rank quantile over a bounded (host, latency_ms) histogram,
+    so a hot host's 10^8 fetches cost the same window state as a cold
+    one. Fixture: events as a fetch log, host h0..h7 from user_id,
+    latency deterministic from (event_id, host) so hosts get different
+    p95s; delay = clamp(1.5 × p95, 100..30000 ms)."""
+    from ..operators import frontier as FR
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 8).cast("string"))
+        .alias("host"),
+        ((F.col("event_id") * 37) % 2000
+         + (F.col("user_id") % 8) * 250).alias("latency_ms"))
+    return FR.estimate_crawl_delays(log).orderBy("host")
+
+
+SQL_ADAPTIVE_DELAY = """
+with f as (
+  select 'h' || cast(user_id % 8 as varchar) as host,
+         (event_id * 37) % 2000 + (user_id % 8) * 250 as lat
+  from events),
+counts as (select host, lat, count(*) as c from f group by host, lat),
+cum as (select host, lat, c,
+               sum(c) over (partition by host order by lat) as cum,
+               sum(c) over (partition by host) as n
+        from counts)
+select host, cast(n as bigint) as n_fetches, cast(lat as bigint) as q_ms,
+       cast(least(30000, greatest(100, (lat * 15000) // 10000))
+            as bigint) as delay_ms
+from cum
+where cum >= (n * 9500 + 9999) // 10000
+  and cum - c < (n * 9500 + 9999) // 10000
+order by host
+"""
+
+
 def q_fetch_slot_assignment(spark, sf_dir):
     """Host → fetch-slot bin packing (operators/frontier.py:
     assign_fetch_slots): every host pinned to ONE of 8 politeness lanes,
@@ -4915,6 +4953,7 @@ def registry():
         "postings_retract": (q_postings_retract, SQL_POSTINGS_RETRACT),
         "postings_compact": (q_postings_compact, SQL_POSTINGS_COMPACT),
         "postings_bm25": (q_postings_bm25, SQL_POSTINGS_BM25),
+        "adaptive_crawl_delay": (q_adaptive_crawl_delay, SQL_ADAPTIVE_DELAY),
         "host_link_rollup": (q_host_link_rollup, SQL_HOST_LINK_ROLLUP),
         "pipeline_host_verdict": (q_pipeline_host_verdict,
                                   SQL_PIPELINE_HOST_VERDICT),

@@ -149,3 +149,27 @@ def test_fetch_slots_cold_hashed_and_threshold_boundary(spark):
     again = {r["host"]: r["slot"] for r in assign_fetch_slots(
         _slot_urls(spark, loads), n_slots=4, hot_threshold=10).collect()}
     assert again == {r["host"]: r["slot"] for r in rows}
+
+
+def test_estimate_crawl_delays_exact_nearest_rank(spark):
+    """Hand log: p95 is the exact nearest-rank element, duplicates
+    collapse into the histogram, clamps apply on both ends."""
+    from python_web_scraper_cleaner_spark.operators.frontier import (
+        estimate_crawl_delays)
+    rows = ([("slow", 1000)] * 19 + [("slow", 40000)]      # p95 = 40000
+            + [("fast", 10)] * 20                           # p95 = 10
+            + [("mid", ms) for ms in range(100, 2100, 100)])  # 20 vals
+    log = spark.createDataFrame(rows, "host string, latency_ms long")
+    out = {r["host"]: r for r in estimate_crawl_delays(log).collect()}
+    # slow: ceil(0.95*20)=19 -> 19th value is 1000 (the 20th is 40000)
+    assert (out["slow"]["n_fetches"], out["slow"]["q_ms"]) == (20, 1000)
+    assert out["slow"]["delay_ms"] == 1500                  # 1.5x p95
+    # fast: all 10 ms -> one histogram row; clamped up to the floor
+    assert (out["fast"]["q_ms"], out["fast"]["delay_ms"]) == (10, 100)
+    # mid: 20 distinct values, rank 19 -> 1900 ms -> 2850
+    assert (out["mid"]["q_ms"], out["mid"]["delay_ms"]) == (1900, 2850)
+    # ceiling clamp
+    cap = {r["host"]: r["delay_ms"] for r in estimate_crawl_delays(
+        spark.createDataFrame([("h", 50000)] * 3,
+                              "host string, latency_ms long")).collect()}
+    assert cap["h"] == 30000
