@@ -489,6 +489,9 @@ def estimate_crawl_delays(fetches: DataFrame, *, host_col: str = "host",
     q_ms (the quantile), delay_ms (clamped)."""
     counts = (fetches.select(F.col(host_col).alias("host"),
                              F.col(latency_col).cast("long").alias("lat"))
+              # failed fetches log NULL latency; they must not inflate n
+              # (a null can never be picked, but it would shift the rank)
+              .filter(F.col("lat").isNotNull())
               .groupBy("host", "lat").agg(F.count("*").alias("c")))
     w = Window.partitionBy("host").orderBy("lat")
     wt = Window.partitionBy("host")

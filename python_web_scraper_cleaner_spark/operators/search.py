@@ -285,6 +285,11 @@ def retract_from_postings(heads: DataFrame, removed: DataFrame, *,
     how impact-ordered indexes handle deletes in production. df/cf stay
     exact throughout; only head depth decays.
 
+    Contract: ``removed`` must be a subset of the docs the index was
+    built over (the engine guarantees this — retraction reads the doc
+    from the corpus table it is deleting). Retracting a never-indexed
+    doc would subtract phantom df/cf.
+
     Scale shape: the removed batch aggregates to a per-token correction
     table (rdf, rcf, rem_ids) that BROADCASTS into a left join against
     the heads table; untouched tokens pass through the join null-side

@@ -173,3 +173,16 @@ def test_estimate_crawl_delays_exact_nearest_rank(spark):
         spark.createDataFrame([("h", 50000)] * 3,
                               "host string, latency_ms long")).collect()}
     assert cap["h"] == 30000
+
+
+def test_estimate_crawl_delays_ignores_null_latency(spark):
+    """Failed fetches (NULL latency) must not shift the rank target."""
+    from python_web_scraper_cleaner_spark.operators.frontier import (
+        estimate_crawl_delays)
+    log = spark.createDataFrame(
+        [("h", 100)] * 19 + [("h", 9000)] + [("h", None)] * 80,
+        "host string, latency_ms long")
+    out = estimate_crawl_delays(log).collect()[0]
+    # without the filter, n=100 -> rank 95 lands on 9000; with it,
+    # n=20 -> rank 19 -> 100 ms
+    assert (out["n_fetches"], out["q_ms"]) == (20, 100)
