@@ -155,6 +155,21 @@ def simulated_fetch(batch: DataFrame) -> DataFrame:
     return batch.groupBy("host").applyInPandas(fetch_host, schema=out_schema)
 
 
+def _observed_latency_ms(url_hash_col, host_col):
+    """The fetch clock's simulated stand-in: per-fetch latency as a pure
+    function of (host, url_hash) — hosts get distinct base latencies
+    (their "server speed"), urls jitter around it. A REAL deployment
+    replaces this one expression with the elapsed-ms the fetch stage
+    measured (the fetcher owns the clock and writes it into pages);
+    everything downstream (estimate_crawl_delays, budgets, pacing) is
+    already wired for that column. Purity is the point in simulation:
+    adaptive delays derive from committed pages alone, so crash replay
+    and kill/resume reproduce byte-identical schedules (north_rule)."""
+    base = F.pmod(F.xxhash64(host_col), F.lit(900))
+    jitter = F.pmod(F.xxhash64(url_hash_col), F.lit(400))
+    return (base + jitter).cast("long")
+
+
 class CrawlEngine:
     """Round-driven crawl over TableIO tables: frontier, url_seen, robots,
     pages, crawl_log."""
@@ -178,7 +193,9 @@ class CrawlEngine:
                  archive_gzip: bool = True,
                  revisit: bool = False,
                  revisit_base_hours: int = 1,
-                 trap_variant_cap: int | None = None) -> None:
+                 trap_variant_cap: int | None = None,
+                 adaptive_delay: bool = False,
+                 round_ms: int | None = None) -> None:
         self.spark = spark
         self.io = TableIO(spark, root)
         self.per_host_budget = per_host_budget
@@ -260,6 +277,19 @@ class CrawlEngine:
         if trap_variant_cap is not None and trap_variant_cap < 1:
             raise ValueError("trap_variant_cap must be >= 1")
         self.trap_variant_cap = trap_variant_cap
+        # Adaptive politeness: adaptive_delay=True raises each host's
+        # effective crawl delay to max(robots Crawl-delay, 1.5 × observed
+        # p95 fetch latency) before budgets and pacing are computed
+        # (operators/frontier.estimate_crawl_delays over the COMMITTED
+        # pages — a pure function of committed state, so crash replay and
+        # kill/resume stay byte-identical; see _observed_latency_ms for
+        # the simulated-clock seam). round_ms additionally makes per-host
+        # budgets delay-aware (select_round_batch round_ms semantics: a
+        # host that asks for d ms absorbs at most round_ms/d fetches).
+        self.adaptive_delay = adaptive_delay
+        if round_ms is not None and round_ms < 1:
+            raise ValueError("round_ms must be >= 1")
+        self.round_ms = round_ms
 
     # -- lifecycle ------------------------------------------------------------
     def bootstrap(self, seeds: DataFrame | None = None,
@@ -727,12 +757,35 @@ class CrawlEngine:
             # J3 + O4: robots filter, dynamic priority (pagerank mode),
             # per-host budget, politeness schedule
             allowed = FR.apply_robots(fresh, robots)
+            if self.adaptive_delay and io.exists("pages"):
+                # observed-latency backoff: raise each host's effective
+                # delay to max(robots, 1.5 × p95 observed). Derived from
+                # committed pages only (prior rounds) via the pure
+                # latency function — replay-safe with no new table. The
+                # estimate is host-cardinality → broadcast.
+                hist = (io.read("pages")
+                        .select("host", _observed_latency_ms(
+                            F.col("url_hash"), F.col("host"))
+                            .alias("latency_ms")))
+                est = FR.estimate_crawl_delays(hist).select(
+                    "host", F.col("delay_ms").alias("_obs_delay_ms"))
+                allowed = (allowed
+                           .join(F.broadcast(est), "host", "left")
+                           .withColumn(
+                               "crawl_delay_ms",
+                               F.greatest(
+                                   F.coalesce(F.col("crawl_delay_ms"),
+                                              F.lit(0)).cast("long"),
+                                   F.coalesce(F.col("_obs_delay_ms"),
+                                              F.lit(0)).cast("long")))
+                           .drop("_obs_delay_ms"))
             allowed, order_cols, rank_helper_cols = self._apply_priority(
                 allowed, round_id)
             batch = FR.select_round_batch(
                 allowed, per_host_budget=self.per_host_budget,
                 hot_host_threshold=self.hot_host_threshold,
-                n_salts=self.n_salts, order_cols=order_cols)
+                n_salts=self.n_salts, order_cols=order_cols,
+                round_ms=self.round_ms)
             if rank_helper_cols:
                 batch = batch.drop(*rank_helper_cols)
             # batch comes straight from select_round_batch — its

@@ -1161,3 +1161,57 @@ def test_trap_variant_cap_drops_overflow_deterministically(spark, tmp_path):
     eng2, stats2 = crawl(tmp_path / "b")
     assert eng2.crawl_order() == eng.crawl_order()
     assert stats2[0] == {k: v for k, v in stats[0].items()}
+
+
+def test_adaptive_delay_paces_by_observed_latency_and_resumes(
+        spark, tmp_path):
+    """adaptive_delay=True: from round 2 on, each host's pacing step is
+    max(robots Crawl-delay, 1.5 x observed p95 latency) derived from
+    committed pages only — and the whole run stays repeat-deterministic
+    (the estimate is a pure function of committed state)."""
+    from python_web_scraper_cleaner_spark.operators.frontier import (
+        estimate_crawl_delays)
+    from python_web_scraper_cleaner_spark.plans.crawl import (
+        _observed_latency_ms)
+
+    root = str(tmp_path / "ad1")
+    eng = CrawlEngine(spark, root, per_host_budget=5,
+                      adaptive_delay=True, round_ms=1_000_000)
+    eng.bootstrap(make_seeds(spark), make_robots(spark))
+    eng.run(max_rounds=2)
+    pages = eng.io.read("pages")
+    rounds = sorted(r["round"] for r in
+                    pages.select("round").distinct().collect())
+    assert len(rounds) == 2
+    r1 = pages.filter(F.col("round") == rounds[0])
+
+    # recompute the expected round-2 delays exactly as the engine does
+    est = {r["host"]: r["delay_ms"] for r in estimate_crawl_delays(
+        r1.select("host", _observed_latency_ms(
+            F.col("url_hash"), F.col("host")).alias("latency_ms")))
+        .collect()}
+    robots = {r["host"]: r["crawl_delay_ms"]
+              for r in make_robots(spark).collect()}
+
+    r2 = (pages.filter(F.col("round") == rounds[1])
+          .select("host", "fetch_slot", "scheduled_offset_ms").collect())
+    assert r2
+    adapted_hosts = 0
+    for row in r2:
+        d = max(robots.get(row["host"], 0), est.get(row["host"], 0))
+        assert row["scheduled_offset_ms"] == (row["fetch_slot"] - 1) * d
+        if est.get(row["host"], 0) > robots.get(row["host"], 0):
+            adapted_hosts += 1
+    # the fixture must actually exercise the override somewhere
+    assert adapted_hosts > 0
+
+    # repeat run in a fresh root: byte-identical committed schedule
+    root2 = str(tmp_path / "ad2")
+    eng2 = CrawlEngine(spark, root2, per_host_budget=5,
+                       adaptive_delay=True, round_ms=1_000_000)
+    eng2.bootstrap(make_seeds(spark), make_robots(spark))
+    eng2.run(max_rounds=2)
+    cols = ["url", "round", "fetch_slot", "scheduled_offset_ms"]
+    a = sorted(map(tuple, pages.select(*cols).collect()))
+    b = sorted(map(tuple, eng2.io.read("pages").select(*cols).collect()))
+    assert a == b

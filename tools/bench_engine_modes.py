@@ -45,6 +45,9 @@ MODES = {
     # commits (the Cho–G-M revisit loop's input; transitions themselves
     # only fire on frontier drain, so this prices the per-round tax)
     "revisit": {"revisit": True},
+    # observed-latency politeness: per-round exact-p95 estimate over
+    # committed pages + broadcast delay override before selection
+    "adaptive_delay": {"adaptive_delay": True, "round_ms": 10_000_000},
 }
 
 
