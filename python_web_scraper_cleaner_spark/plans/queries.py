@@ -4816,6 +4816,187 @@ order by host
 """
 
 
+def q_pipeline_crawl_budget(spark, sf_dir):
+    """The capstone scheduler composition — next-round per-host URL
+    budgets from the three signal families the engine computes:
+      verdict  (pipeline_host_verdict: content × structure spam gate —
+                non-ok hosts get NOTHING),
+      rank     (host-level integer PageRank over the same link fixture —
+                budget follows link mass),
+      capacity (adaptive_crawl_delay over an events-derived fetch log —
+                a host whose polite delay is d absorbs ≤ round_ms/d
+                fetches no matter how much rank it has).
+    alloc = min(capacity, max(1, total·rank / Σ rank_ok)) for ok
+    (total=100 sized so BOTH constraints bind on different hosts)
+    hosts, else 0. Every input is a host-cardinality table, so the
+    whole allocator is broadcast joins + one 1-row mass aggregate —
+    the decision that steers 10^10 fetches costs nothing at corpus
+    scale. Integer arithmetic end-to-end (bit-deterministic)."""
+    from ..operators import frontier as FR
+    from ..operators import graph as G
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = _t(spark, sf_dir, "events")
+    par = spark.sparkContext.defaultParallelism
+    corpus = _mirror_corpus(docs).repartition(par, F.col("doc_id"))
+    rep = TS.host_reputation(corpus, reuse_rows=True)
+    d, src = F.col("doc_id"), F.col("source")
+    h = lambda e: F.concat(F.lit("src"), (e % 20).cast("string"))
+    e1 = docs.select(src.alias("src_host"), h(d + 1).alias("dst_host"))
+    e2 = docs.select(src.alias("src_host"),
+                     F.when(d % 20 == 2, h(d + 5))
+                     .when(d % 20 == 7, h(d + 15))
+                     .when(d % 20 == 3, src)
+                     .otherwise(h(d + 3)).alias("dst_host"))
+    struct_t = G.host_link_rollup(e1.unionByName(e2))
+    verdict = (F.when(F.col("dup_bp") > 3000, F.lit("mirror_farm"))
+               .when(F.col("pass_bp") < 5000, F.lit("low_quality"))
+               .when(F.col("recip_bp") >= 5000, F.lit("link_farm"))
+               .when(F.col("intra_bp") >= 3000, F.lit("self_promo"))
+               .otherwise(F.lit("ok")))
+    verd = (rep.join(struct_t, "host")
+            .select("host", verdict.alias("verdict")))
+
+    hosts = docs.select(src.alias("id")).distinct()
+    edges = (e1.unionByName(e2)
+             .select(F.col("src_host").alias("src"),
+                     F.col("dst_host").alias("dst")))
+    rank = G.pagerank_fixed_point(edges, hosts, n_nodes=20, iters=3)
+
+    log = ev.select(
+        F.concat(F.lit("src"), (F.col("user_id") % 20).cast("string"))
+        .alias("host"),
+        ((F.col("event_id") * 37) % 2000
+         + (F.col("user_id") % 20) * 100).alias("latency_ms"))
+    est = FR.estimate_crawl_delays(log).select("host", "delay_ms")
+
+    j = (verd.join(rank.withColumnRenamed("id", "host"), "host")
+         .join(est, "host", "left")
+         .withColumn("delay_ms",
+                     F.coalesce("delay_ms", F.lit(1000)).cast("long")))
+    # the mass branch and the output branch both consume j; without this
+    # the 1-row mass aggregate re-derives the WHOLE chain — including
+    # host_reputation's corpus scan — a second time (verified in the
+    # plan: the verdict subtree appeared twice)
+    from ..caching import bounded_persist
+    j = bounded_persist(j, tag="crawl_budget")
+    mass = (j.filter(F.col("verdict") == "ok")
+            .agg(F.sum("rank_fp").cast("long").alias("mass")))
+    cap = F.greatest(F.lit(1).cast("long"), F.expr("60000 div delay_ms"))
+    share = F.greatest(F.lit(1).cast("long"),
+                       F.expr("(100 * rank_fp) div mass"))
+    return (j.crossJoin(F.broadcast(mass))
+            .select("host", "verdict", "rank_fp", "delay_ms",
+                    cap.alias("capacity"),
+                    F.when((F.col("verdict") == "ok") & (F.col("mass") > 0),
+                           F.least(cap, share))
+                    .otherwise(F.lit(0)).cast("long").alias("alloc"))
+            .orderBy("host"))
+
+
+def _sql_crawl_budget() -> str:
+    """Oracle for q_pipeline_crawl_budget: the verdict CTE chain + the
+    unrolled host-PageRank iterations + the latency-histogram quantile
+    walk, composed exactly as the Spark side composes its operators."""
+    edges_sql = """
+  select source as s,
+         'src' || cast((doc_id + 1) % 20 as varchar) as d from documents
+  union all
+  select source,
+         case when doc_id % 20 = 2
+                then 'src' || cast((doc_id + 5) % 20 as varchar)
+              when doc_id % 20 = 7
+                then 'src' || cast((doc_id + 15) % 20 as varchar)
+              when doc_id % 20 = 3 then source
+              else 'src' || cast((doc_id + 3) % 20 as varchar) end
+  from documents"""
+    ctes = [f"{_HOST_REP_SQL_CTES}",
+            """rep as (
+  select host, (10000 * n_pass) // n_docs as pass_bp,
+         (10000 * n_dup) // n_docs as dup_bp
+  from roll)""",
+            f"e as ({edges_sql})",
+            "hp as (select s, d, count(*) as n from e group by s, d)",
+            "inter as (select * from hp where s <> d)",
+            """peers as (
+  select i.s, cast(count(*) as bigint) as n_peers_out,
+         cast(sum(case when b.s is not null then 1 else 0 end)
+              as bigint) as n_recip
+  from inter i left join inter b on b.s = i.d and b.d = i.s
+  group by i.s)""",
+            """outs as (
+  select s, cast(sum(n) as bigint) as n_out,
+         cast(sum(case when s = d then n else 0 end) as bigint) as n_intra
+  from hp group by s)""",
+            """strct as (
+  select o.s as host,
+         case when o.n_out > 0 then (10000 * o.n_intra) // o.n_out
+              else 0 end as intra_bp,
+         case when coalesce(p.n_peers_out, 0) > 0
+              then (10000 * p.n_recip) // p.n_peers_out else 0 end
+         as recip_bp
+  from outs o left join peers p on p.s = o.s)""",
+            """verd as (
+  select r.host,
+         case when r.dup_bp > 3000 then 'mirror_farm'
+              when r.pass_bp < 5000 then 'low_quality'
+              when s.recip_bp >= 5000 then 'link_farm'
+              when s.intra_bp >= 3000 then 'self_promo'
+              else 'ok' end as verdict
+  from rep r join strct s using (host))""",
+            "nodes as (select distinct source as id from documents)",
+            "outdeg as (select s as src, count(*) as od from e group by s)",
+            "r0 as (select id, 1000000000000 // 20 as r from nodes)"]
+    base = "(1000000000000 * 15) // (100 * 20)"
+    for k in range(1, 4):
+        ctes.append(f"""r{k} as (
+  select n.id, {base} + coalesce(s.s, 0) as r
+  from nodes n left join (
+    select e.d as id,
+           cast(sum((r.r * 85) // (100 * o.od)) as bigint) as s
+    from e join r{k - 1} r on r.id = e.s
+    join outdeg o on o.src = e.s
+    group by e.d) s on s.id = n.id)""")
+    ctes += ["""lat as (
+  select 'src' || cast(user_id % 20 as varchar) as host,
+         (event_id * 37) % 2000 + (user_id % 20) * 100 as l
+  from events)""",
+             "lcounts as (select host, l, count(*) as c from lat "
+             "group by host, l)",
+             """lcum as (
+  select host, l, c,
+         sum(c) over (partition by host order by l) as cum,
+         sum(c) over (partition by host) as n
+  from lcounts)""",
+             """delays as (
+  select host,
+         cast(least(30000, greatest(100, (l * 15000) // 10000))
+              as bigint) as delay_ms
+  from lcum
+  where cum >= (n * 9500 + 9999) // 10000
+    and cum - c < (n * 9500 + 9999) // 10000)""",
+             """j as (
+  select v.host, v.verdict, cast(r.r as bigint) as rank_fp,
+         cast(coalesce(d.delay_ms, 1000) as bigint) as delay_ms
+  from verd v join r3 r on r.id = v.host
+  left join delays d using (host))""",
+             """mass as (
+  select cast(sum(rank_fp) as bigint) as m from j where verdict = 'ok')"""]
+    return ("with " + ",\n".join(ctes) + """
+select host, verdict, rank_fp, delay_ms,
+       greatest(1, 60000 // delay_ms) as capacity,
+       cast(case when verdict = 'ok' and (select m from mass) > 0
+                 then least(greatest(1, 60000 // delay_ms),
+                            greatest(1, (100 * rank_fp)
+                                     // (select m from mass)))
+                 else 0 end as bigint) as alloc
+from j order by host
+""")
+
+
+SQL_PIPELINE_CRAWL_BUDGET = _sql_crawl_budget()
+
+
 def q_pipeline_host_substring(spark, sf_dir):
     """Composed corpus-hygiene pipeline over the two round-5 operators:
     host_reputation gates _mirror_corpus (ok-host verdicts BROADCAST into
@@ -4957,6 +5138,8 @@ def registry():
         "host_link_rollup": (q_host_link_rollup, SQL_HOST_LINK_ROLLUP),
         "pipeline_host_verdict": (q_pipeline_host_verdict,
                                   SQL_PIPELINE_HOST_VERDICT),
+        "pipeline_crawl_budget": (q_pipeline_crawl_budget,
+                                  SQL_PIPELINE_CRAWL_BUDGET),
         "robots_sitemap_discovery": (q_robots_sitemap_discovery,
                                      SQL_ROBOTS_SITEMAP),
         "resolve_redirects": (q_resolve_redirects, SQL_RESOLVE_REDIRECTS),
