@@ -244,10 +244,24 @@ def main() -> None:
             emit = False
     out.append("```\n")
 
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "PLANS_AUDIT.md"), "w") as f:
+    # Hand-audited sections (everything after the marker) are authored
+    # per-operator during development with verified node references —
+    # regeneration must carry them over, not wipe them.
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PLANS_AUDIT.md")
+    marker = ("<!-- manual sections below: hand-audited plans, preserved "
+              "across explain_audit.py regenerations -->")
+    manual = ""
+    if os.path.exists(path):
+        prev = open(path).read()
+        if marker in prev:
+            manual = prev[prev.index(marker):]
+    with open(path, "w") as f:
         f.write("\n".join(out))
-    print("wrote PLANS_AUDIT.md")
+        if manual:
+            f.write("\n" + manual)
+    print("wrote PLANS_AUDIT.md"
+          + (" (manual sections preserved)" if manual else ""))
     spark.stop()
 
 
