@@ -832,6 +832,37 @@ def robots_allows(path: str, rules: dict) -> bool:
     return best_allow >= best_dis
 
 
+def robots_pattern_regex(pattern: str) -> str:
+    """RFC 9309 §2.2.3 path pattern → anchored regex: ``*`` matches any
+    character run, a trailing ``$`` anchors the match at end-of-path, every
+    other octet is literal.  The same translation runs on the tiny robots
+    side of the Spark operator (JVM expressions, operators/frontier.py:
+    robots_pattern_regex_col) and in the DuckDB oracle, so match semantics
+    are structural, not re-implemented per engine.  The regex dialect used
+    is the common subset of java.util.regex / RE2 / Python re (escaped
+    literals, ``.*``, ``^``/``$`` anchors only)."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    return ("^" + "".join(".*" if ch == "*" else re.escape(ch)
+                          for ch in body)
+            + ("$" if anchored else ""))
+
+
+def robots_wildcard_decision(path: str, allow_patterns, disallow_patterns):
+    """Full RFC 9309 §2.2.2 decision over wildcard patterns: the matching
+    rule with the most octets (raw pattern length) wins; an Allow and a
+    Disallow of equal length go to Allow; no matching rule → allowed.
+    Returns (allowed: bool, decisive_len: int) with decisive_len = -1 when
+    nothing matched — the pure twin of apply_robots_wildcard."""
+    best_allow = max((len(p) for p in allow_patterns
+                      if re.match(robots_pattern_regex(p), path)),
+                     default=-1)
+    best_dis = max((len(p) for p in disallow_patterns
+                    if re.match(robots_pattern_regex(p), path)),
+                   default=-1)
+    return best_allow >= best_dis, max(best_allow, best_dis)
+
+
 # ---------------------------------------------------------------------------
 # Link extraction (URL discovery — the frontier-growing half of a crawler;
 # reference analog: GoogleNewsSource seed discovery, scripts/news.py:1-9,

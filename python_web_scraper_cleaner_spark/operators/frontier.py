@@ -84,6 +84,78 @@ def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
             .drop("disallow_prefixes", "allow_prefixes"))
 
 
+def robots_pattern_regex_col(pattern):
+    """JVM-expression twin of kernel.robots_pattern_regex: RFC 9309 path
+    pattern → anchored regex, built with regexp_replace/concat so the
+    translation runs inside codegen on the tiny robots side (no UDF).
+    Escapes every regex metacharacter except ``*`` (which becomes ``.*``)
+    and honours a trailing ``$`` as an end anchor."""
+    anchored = F.endswith(pattern, F.lit("$"))
+    body = F.when(anchored,
+                  pattern.substr(F.lit(1), F.length(pattern) - 1)) \
+            .otherwise(pattern)
+    escaped = F.regexp_replace(
+        body, r"([.^$+?()\[\]{}|\\])", r"\\$1")
+    return F.concat(F.lit("^"),
+                    F.replace(escaped, F.lit("*"), F.lit(".*")),
+                    F.when(anchored, F.lit("$")).otherwise(F.lit("")))
+
+
+def apply_robots_wildcard(frontier: DataFrame, robots: DataFrame,
+                          *, keep_decision: bool = False) -> DataFrame:
+    """Full RFC 9309 §2.2.3 matching: patterns may contain ``*`` (any run)
+    and a trailing ``$`` (end anchor); the matching rule with the most
+    octets wins, equal-length ties go to Allow, no match → allowed
+    (§2.2.2).  Superset of apply_robots, which handles the prefix-only
+    subset with pure startswith.
+
+    Scale shape: robots(host, allow_patterns, disallow_patterns) is
+    per-host tiny → pattern→regex translation happens ONCE there (JVM
+    expressions, robots_pattern_regex_col) and the result broadcasts; the
+    10^10-row frontier evaluates regexp_like per (url, rule) inside
+    codegen — no Python anywhere.  regexp_like with a column pattern
+    recompiles per row; real deployments with >~100 rules/host should
+    pre-compile by pivoting hot rules into literal columns, noted in
+    PLANS_AUDIT.  Reference analog: the reference never checks robots at
+    all (scripts/news.py fetches unconditionally); this is the productionized
+    J3 surface (SURVEY §2.4).
+
+    ``keep_decision=True`` keeps ``robots_allowed`` and ``decisive_len``
+    (octet length of the winning rule, -1 = no rule matched) instead of
+    filtering — the audit shape.
+    """
+    path = F.regexp_extract(F.col("canonical_url"),
+                            r"^[a-z][a-z0-9+.-]*://[^/]*(/.*)$", 1)
+    to_rules = lambda col: F.transform(
+        F.coalesce(col, F.array().cast("array<string>")),
+        lambda p: F.struct(p.alias("pattern"),
+                           robots_pattern_regex_col(p).alias("rx")))
+    robots = robots.select(
+        "host",
+        to_rules(F.col("allow_patterns")).alias("_allow_rules"),
+        to_rules(F.col("disallow_patterns")).alias("_dis_rules"))
+    j = frontier.join(F.broadcast(robots), "host", "left")
+
+    def best(col):
+        return F.coalesce(
+            F.array_max(F.transform(
+                F.filter(F.coalesce(col, F.array().cast(
+                    "array<struct<pattern:string,rx:string>>")),
+                    lambda s: F.regexp_like(path, s["rx"])),
+                lambda s: F.length(s["pattern"]))),
+            F.lit(-1))
+
+    ba, bd = best(F.col("_allow_rules")), best(F.col("_dis_rules"))
+    out = (j.withColumn("robots_allowed", ba >= bd)
+           .withColumn("decisive_len",
+                       F.greatest(ba, bd).cast("long"))
+           .drop("_allow_rules", "_dis_rules"))
+    if keep_decision:
+        return out
+    return (out.filter(F.col("robots_allowed"))
+            .drop("robots_allowed", "decisive_len"))
+
+
 def order_exprs(order_cols=None) -> list:
     """The frontier ordering as sort expressions. ``order_cols=None``
     yields the static FRONTIER_ORDER (ascending); callers composing a

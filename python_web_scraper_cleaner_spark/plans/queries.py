@@ -5107,6 +5107,185 @@ order by host
 
 
 # ---------------------------------------------------------------------------
+# Robots wildcard gate (RFC 9309 §2.2.3 full pattern matching) +
+# cross-crawl snapshot diff
+# ---------------------------------------------------------------------------
+
+# (host, allow_patterns, disallow_patterns) — wildcard fixture exercising
+# '*', trailing '$', the equal-length Allow-wins tie (h0: a /cat0/*.pdf URL
+# matches both 7-octet rules), an all-blocked host rescued by extension
+# (h4), and a host with no rules at all (h3 absent → allowed, len -1).
+_ROBOTS_WILDCARD_RULES = [
+    ("h0", ["/cat0/*"], ["/*.pdf$"]),
+    ("h1", ["/cat1/page*.html$"], ["/cat1/"]),
+    ("h2", ["/cat2/page1*"], ["/cat*"]),
+    ("h4", ["/*.html$"], ["/"]),
+]
+
+
+def q_robots_wildcard_gate(spark, sf_dir):
+    """Full RFC 9309 wildcard robots matching over a synthetic frontier:
+    patterns with ``*`` and trailing ``$``, longest-octets-wins,
+    equal-length ties to Allow (operators/frontier.apply_robots_wildcard;
+    kernel twin robots_wildcard_decision). Output: per-host allowed/blocked
+    counts + summed decisive rule lengths.
+
+    Reference analog: the reference fetches with no robots check at all
+    (/root/reference/scripts/news.py:34-48); this is the productionized J3
+    surface the north_star mandates ("robots.txt rules broadcast to
+    executors"), extended from the prefix subset to the full pattern
+    grammar real robots files use.
+
+    Scale shape: pattern→regex translation happens once on the tiny
+    broadcast robots side (JVM regexp_replace chain, no UDF); the frontier
+    side is one broadcast-join + array higher-order filter inside codegen;
+    the rollup partial-aggregates map-side. One exchange total (the final
+    5-group host agg)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    path = F.concat(
+        F.lit("/cat"), (d % 3).cast("string"), F.lit("/"),
+        F.when(d % 4 == 0,
+               F.concat(F.lit("file"), d.cast("string"), F.lit(".pdf")))
+         .otherwise(
+               F.concat(F.lit("page"), d.cast("string"), F.lit(".html"))))
+    frontier = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), (d % 5).cast("string")).alias("host"),
+        F.concat(F.lit("https://h"), (d % 5).cast("string"),
+                 F.lit(".example"), path).alias("canonical_url"))
+    robots = spark.createDataFrame(
+        _ROBOTS_WILDCARD_RULES,
+        "host string, allow_patterns array<string>, "
+        "disallow_patterns array<string>")
+    gated = FR.apply_robots_wildcard(frontier, robots, keep_decision=True)
+    return (gated.groupBy("host")
+            .agg(F.count("*").alias("n_urls"),
+                 F.sum(F.col("robots_allowed").cast("long"))
+                  .alias("n_allowed"),
+                 F.sum((~F.col("robots_allowed")).cast("long"))
+                  .alias("n_blocked"),
+                 F.sum("decisive_len").alias("sum_decisive"))
+            .orderBy("host"))
+
+
+@lru_cache(maxsize=None)
+def _sql_robots_wildcard():
+    """Oracle: the same rules with kernel-translated regexes inlined as
+    literals (shared translation = structural parity), longest-match via
+    max(length) per side, RE2 regexp_matches on the identical derived
+    paths."""
+    from ..functions.kernel import robots_pattern_regex
+    rule_rows = ",\n".join(
+        f"('{h}', '{p}', '{robots_pattern_regex(p)}', {str(al).lower()})"
+        for h, allows, dis in _ROBOTS_WILDCARD_RULES
+        for al, pats in ((True, allows), (False, dis))
+        for p in pats)
+    return f"""
+with urls as (
+  select doc_id, 'h' || cast(doc_id % 5 as varchar) as host,
+         '/cat' || cast(doc_id % 3 as varchar) || '/' ||
+         case when doc_id % 4 = 0
+              then 'file' || cast(doc_id as varchar) || '.pdf'
+              else 'page' || cast(doc_id as varchar) || '.html' end as path
+  from documents),
+rules(host, pattern, rx, is_allow) as (values
+{rule_rows}),
+m as (select u.doc_id, r.is_allow, length(r.pattern) as plen
+      from urls u join rules r on u.host = r.host
+      where regexp_matches(u.path, r.rx)),
+best as (select doc_id,
+                max(case when is_allow then plen else -1 end) as ba,
+                max(case when not is_allow then plen else -1 end) as bd
+         from m group by doc_id),
+dec as (select u.host,
+               coalesce(b.ba, -1) >= coalesce(b.bd, -1) as allowed,
+               greatest(coalesce(b.ba, -1), coalesce(b.bd, -1)) as dl
+        from urls u left join best b using (doc_id))
+select host, cast(count(*) as bigint) as n_urls,
+       cast(count(*) filter (where allowed) as bigint) as n_allowed,
+       cast(count(*) filter (where not allowed) as bigint) as n_blocked,
+       cast(sum(dl) as bigint) as sum_decisive
+from dec group by host order by host
+"""
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Cross-crawl snapshot diff: classify every URL across two crawl
+    snapshots as added / gone / changed / unchanged by comparing content
+    digests, rolled up per host — the per-recrawl change report that feeds
+    revisit scheduling (operators/frontier.revisit_schedule learns from
+    exactly these change observations; SURVEY §2.3 freshness).
+
+    Snapshot B is derived deterministically from snapshot A: pages with
+    doc_id%7==3 vanish (gone), doc_id%5==0 get revised content (changed),
+    and doc_id%11==0 spawn a newly-discovered '-new' URL (added) — both
+    engines rebuild the identical pair from `documents`, no external data.
+
+    Scale shape: digests (md5) are computed map-side so page TEXT never
+    crosses an exchange — only (url, 32-byte digest) shuffles into the
+    full-outer join. At 100 TB both snapshots live url-bucketed in Iceberg,
+    so the join is a zero-exchange sort-merge over co-located buckets; the
+    status expression is pure codegen and the host rollup partial-
+    aggregates. Demo scale pays the two url-hash exchanges."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://s"), (d % 6).cast("string"),
+                   F.lit(".example/p/"), d.cast("string"))
+    a = docs.select(url.alias("url"), F.md5("text").alias("digest_a"))
+    b_kept = (docs.filter(d % 7 != 3)
+              .select(url.alias("url"),
+                      F.when(d % 5 == 0,
+                             F.md5(F.concat(F.col("text"), F.lit("v2"))))
+                       .otherwise(F.md5("text")).alias("digest_b")))
+    b_new = (docs.filter(d % 11 == 0)
+             .select(F.concat(url, F.lit("-new")).alias("url"),
+                     F.md5("text").alias("digest_b")))
+    b = b_kept.unionByName(b_new)
+    joined = a.join(b, "url", "full_outer")
+    status = (F.when(F.col("digest_a").isNull(), F.lit("added"))
+              .when(F.col("digest_b").isNull(), F.lit("gone"))
+              .when(F.col("digest_a") != F.col("digest_b"),
+                    F.lit("changed"))
+              .otherwise(F.lit("unchanged")))
+    host = F.regexp_extract(F.col("url"), r"^https://([^/]+)/", 1)
+    return (joined.select(host.alias("host"), status.alias("status"))
+            .groupBy("host", "status")
+            .agg(F.count("*").alias("n_urls"))
+            .orderBy("host", "status"))
+
+
+SQL_SNAPSHOT_DIFF = """
+with a as (
+  select 'https://s' || cast(doc_id % 6 as varchar) || '.example/p/'
+         || cast(doc_id as varchar) as url,
+         md5(text) as digest_a
+  from documents),
+b as (
+  select 'https://s' || cast(doc_id % 6 as varchar) || '.example/p/'
+         || cast(doc_id as varchar) as url,
+         case when doc_id % 5 = 0 then md5(text || 'v2')
+              else md5(text) end as digest_b
+  from documents where doc_id % 7 != 3
+  union all
+  select 'https://s' || cast(doc_id % 6 as varchar) || '.example/p/'
+         || cast(doc_id as varchar) || '-new' as url,
+         md5(text) as digest_b
+  from documents where doc_id % 11 = 0),
+j as (select coalesce(a.url, b.url) as url, digest_a, digest_b
+      from a full outer join b on a.url = b.url),
+dec as (select regexp_extract(url, '^https://([^/]+)/', 1) as host,
+               case when digest_a is null then 'added'
+                    when digest_b is null then 'gone'
+                    when digest_a != digest_b then 'changed'
+                    else 'unchanged' end as status
+        from j)
+select host, status, cast(count(*) as bigint) as n_urls
+from dec group by host, status order by host, status
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -5129,6 +5308,9 @@ def registry():
     """
     return {
         # -- 1. never driver-checked (new in round 5) --
+        "robots_wildcard_gate": (q_robots_wildcard_gate,
+                                 _sql_robots_wildcard),
+        "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
         "link_hits": (q_link_hits, SQL_LINK_HITS),
         "fetch_slot_assignment": (q_fetch_slot_assignment, SQL_FETCH_SLOTS),
         "build_postings": (q_build_postings, SQL_BUILD_POSTINGS),

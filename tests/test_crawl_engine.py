@@ -994,6 +994,48 @@ def test_sitemap_bootstrap_seeds_frontier(spark, tmp_path):
             None, make_robots(spark))
 
 
+def test_apply_robots_wildcard_matches_kernel_twin(spark):
+    """The JVM wildcard matcher (regex translation on the broadcast side +
+    regexp_like higher-order filter) agrees with the pure kernel twin on
+    an exhaustive small path×rules matrix, including ties, anchors, and
+    rule-less hosts."""
+    from python_web_scraper_cleaner_spark.functions.kernel import (
+        robots_wildcard_decision)
+    from python_web_scraper_cleaner_spark.operators.frontier import (
+        apply_robots_wildcard)
+
+    rules = {
+        "ha": (["/cat0/*", "/p(1)*"], ["/*.pdf$", "/search*"]),
+        "hb": (["/*.html$"], ["/"]),
+        "hc": ([], ["/a$b*"]),
+    }
+    paths = ["/cat0/f.pdf", "/cat0/p.html", "/search/deep", "/p(1).pdf",
+             "/x.html", "/x.html?q=1", "/a$bc", "/ab", "/", "/other"]
+    hosts = list(rules) + ["hd"]          # hd: no rules at all
+    frontier = spark.createDataFrame(
+        [(h, f"https://{h}.example{p}") for h in hosts for p in paths],
+        "host string, canonical_url string")
+    robots = spark.createDataFrame(
+        [(h, a, d) for h, (a, d) in rules.items()],
+        "host string, allow_patterns array<string>, "
+        "disallow_patterns array<string>")
+
+    got = {(r.host, r.canonical_url): (r.robots_allowed, r.decisive_len)
+           for r in apply_robots_wildcard(frontier, robots,
+                                          keep_decision=True).collect()}
+    assert len(got) == len(hosts) * len(paths)
+    for h in hosts:
+        allow, dis = rules.get(h, ([], []))
+        for p in paths:
+            want = robots_wildcard_decision(p, allow, dis)
+            assert got[(h, f"https://{h}.example{p}")] == want, (h, p)
+
+    # filtering mode drops exactly the disallowed rows
+    kept = apply_robots_wildcard(frontier, robots).count()
+    n_allowed = sum(1 for v in got.values() if v[0])
+    assert kept == n_allowed
+
+
 def test_robots_sitemap_discovery_operators(spark):
     """robots_sitemap_urls: any-case, group-independent Sitemap directive
     extraction (hosts advertising nothing emit no rows); parse_sitemap_index

@@ -307,6 +307,50 @@ def test_robots_allows_longest_match():
     assert robots_allows("/", r)
 
 
+def test_robots_pattern_regex_translation():
+    import re
+
+    from python_web_scraper_cleaner_spark.functions.kernel import (
+        robots_pattern_regex)
+    rx = robots_pattern_regex("/*.pdf$")
+    assert re.match(rx, "/a/b.pdf")
+    assert not re.match(rx, "/a/b.pdf?x=1")      # $ anchors at end
+    assert not re.match(rx, "/a/b.pdfx")
+    rx = robots_pattern_regex("/search*")
+    assert re.match(rx, "/search")
+    assert re.match(rx, "/search/deep?q=1")
+    assert not re.match(rx, "/sea")
+    # mid-pattern '$' is a literal octet, only a TRAILING '$' anchors
+    rx = robots_pattern_regex("/a$b")
+    assert re.match(rx, "/a$bc")
+    assert not re.match(rx, "/ab")
+    # regex metacharacters in paths are literal
+    rx = robots_pattern_regex("/p(1).html$")
+    assert re.match(rx, "/p(1).html")
+    assert not re.match(rx, "/p11chtml")
+
+
+def test_robots_wildcard_decision_longest_and_ties():
+    from python_web_scraper_cleaner_spark.functions.kernel import (
+        robots_wildcard_decision)
+    # equal-length Allow and Disallow both match → Allow wins (RFC 9309)
+    ok, dlen = robots_wildcard_decision("/cat0/file60.pdf",
+                                        ["/cat0/*"], ["/*.pdf$"])
+    assert ok and dlen == 7
+    # longer Disallow beats shorter Allow
+    ok, dlen = robots_wildcard_decision("/cat/x.pdf",
+                                        ["/cat*"], ["/cat/*.pdf$"])
+    assert not ok and dlen == 11
+    # no rule matches → allowed, decisive -1
+    ok, dlen = robots_wildcard_decision("/other", ["/a*"], ["/b*"])
+    assert ok and dlen == -1
+    # blanket Disallow rescued by extension Allow
+    ok, _ = robots_wildcard_decision("/x.html", ["/*.html$"], ["/"])
+    assert ok
+    ok, _ = robots_wildcard_decision("/x.gif", ["/*.html$"], ["/"])
+    assert not ok
+
+
 def test_parse_robots_malformed_delays():
     from python_web_scraper_cleaner_spark.functions.kernel import (
         parse_robots_txt)

@@ -165,6 +165,16 @@ AUDITED = [
      "partial combine, per-(host,path) count, per-host rollup via "
      "min_by struct — no windows, no UDFs, query strings collapse to "
      "hashes before any exchange"),
+    ("robots_wildcard_gate",
+     "RFC 9309 wildcard gate: pattern→regex built once on the broadcast "
+     "robots side (BroadcastHashJoin, no UDF anywhere), per-URL match is "
+     "a codegen higher-order filter; one exchange total (final host agg "
+     "with partial combine)"),
+    ("snapshot_diff",
+     "cross-snapshot diff: md5 digests computed map-side so text never "
+     "shuffles — only (url, digest) crosses the full-outer SortMergeJoin "
+     "exchanges; at scale both snapshots are url-bucketed (zero-exchange "
+     "SMJ), demo pays the two url hash exchanges + partial-agg rollup"),
 ]
 
 KEEP = re.compile(
