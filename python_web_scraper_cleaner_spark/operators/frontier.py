@@ -123,18 +123,35 @@ def apply_robots_wildcard(frontier: DataFrame, robots: DataFrame,
     ``keep_decision=True`` keeps ``robots_allowed`` and ``decisive_len``
     (octet length of the winning rule, -1 = no rule matched) instead of
     filtering — the audit shape.
+
+    Accepts either (allow_patterns, disallow_patterns) columns or the
+    parse_robots_table names (allow_prefixes, disallow_prefixes) — a
+    plain prefix IS a valid RFC pattern, so the engine can switch matcher
+    without reparsing.  A ``crawl_delay_ms`` column, when present, is
+    carried through (null → 0) exactly like apply_robots.
     """
+    robots = (robots
+              .withColumnRenamed("allow_prefixes", "allow_patterns")
+              .withColumnRenamed("disallow_prefixes", "disallow_patterns"))
+    for c in ("allow_patterns", "disallow_patterns"):
+        if c not in robots.columns:   # e.g. ROBOTS_SCHEMA has no allows
+            robots = robots.withColumn(c, F.array().cast("array<string>"))
     path = F.regexp_extract(F.col("canonical_url"),
                             r"^[a-z][a-z0-9+.-]*://[^/]*(/.*)$", 1)
     to_rules = lambda col: F.transform(
         F.coalesce(col, F.array().cast("array<string>")),
         lambda p: F.struct(p.alias("pattern"),
                            robots_pattern_regex_col(p).alias("rx")))
+    has_delay = "crawl_delay_ms" in robots.columns
     robots = robots.select(
         "host",
+        *(["crawl_delay_ms"] if has_delay else []),
         to_rules(F.col("allow_patterns")).alias("_allow_rules"),
         to_rules(F.col("disallow_patterns")).alias("_dis_rules"))
     j = frontier.join(F.broadcast(robots), "host", "left")
+    if has_delay:
+        j = j.withColumn("crawl_delay_ms",
+                         F.coalesce(F.col("crawl_delay_ms"), F.lit(0)))
 
     def best(col):
         return F.coalesce(

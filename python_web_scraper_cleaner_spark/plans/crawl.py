@@ -195,7 +195,8 @@ class CrawlEngine:
                  revisit_base_hours: int = 1,
                  trap_variant_cap: int | None = None,
                  adaptive_delay: bool = False,
-                 round_ms: int | None = None) -> None:
+                 round_ms: int | None = None,
+                 robots_wildcard: bool = False) -> None:
         self.spark = spark
         self.io = TableIO(spark, root)
         self.per_host_budget = per_host_budget
@@ -290,6 +291,15 @@ class CrawlEngine:
         if round_ms is not None and round_ms < 1:
             raise ValueError("round_ms must be >= 1")
         self.round_ms = round_ms
+        # Robots matcher mode: wildcard=True runs the full RFC 9309
+        # §2.2.3 pattern grammar (operators/frontier.apply_robots_
+        # wildcard — '*' and trailing-'$' honoured, longest-octets wins)
+        # instead of the prefix subset. A plain prefix is a valid
+        # pattern, so both matchers agree on prefix-only rule tables;
+        # the mode only changes behavior when the robots table actually
+        # carries metacharacter rules. Pure function of the committed
+        # robots table either way → replay/resume stay byte-identical.
+        self.robots_wildcard = robots_wildcard
 
     # -- lifecycle ------------------------------------------------------------
     def bootstrap(self, seeds: DataFrame | None = None,
@@ -756,7 +766,9 @@ class CrawlEngine:
 
             # J3 + O4: robots filter, dynamic priority (pagerank mode),
             # per-host budget, politeness schedule
-            allowed = FR.apply_robots(fresh, robots)
+            allowed = (FR.apply_robots_wildcard(fresh, robots)
+                       if self.robots_wildcard
+                       else FR.apply_robots(fresh, robots))
             if self.adaptive_delay and io.exists("pages"):
                 # observed-latency backoff: raise each host's effective
                 # delay to max(robots, 1.5 × p95 observed). Derived from

@@ -1036,6 +1036,39 @@ def test_apply_robots_wildcard_matches_kernel_twin(spark):
     assert kept == n_allowed
 
 
+def test_engine_robots_wildcard_mode(spark, tmp_path):
+    """robots_wildcard=True: (1) on prefix-only rule tables the engine's
+    committed schedule is byte-identical to the prefix matcher (a prefix
+    is a valid RFC pattern); (2) metacharacter rules actually bite — a
+    '/*7.html$' Disallow keeps every matching URL out of pages while the
+    rest of the crawl proceeds."""
+    cols = ["url", "round", "fetch_slot", "scheduled_offset_ms"]
+
+    def run(root, robots, wildcard):
+        eng = CrawlEngine(spark, str(tmp_path / root), per_host_budget=5,
+                          robots_wildcard=wildcard)
+        eng.bootstrap(make_seeds(spark), robots)
+        eng.run(max_rounds=2)
+        return eng.io.read("pages")
+
+    a = run("prefix", make_robots(spark), False)
+    b = run("wild", make_robots(spark), True)
+    assert (sorted(map(tuple, a.select(*cols).collect()))
+            == sorted(map(tuple, b.select(*cols).collect())))
+
+    wild_rules = spark.createDataFrame(
+        [(f"host{h}.example", 0, ["/private", "/*7.html$"])
+         for h in range(48)], ROBOTS_SCHEMA)
+    c = run("wild2", wild_rules, True)
+    assert c.count() > 0
+    assert c.filter(F.col("canonical_url").endswith("7.html")).count() == 0
+    assert c.filter(F.col("canonical_url").contains("/private/")).count() == 0
+    # the same rules under the prefix matcher treat '/*7.html$' as a
+    # literal prefix and block nothing extra — the mode is the difference
+    d = run("prefix2", wild_rules, False)
+    assert d.filter(F.col("canonical_url").endswith("7.html")).count() > 0
+
+
 def test_robots_sitemap_discovery_operators(spark):
     """robots_sitemap_urls: any-case, group-independent Sitemap directive
     extraction (hosts advertising nothing emit no rows); parse_sitemap_index
