@@ -863,6 +863,40 @@ def robots_wildcard_decision(path: str, allow_patterns, disallow_patterns):
     return best_allow >= best_dis, max(best_allow, best_dis)
 
 
+def public_suffix_registrable(host: str, rules) -> tuple:
+    """publicsuffix.org list algorithm: among matching rules the one with
+    the most labels wins; an exception rule (``!www.ck``) beats everything
+    and makes the public suffix the rule minus its leftmost label; a
+    wildcard rule (``*.ck``) matches any single label plus its suffix; no
+    match → the prevailing ``*`` default (public suffix = last label).
+    Returns (public_suffix, registrable_domain | None) — None when the
+    host IS a public suffix.  Pure twin of operators/frontier.
+    psl_lookup_cols and of the DuckDB oracle."""
+    labels = host.lower().split(".")
+    n = len(labels)
+    exc_d, best = 0, 1
+    for rule in rules:
+        if rule.startswith("!"):
+            rl = rule[1:].split(".")
+            if n >= len(rl) and labels[n - len(rl):] == rl:
+                exc_d = max(exc_d, len(rl))
+        elif rule.startswith("*."):
+            rl = rule[2:].split(".")
+            if n >= len(rl) + 1 and labels[n - len(rl):] == rl:
+                best = max(best, len(rl) + 1)
+        else:
+            rl = rule.split(".")
+            if n >= len(rl) and labels[n - len(rl):] == rl:
+                best = max(best, len(rl))
+    # a depth-1 exception rule would yield an empty public suffix — not a
+    # shape the PSL grammar produces (exceptions always override a
+    # wildcard, so carry ≥2 labels); fall back to the normal path
+    pub_d = exc_d - 1 if exc_d >= 2 else best
+    ps = ".".join(labels[n - pub_d:])
+    reg = ".".join(labels[n - pub_d - 1:]) if n >= pub_d + 1 else None
+    return ps, reg
+
+
 # ---------------------------------------------------------------------------
 # Link extraction (URL discovery — the frontier-growing half of a crawler;
 # reference analog: GoogleNewsSource seed discovery, scripts/news.py:1-9,

@@ -324,6 +324,68 @@ def revisit_schedule(history: DataFrame, *, page_col: str = "page_id",
         F.least(F.lit(max_hours).cast("long"), backoff))
 
 
+def psl_lookup_cols(host, rules, *, max_depth: int = 4):
+    """Public-suffix-list lookup as pure JVM expressions: returns
+    (public_suffix, registrable_domain) Columns for a host Column under
+    the given PSL-format ``rules`` (normal ``co.uk``, wildcard ``*.ck``,
+    exception ``!www.ck`` — publicsuffix.org semantics; kernel twin
+    public_suffix_registrable).
+
+    Scale shape: the rule set folds into per-depth LITERAL arrays inside
+    the plan, so a 10^10-row frontier computes registrable domains with
+    ZERO joins and ZERO exchanges — entirely inside whole-stage codegen
+    (array_contains over a literal array is a hash-set probe after
+    constant folding).  The real PSL is ~9k rules; at that size embed the
+    rules as one broadcast map-side join on the depth-sliced suffix
+    instead of literals (plan-size, not correctness).  ``max_depth``
+    bounds suffix candidates (the real list's deepest rule is 5 labels).
+
+    Registrable domain — not hostname — is what politeness budgets and
+    host reputation should group by (a.blogspot.com and b.blogspot.com
+    are different parties; www.example.co.uk and example.co.uk are the
+    same one)."""
+    labels = F.split(F.lower(host), r"\.")
+    n = F.size(labels)
+
+    def suffix(d):
+        # start clamped to 1: slice() raises on start=0 and the n>=d
+        # guard's other conjunct still evaluates eagerly; when n < d the
+        # guard is false, so the (wrong-length) suffix is never used
+        return F.array_join(
+            F.slice(labels, F.greatest(n - d + 1, F.lit(1)), d), ".")
+
+    def match_depth(rule_set, *, offset=0):
+        """Max match depth over the set, 0 = none. offset=1 is the
+        wildcard shape: a rule of depth d matches hosts with d+1+ labels
+        whose depth-d suffix equals the rule, at match depth d+1."""
+        by_depth: dict[int, list[str]] = {}
+        for r in rule_set:
+            by_depth.setdefault(r.count(".") + 1, []).append(r)
+        expr = F.lit(0)
+        for d, rs in sorted(by_depth.items()):
+            if d > max_depth:
+                raise ValueError(f"rule deeper than max_depth={max_depth}")
+            arr = F.array(*[F.lit(x) for x in sorted(rs)])
+            cond = (n >= d + offset) & F.array_contains(arr, suffix(d))
+            expr = F.greatest(expr,
+                              F.when(cond, F.lit(d + offset)).otherwise(0))
+        return expr
+
+    norm = [r for r in rules if not r.startswith(("!", "*."))]
+    wild = [r[2:] for r in rules if r.startswith("*.")]
+    exc = [r[1:] for r in rules if r.startswith("!")]
+    exc_d = match_depth(exc)
+    pub_d = F.when(exc_d >= 2, exc_d - 1).otherwise(
+        F.greatest(match_depth(norm),
+                   match_depth(wild, offset=1), F.lit(1)))
+    public_suffix = F.array_join(F.slice(labels, n - pub_d + 1, pub_d), ".")
+    registrable = F.when(
+        n >= pub_d + 1,
+        F.array_join(F.slice(labels, F.greatest(n - pub_d, F.lit(1)),
+                             pub_d + 1), "."))
+    return public_suffix, registrable
+
+
 def surt_key(url: Column) -> Column:
     """CDX-style SURT key (Sort-friendly URI Reordering Transform) — the
     Common-Crawl index ordering: host labels lowercased and REVERSED

@@ -1069,6 +1069,28 @@ def test_engine_robots_wildcard_mode(spark, tmp_path):
     assert d.filter(F.col("canonical_url").endswith("7.html")).count() > 0
 
 
+def test_psl_lookup_cols_matches_kernel_twin(spark):
+    """The zero-join expression PSL lookup agrees with the pure kernel
+    algorithm across every rule class (normal/wildcard/exception/default)
+    and host depth 1-4."""
+    from python_web_scraper_cleaner_spark.functions.kernel import (
+        public_suffix_registrable)
+    from python_web_scraper_cleaner_spark.operators.frontier import (
+        psl_lookup_cols)
+
+    rules = ["com", "uk", "co.uk", "*.ck", "!www.ck"]
+    hosts = ["a.example.com", "Example.COM", "com", "b.x.co.uk", "co.uk",
+             "d.uk", "uk", "c.foo.ck", "foo.ck", "ck", "www.ck",
+             "sub.www.ck", "solo", "x.unknown", "deep.x.y.com"]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    ps, reg = psl_lookup_cols(F.col("host"), rules)
+    got = {r.host: (r.ps, r.reg)
+           for r in df.select("host", ps.alias("ps"),
+                              reg.alias("reg")).collect()}
+    for h in hosts:
+        assert got[h] == public_suffix_registrable(h, rules), h
+
+
 def test_robots_sitemap_discovery_operators(spark):
     """robots_sitemap_urls: any-case, group-independent Sitemap directive
     extraction (hosts advertising nothing emit no rows); parse_sitemap_index

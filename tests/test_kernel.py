@@ -351,6 +351,28 @@ def test_robots_wildcard_decision_longest_and_ties():
     assert not ok
 
 
+def test_public_suffix_registrable_psl_semantics():
+    from python_web_scraper_cleaner_spark.functions.kernel import (
+        public_suffix_registrable)
+    rules = ["com", "uk", "co.uk", "*.ck", "!www.ck"]
+    f = lambda h: public_suffix_registrable(h, rules)
+    assert f("a.example.com") == ("com", "example.com")
+    assert f("Example.COM") == ("com", "example.com")      # case-folds
+    assert f("com") == ("com", None)                       # host IS a PS
+    # longest rule wins: co.uk beats uk
+    assert f("b.x.co.uk") == ("co.uk", "x.co.uk")
+    assert f("d.uk") == ("uk", "d.uk")
+    # wildcard: any label + ck is the public suffix
+    assert f("c.foo.ck") == ("foo.ck", "c.foo.ck")
+    assert f("foo.ck") == ("foo.ck", None)
+    # exception beats the wildcard: www.ck is registrable under ck
+    assert f("www.ck") == ("ck", "www.ck")
+    assert f("sub.www.ck") == ("ck", "www.ck")
+    # no rule matches → prevailing-* default (last label)
+    assert f("solo") == ("solo", None)
+    assert f("x.unknown-tld") == ("unknown-tld", "x.unknown-tld")
+
+
 def test_parse_robots_malformed_delays():
     from python_web_scraper_cleaner_spark.functions.kernel import (
         parse_robots_txt)

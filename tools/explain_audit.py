@@ -170,6 +170,10 @@ AUDITED = [
      "robots side (BroadcastHashJoin, no UDF anywhere), per-URL match is "
      "a codegen higher-order filter; one exchange total (final host agg "
      "with partial combine)"),
+    ("registrable_domain",
+     "PSL lookup with the rule set folded to literal arrays: zero joins, "
+     "zero per-row exchanges — the only Exchange is the final rollup "
+     "agg with partial combine; scan prunes to doc_id"),
     ("snapshot_diff",
      "cross-snapshot diff: md5 digests computed map-side so text never "
      "shuffles — only (url, digest) crosses the full-outer SortMergeJoin "
