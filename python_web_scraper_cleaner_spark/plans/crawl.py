@@ -66,6 +66,14 @@ SEEN_SCHEMA = T.StructType([
     T.StructField("first_seen_round", T.IntegerType(), nullable=False),
 ])
 
+# transient-failure retry state (retry_failed=True): attempt = fetches
+# already consumed; due_round = earliest round the next attempt may run
+RETRY_SCHEMA = T.StructType([
+    T.StructField("url_hash", T.LongType(), nullable=False),
+    T.StructField("attempt", T.IntegerType(), nullable=False),
+    T.StructField("due_round", T.IntegerType(), nullable=False),
+])
+
 ROBOTS_SCHEMA = T.StructType([
     T.StructField("host", T.StringType(), nullable=False),
     T.StructField("crawl_delay_ms", T.LongType(), nullable=False),
@@ -196,7 +204,10 @@ class CrawlEngine:
                  trap_variant_cap: int | None = None,
                  adaptive_delay: bool = False,
                  round_ms: int | None = None,
-                 robots_wildcard: bool = False) -> None:
+                 robots_wildcard: bool = False,
+                 retry_failed: bool = False,
+                 max_attempts: int = 3,
+                 retry_backoff_rounds: int = 1) -> None:
         self.spark = spark
         self.io = TableIO(spark, root)
         self.per_host_budget = per_host_budget
@@ -300,6 +311,24 @@ class CrawlEngine:
         # carries metacharacter rules. Pure function of the committed
         # robots table either way → replay/resume stay byte-identical.
         self.robots_wildcard = robots_wildcard
+        # Transient-failure retry: retry_failed=True stops treating a
+        # failed fetch as permanent. Failed urls stay OUT of url_seen and
+        # IN the frontier while attempts remain; a `retries` table
+        # (url_hash, attempt, due_round) gates re-selection with
+        # exponential backoff (due = round + backoff·2^attempt); urls
+        # that exhaust max_attempts enter url_seen as permanent failures.
+        # All transitions are pure functions of committed tables, so WAL
+        # replay and kill/resume stay byte-identical. The simulated fetch
+        # seam models transience as a pure function of (url_hash,
+        # attempt) — a REAL fetcher just reports fetch_ok and everything
+        # downstream is already wired.
+        self.retry_failed = retry_failed
+        if max_attempts < 1:
+            raise ValueError("max_attempts must be >= 1")
+        if retry_backoff_rounds < 0:
+            raise ValueError("retry_backoff_rounds must be >= 0")
+        self.max_attempts = max_attempts
+        self.retry_backoff_rounds = retry_backoff_rounds
 
     # -- lifecycle ------------------------------------------------------------
     def bootstrap(self, seeds: DataFrame | None = None,
@@ -754,6 +783,8 @@ class CrawlEngine:
         # healed store is byte-identical to an uninterrupted run
         # (north_rule; tests/test_crawl_engine.py crash-window tests).
         replay = self._committed("pages", round_id)
+        retries = (io.read_or_empty("retries", RETRY_SCHEMA)
+                   if self.retry_failed else None)
         sig_repair = None
         if replay:
             pages = io.read("pages").filter(F.col("round") == round_id)
@@ -763,6 +794,19 @@ class CrawlEngine:
                                       n_buckets=self.n_bloom_buckets)
             else:
                 fresh = pending
+            if self.retry_failed:
+                # retry gate: join per-url attempt state; urls whose
+                # backoff window is still open sit this round out (they
+                # stay in the frontier — only selection skips them).
+                # 8-byte-key left join with a small build side.
+                fresh = (fresh.join(retries, "url_hash", "left")
+                         .withColumn("attempt",
+                                     F.coalesce(F.col("attempt"),
+                                                F.lit(0)))
+                         .filter(F.col("due_round").isNull()
+                                 | (F.col("due_round")
+                                    <= F.lit(round_id)))
+                         .drop("due_round"))
 
             # J3 + O4: robots filter, dynamic priority (pagerank mode),
             # per-host budget, politeness schedule
@@ -813,6 +857,21 @@ class CrawlEngine:
             # a small array column, never the blob)
             from ..functions.udfs import extract_links_udf, lang_id_udf
             fetched = simulated_fetch(sched)
+            if self.retry_failed:
+                # transient-failure seam: a pure function of (url_hash,
+                # attempt), so attempt n and attempt n+1 are independent
+                # deterministic draws (~12.5% fail) and replay/repeat
+                # runs reproduce the identical outcome. A real fetcher
+                # deletes this expression and reports actual fetch_ok.
+                transient = (F.pmod(F.xxhash64(F.col("url_hash"),
+                                               F.col("attempt")),
+                                    F.lit(8)) == 0)
+                fetched = (fetched
+                           .withColumn("fetch_ok",
+                                       F.col("fetch_ok") & ~transient)
+                           .withColumn("html",
+                                       F.when(F.col("fetch_ok"),
+                                              F.col("html"))))
             extra_cols = []
             if self._harvest_links:
                 fetched = fetched.withColumn(
@@ -832,7 +891,8 @@ class CrawlEngine:
                              "partition_id", "fetch_slot",
                              "scheduled_offset_ms", "fetch_ok", "text",
                              "lang", "ok", "extracted_chars", "error",
-                             *extra_cols))
+                             *extra_cols,
+                             *(["attempt"] if self.retry_failed else [])))
             if self.dedup_index:
                 # localCheckpoint, not persist: the probe + flag + every
                 # commit re-enter this frame, and a plain persist caches
@@ -928,11 +988,47 @@ class CrawlEngine:
                                      .cast("int")))
                 io.append_round(edges, "links", round_id)
 
-            new_seen = (pages.select(
+            # retry mode: a transiently-failed url with attempts left is
+            # NOT done — it stays out of url_seen (and in the frontier)
+            # until it succeeds or exhausts max_attempts. `done` is the
+            # membership set every downstream commit keys on.
+            if self.retry_failed:
+                done = pages.filter(
+                    F.col("fetch_ok")
+                    | (F.col("attempt") + 1 >= F.lit(self.max_attempts)))
+            else:
+                done = pages
+            new_seen = (done.select(
                 "url_hash", "canonical_url",
                 F.lit(round_id).cast("int").alias("first_seen_round")))
             if not self._committed("url_seen", round_id):
                 io.append_round(new_seen, "url_seen", round_id)
+
+            if self.retry_failed:
+                # retries' = (old − urls fetched this round) ∪ next
+                # attempts. Idempotent on replay: next ⊆ this round's
+                # urls, so re-deriving from the post-crash table lands on
+                # the same rows (see WAL notes above). Backoff is
+                # exponential in attempts consumed: due = round +
+                # backoff·2^attempt.
+                failed = (pages.filter(~F.col("fetch_ok"))
+                          .select("url_hash", "attempt"))
+                nxt = (failed
+                       .filter(F.col("attempt") + 1
+                               < F.lit(self.max_attempts))
+                       .select(
+                           "url_hash",
+                           (F.col("attempt") + 1).cast("int")
+                           .alias("attempt"),
+                           (F.lit(round_id)
+                            + F.lit(self.retry_backoff_rounds)
+                            * F.expr("shiftleft(1, attempt)"))
+                           .cast("int").alias("due_round")))
+                merged_retries = (retries
+                                  .join(pages.select("url_hash"),
+                                        "url_hash", "left_anti")
+                                  .unionByName(nxt))
+                io.overwrite(merged_retries, "retries", round_id)
 
             # incremental bloom maintenance: OR in ONLY this round's hashes
             # (bitmap union is associative — equals a full rebuild) instead
@@ -971,7 +1067,10 @@ class CrawlEngine:
                 io.append_round(log, "crawl_log", round_id)
 
             # frontier advance: committed batch leaves the pending set
-            remaining = pending.join(pages.select("canonical_url"),
+            # only DONE urls leave the pending set (== all fetched urls
+            # outside retry mode) — a retryable failure stays in the
+            # frontier, gated by the retries table at the next selection
+            remaining = pending.join(done.select("canonical_url"),
                                      "canonical_url", "left_anti")
 
             if self.discover_links:
@@ -1034,6 +1133,15 @@ class CrawlEngine:
             s = self.run_round(round_id)
             stats.append(s)
             if s["n_fetched"] == 0:
+                if (self.retry_failed
+                        and self.io.exists("retries")
+                        and self.io.read("retries").limit(1).count() > 0):
+                    # outstanding retries whose backoff window is still
+                    # open: idle forward to their due round (bounded —
+                    # every entry's due_round is ≤ backoff·2^max_attempts
+                    # ahead, and max_rounds still caps the loop)
+                    round_id += 1
+                    continue
                 if not (self.revisit and cycles > 0):
                     break
                 cycles -= 1
@@ -1054,7 +1162,7 @@ class CrawlEngine:
         out = {}
         for name in ("frontier", "bloom", "url_seen", "pages", "crawl_log",
                      "robots", "links", "sig_index", "fetch_history",
-                     "warc_segments"):
+                     "warc_segments", "retries"):
             if self.io.exists(name):
                 out[name] = self.io.vacuum(name, keep_last=keep_last)
         return out

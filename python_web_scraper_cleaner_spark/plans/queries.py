@@ -4230,6 +4230,80 @@ from a order by page_id
 """
 
 
+def q_retry_backoff_state(spark, sf_dir):
+    """Transient-failure retry ledger (plans/crawl.py retry_failed mode —
+    the engine's per-round transition, proven end-to-end by the
+    tests/test_crawl_engine.py retry suite): replay each url's first
+    max_attempts=3 fetch outcomes through the exponential-backoff policy
+    (attempt j runs at round backoff·(2^j − 1); a url is DONE when an
+    attempt succeeds or attempts exhaust, else PENDING with a known due
+    round). Reference analog: the reference treats any fetch failure as
+    permanent (scripts/trafilatura_scraper.py:48-54 logs and moves on) —
+    this is the productionized version a real crawl needs.
+
+    Scale shape: ONE hash exchange — the row_number window and the
+    per-url aggregate share the url_hash partitioning; the backoff
+    timeline is integer arithmetic inside codegen (no UDF, no second
+    shuffle). At 10^10 urls the state per url is O(1) (three small
+    ints), and the engine's retries table only ever holds the pending
+    slice."""
+    max_a, backoff = 3, 1
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("url_hash"), "ts", "event_id",
+        F.col("event_type").isin("click", "purchase").alias("fetch_ok"))
+    w = Window.partitionBy("url_hash").orderBy("ts", "event_id")
+    per = (ev.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") <= max_a)
+           .groupBy("url_hash")
+           .agg(F.count("*").alias("n_avail"),
+                F.min(F.when(F.col("fetch_ok"), F.col("rn")))
+                .alias("first_ok")))
+    succeeded = F.col("first_ok").isNotNull()
+    exhausted = (~succeeded) & (F.col("n_avail") >= max_a)
+    round_of = lambda j: (F.lit(backoff)
+                          * (F.pow(F.lit(2.0), j).cast("long") - 1))
+    return (per.select(
+        "url_hash",
+        F.coalesce(F.col("first_ok"), F.col("n_avail"))
+        .cast("long").alias("n_attempts"),
+        F.when(succeeded, F.lit("ok"))
+        .when(exhausted, F.lit("exhausted"))
+        .otherwise(F.lit("pending")).alias("disposition"),
+        F.when(succeeded, round_of(F.col("first_ok") - 1))
+        .when(exhausted, round_of(F.lit(max_a - 1)))
+        .cast("long").alias("completion_round"),
+        F.when(~succeeded & (F.col("n_avail") < max_a),
+               round_of(F.col("n_avail")))
+        .cast("long").alias("next_due_round"))
+        .orderBy("url_hash"))
+
+
+SQL_RETRY_BACKOFF = """
+with f as (select user_id as url_hash, ts, event_id,
+                  event_type in ('click', 'purchase') as fetch_ok
+           from events),
+r as (select *, row_number() over (partition by url_hash
+                                   order by ts, event_id) as rn
+      from f),
+a as (select url_hash, cast(count(*) as bigint) as n_avail,
+             min(case when fetch_ok then rn end) as first_ok
+      from r where rn <= 3 group by url_hash)
+select url_hash,
+       cast(coalesce(first_ok, n_avail) as bigint) as n_attempts,
+       case when first_ok is not null then 'ok'
+            when n_avail >= 3 then 'exhausted'
+            else 'pending' end as disposition,
+       cast(case when first_ok is not null
+                   then cast(pow(2, first_ok - 1) as bigint) - 1
+                 when n_avail >= 3 then cast(pow(2, 2) as bigint) - 1
+                 else null end as bigint) as completion_round,
+       cast(case when first_ok is null and n_avail < 3
+                   then cast(pow(2, n_avail) as bigint) - 1
+                 else null end as bigint) as next_due_round
+from a order by url_hash
+"""
+
+
 def q_cdx_prefix_scan(spark, sf_dir):
     """CDX index lookup (operators/frontier.py:surt_key): build the
     SURT-keyed URL index and range-scan one domain prefix — the Common-
@@ -5406,6 +5480,7 @@ def registry():
     """
     return {
         # -- 1. never driver-checked (new in round 5) --
+        "retry_backoff_state": (q_retry_backoff_state, SQL_RETRY_BACKOFF),
         "robots_wildcard_gate": (q_robots_wildcard_gate,
                                  _sql_robots_wildcard),
         "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),

@@ -1312,3 +1312,121 @@ def test_adaptive_delay_paces_by_observed_latency_and_resumes(
     a = sorted(map(tuple, pages.select(*cols).collect()))
     b = sorted(map(tuple, eng2.io.read("pages").select(*cols).collect()))
     assert a == b
+
+
+def test_retry_mode_retries_transients_and_drains(spark, tmp_path):
+    """retry_failed=True: a transiently-failed fetch stays OUT of url_seen
+    and IN the frontier, re-attempts after an exponential backoff window
+    (due = round + backoff * 2^attempt), and a url enters url_seen only
+    when it succeeds or exhausts max_attempts. The committed pages table
+    carries every attempt (attempt column dense 0..n-1 per url)."""
+    eng = CrawlEngine(spark, str(tmp_path / "r"), per_host_budget=BUDGET,
+                      retry_failed=True, max_attempts=3,
+                      retry_backoff_rounds=1)
+    eng.bootstrap(make_seeds(spark), make_robots(spark))
+    stats = eng.run(max_rounds=40)
+    # drained: only the robots-blocked /private seeds stay pending
+    assert stats[-1]["n_fetched"] == 0
+
+    pages = eng.io.read("pages")
+    # the deterministic transient seam (~12.5%) actually fired AND retried
+    assert pages.filter(~F.col("fetch_ok")).count() > 0
+    assert (pages.groupBy("canonical_url").count()
+            .filter("count > 1").count()) > 0
+    # a url succeeds at most once, and attempts are dense 0..n-1, <= max
+    per = (pages.groupBy("canonical_url")
+           .agg(F.count("*").alias("n"),
+                F.min("attempt").alias("mn"),
+                F.max("attempt").alias("mx"),
+                F.sum(F.col("fetch_ok").cast("int")).alias("n_ok")))
+    assert per.filter("n_ok > 1").count() == 0
+    assert per.filter("n > 3").count() == 0
+    assert per.filter("mn != 0 OR mx != n - 1").count() == 0
+    # a url without a success consumed ALL its attempts before giving up
+    assert per.filter("n_ok = 0 AND n != 3").count() == 0
+
+    # backoff honored: attempt k runs no earlier than
+    # round(k-1) + backoff * 2^(k-1)
+    a = pages.select("url_hash", "attempt", "round")
+    b = (pages.select(F.col("url_hash"),
+                      (F.col("attempt") + 1).alias("attempt"),
+                      F.col("round").alias("prev_round"),
+                      F.col("attempt").alias("prev_attempt")))
+    viol = (a.join(b, ["url_hash", "attempt"])
+            .filter(F.col("round") < F.col("prev_round")
+                    + F.expr("shiftleft(1, prev_attempt)")))
+    assert viol.count() == 0
+
+    # url_seen == the done set (succeeded or exhausted), retries drained
+    done = {r["canonical_url"] for r in per.collect()}
+    assert eng.seen_set() == done
+    assert eng.io.read("retries").count() == 0
+
+
+def test_retry_mode_kill_resume_identical(spark, tmp_path):
+    """north_rule under retry mode: killing after round 0 and resuming
+    with a NEW engine reproduces the identical crawl order (every attempt
+    row), seen set, and final retry state."""
+    def mk(root):
+        e = CrawlEngine(spark, str(root), per_host_budget=BUDGET,
+                        retry_failed=True, max_attempts=3,
+                        retry_backoff_rounds=1)
+        e.bootstrap(make_seeds(spark), make_robots(spark))
+        return e
+
+    full = mk(tmp_path / "full")
+    full.run(max_rounds=40)
+
+    part = mk(tmp_path / "part")
+    part.run_round(0)
+    del part
+    resumed = CrawlEngine(spark, str(tmp_path / "part"),
+                          per_host_budget=BUDGET, retry_failed=True,
+                          max_attempts=3, retry_backoff_rounds=1)
+    assert resumed.last_round() == 0
+    resumed.run(max_rounds=40)
+
+    cols = ["canonical_url", "attempt", "round", "fetch_slot", "fetch_ok"]
+    a = sorted(map(tuple, full.io.read("pages").select(*cols).collect()))
+    b = sorted(map(tuple, resumed.io.read("pages").select(*cols).collect()))
+    assert a == b
+    assert resumed.seen_set() == full.seen_set()
+    assert resumed.io.read("retries").count() == 0
+
+
+def test_retry_crash_after_pages_commit_heals(spark, tmp_path):
+    """Worst crash window under retry mode: round 1's pages committed,
+    url_seen/retries/bloom/crawl_log/frontier lost. The replay path must
+    re-derive the retry transitions from the committed attempt column —
+    healed store byte-identical to an uninterrupted run."""
+    seeds = _one_host_seeds(spark, list(range(40)))
+
+    def mk(root):
+        e = CrawlEngine(spark, str(root), per_host_budget=20,
+                        retry_failed=True, max_attempts=3,
+                        retry_backoff_rounds=1)
+        e.bootstrap(seeds, _hostq_robots(spark))
+        return e
+
+    full = mk(tmp_path / "full")
+    full.run(max_rounds=20)
+
+    crashed = mk(tmp_path / "c")
+    crashed.run_round(0)
+    crashed.run_round(1)
+    for t in ("url_seen", "retries", "bloom", "crawl_log", "frontier"):
+        _rollback_to_round(crashed.io, t, 0)
+    del crashed
+    resumed = CrawlEngine(spark, str(tmp_path / "c"), per_host_budget=20,
+                          retry_failed=True, max_attempts=3,
+                          retry_backoff_rounds=1)
+    assert resumed.last_round() == 0
+    resumed.run(max_rounds=20)
+
+    cols = ["canonical_url", "attempt", "round", "fetch_slot", "fetch_ok"]
+    a = sorted(map(tuple, full.io.read("pages").select(*cols).collect()))
+    b = sorted(map(tuple, resumed.io.read("pages").select(*cols).collect()))
+    assert a == b
+    assert resumed.seen_set() == full.seen_set()
+    seen = resumed.io.read("url_seen")
+    assert seen.groupBy("url_hash").count().filter("count > 1").count() == 0

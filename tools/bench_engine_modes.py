@@ -48,6 +48,16 @@ MODES = {
     # observed-latency politeness: per-round exact-p95 estimate over
     # committed pages + broadcast delay override before selection
     "adaptive_delay": {"adaptive_delay": True, "round_ms": 10_000_000},
+    # RFC 9309 wildcard robots matching: broadcast side carries
+    # pattern→regex rules; prices the per-candidate regex gate vs the
+    # prefix-only path
+    "robots_wildcard": {"robots_wildcard": True},
+    # transient-failure retry: per-round retries-ledger gate join +
+    # done-set filtering + ledger overwrite commit (~12.5% of fetches
+    # fail transiently under the simulated seam and re-enter later
+    # rounds, so n_fetched counts attempts, not urls)
+    "retry": {"retry_failed": True, "max_attempts": 3,
+              "retry_backoff_rounds": 1},
 }
 
 
