@@ -886,3 +886,70 @@ def substring_dup_spans(df: DataFrame, *, id_col: str = "doc_id",
                     F.col("n_spans").cast("long").alias("n_spans"),
                     F.round(F.col("dup_tokens") / F.col("n_tokens"), 4)
                     .alias("dup_frac")))
+
+
+def host_mirror_pairs(docs: DataFrame, *, host_col: str = "host",
+                      text_col: str = "text",
+                      max_hosts_per_digest: int = 16,
+                      mirror_bp: int = 8000) -> DataFrame:
+    """Cross-host mirror detection: pairs of hosts whose content sets
+    overlap almost entirely — the mirror farms / scraper re-hosts that
+    same-host dup-rate rollups (host_reputation) cannot see, because
+    each individual host looks internally clean. Reference analog: the
+    URL-seen skip logic (/root/reference/scripts/news.py:17-34)
+    generalized from "same url twice" to "same content under two
+    hostnames".
+
+    Per unordered host pair sharing >= 1 eligible digest: shared distinct
+    digests, each side's total distinct digests, overlap_bp = 10000 *
+    shared // min(totals) (containment of the smaller host — a full
+    mirror scores 10000 even when the canonical host is far larger), and
+    is_mirror = overlap_bp >= mirror_bp.
+
+    Scale shape (100 TB): text collapses to md5 map-side, so shuffle #1
+    carries only distinct (digest, host) pairs. The pair generation is
+    candidate-driven, NOT all-pairs-of-hosts: only digests on 2..
+    ``max_hosts_per_digest`` hosts enter the digest-keyed self-join, so
+    per-digest fanout is bounded by C(max_hosts, 2) — the cap is what
+    keeps boilerplate (empty pages, parked-domain templates, cookie
+    walls, which live on MILLIONS of hosts) from exploding the join; a
+    digest that ubiquitous carries no mirror signal anyway. Host totals
+    are host-cardinality and broadcast into the pair frame. No windows,
+    no UDFs — aggregates and one bounded join end-to-end."""
+    if max_hosts_per_digest < 2:
+        raise ValueError("max_hosts_per_digest must be >= 2, got "
+                         f"{max_hosts_per_digest}")
+    hd = (docs.select(F.col(host_col).alias("host"),
+                      F.md5(F.col(text_col)).alias("digest"))
+          .distinct())
+    eligible = hd.join(
+        hd.groupBy("digest").agg(F.count(F.lit(1)).alias("n_hosts"))
+        .filter((F.col("n_hosts") >= 2)
+                & (F.col("n_hosts") <= max_hosts_per_digest))
+        .select("digest"),
+        "digest", "left_semi")
+    pairs = (eligible.alias("a")
+             .join(eligible.alias("b"), "digest")
+             .filter(F.col("a.host") < F.col("b.host"))
+             .select(F.col("a.host").alias("host_a"),
+                     F.col("b.host").alias("host_b"))
+             .groupBy("host_a", "host_b")
+             .agg(F.count(F.lit(1)).alias("shared_digests")))
+    totals = hd.groupBy("host").agg(F.count(F.lit(1)).alias("n_digests"))
+    ta = totals.select(F.col("host").alias("host_a"),
+                       F.col("n_digests").alias("digests_a"))
+    tb = totals.select(F.col("host").alias("host_b"),
+                       F.col("n_digests").alias("digests_b"))
+    # integer `div` (not `/` + floor): float division is only exact below
+    # 2^53 — same convention as host_reputation's bp rates. least >= 1
+    # always (a paired host owns >= 1 digest), so ANSI div cannot abort.
+    overlap = F.expr("(10000 * shared_digests) "
+                     "div least(digests_a, digests_b)")
+    return (pairs.join(F.broadcast(ta), "host_a")
+            .join(F.broadcast(tb), "host_b")
+            .select("host_a", "host_b",
+                    F.col("shared_digests").cast("long"),
+                    F.col("digests_a").cast("long"),
+                    F.col("digests_b").cast("long"),
+                    overlap.cast("long").alias("overlap_bp"),
+                    (overlap >= F.lit(mirror_bp)).alias("is_mirror")))

@@ -657,3 +657,65 @@ def estimate_crawl_delays(fetches: DataFrame, *, host_col: str = "host",
         F.least(F.lit(max_delay_ms),
                 F.greatest(F.lit(min_delay_ms), raw))
         .cast("long").alias("delay_ms"))
+
+
+URL_BLOCKWORDS = ("casino", "viagra", "gambling", "pills", "xxx")
+
+
+def url_prefilter(urls: DataFrame, *, url_col: str = "url",
+                  blockwords: tuple = URL_BLOCKWORDS,
+                  max_len: int = 220, max_depth: int = 8,
+                  max_params: int = 8,
+                  max_digit_bp: int = 4000) -> DataFrame:
+    """URL-level pre-fetch filter (the RefinedWeb/UT1-blocklist stage):
+    score every candidate url on lexical spam/junk features and emit a
+    keep/drop verdict BEFORE any fetch is scheduled — at web scale the
+    cheapest byte is the one never downloaded. Complements
+    url_trap_signals (which needs the variant-count aggregate): this
+    gate is per-row and stateless. Reference analog: the reference
+    crawls a fixed hand-vetted 10-URL list (/root/reference/scripts/
+    news.py:3-7) and never needs one; a discovery crawler filters every
+    frontier candidate.
+
+    Features (all on the lowercased url): total length, path depth
+    (slash count of the path component), query-parameter count, digit
+    density in basis points, and a blockword hit (adult/spam lexicon as
+    one alternation regex). Verdict priority: blockword > params >
+    digits > depth > length > ok.
+
+    Scale shape (100 TB frontier): pure JVM expressions inside one
+    whole-stage-codegen projection — zero shuffles, zero UDFs, no state;
+    it composes as a filter on the frontier scan, so Parquet row groups
+    are pruned by whatever predicate sits above it and the dropped rows
+    never reach the scheduler exchange."""
+    u = F.lower(F.col(url_col))
+    path = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    n_len = F.length(u)
+    depth = F.length(path) - F.length(F.replace(path, F.lit("/"), F.lit("")))
+    n_params = (F.when(query == "", F.lit(0))
+                .otherwise(F.length(query)
+                           - F.length(F.replace(query, F.lit("&"),
+                                                F.lit(""))) + 1))
+    n_digits = n_len - F.length(F.regexp_replace(u, r"[0-9]", ""))
+    staged = urls.withColumns({
+        "url_len": n_len.cast("long"),
+        "path_depth": depth.cast("long"),
+        "n_params": n_params.cast("long"),
+        "_nd": n_digits.cast("long"),
+        "_blocked": u.rlike("|".join(blockwords)),
+    })
+    # integer `div` (bit-deterministic, host_reputation convention);
+    # greatest(.,1) keeps ANSI div from aborting on an empty-string url
+    digit_bp = F.expr("(10000 * _nd) div greatest(url_len, 1)")
+    reason = (F.when(F.col("_blocked"), F.lit("blockword"))
+              .when(F.col("n_params") > max_params, F.lit("params"))
+              .when(digit_bp > max_digit_bp, F.lit("digits"))
+              .when(F.col("path_depth") > max_depth, F.lit("depth"))
+              .when(F.col("url_len") > max_len, F.lit("length"))
+              .otherwise(F.lit("ok")))
+    return (staged.withColumns({
+        "digit_bp": digit_bp.cast("long"),
+        "drop_reason": reason,
+        "keep": reason == "ok",
+    }).drop("_nd", "_blocked"))

@@ -5462,6 +5462,178 @@ from dec group by host, status order by host, status
 # ---------------------------------------------------------------------------
 
 
+def _xhost_corpus(docs):
+    """documents re-keyed to a CROSS-host corpus (contrast _mirror_corpus,
+    which plants SAME-host dup farms): base rows on host = source; a
+    deterministic ~30% slice re-published on '<source>-m' (full-mirror
+    hosts); a ~1% slice re-published on the shared 'cdn' host (legitimate
+    low-overlap re-hosting); and a ~8% slice whose text collapses to one
+    ubiquitous boilerplate digest (the hot-digest guard's prey). The
+    multipliers decorrelate every slice from the round-robin doc_id%20
+    source assignment."""
+    d = F.col("doc_id")
+    base = docs.select(
+        "doc_id", F.col("source").alias("host"),
+        F.when((d * 69069) % 13 == 7, F.lit("BOILERPLATE PAGE"))
+        .otherwise(F.col("text")).alias("text"))
+    mirrors = (base.filter((d * 2654435761) % 97 < 29)
+               .select("doc_id",
+                       F.concat(F.col("host"), F.lit("-m")).alias("host"),
+                       "text"))
+    cdn = (base.filter((d * 40503) % 101 == 0)
+           .select("doc_id", F.lit("cdn").alias("host"), "text"))
+    return base.unionByName(mirrors).unionByName(cdn)
+
+
+_XHOST_SQL = """
+base as (select doc_id, source as host,
+                case when (doc_id * 69069) % 13 = 7 then 'BOILERPLATE PAGE'
+                     else text end as text
+         from documents),
+corpus as (
+  select * from base
+  union all
+  select doc_id, host || '-m' as host, text from base
+  where (doc_id * 2654435761) % 97 < 29
+  union all
+  select doc_id, 'cdn' as host, text from base
+  where (doc_id * 40503) % 101 = 0)
+"""
+
+
+def q_host_mirror_pairs(spark, sf_dir):
+    """Cross-host mirror detection (operators/dedup.host_mirror_pairs):
+    host pairs ranked by content containment over the _xhost_corpus —
+    every '-m' host is a full mirror of its source (containment at or
+    near 10000 bp -> flagged), the shared 'cdn' host re-hosts ~1% of
+    everything (low containment -> kept), and the planted boilerplate
+    digest lands on more hosts than max_hosts_per_digest, so the
+    hot-digest guard provably excludes it instead of welding every host
+    pair together. Same-host dup farms are host_reputation's job; this
+    is the structure host_reputation cannot see. Scale shape: operator
+    docstring (text never shuffles — md5 map-side; candidate-driven
+    bounded self-join; broadcast host totals)."""
+    corpus = _xhost_corpus(_t(spark, sf_dir, "documents"))
+    return (D.host_mirror_pairs(corpus, max_hosts_per_digest=4,
+                                mirror_bp=7000)
+            .orderBy("host_a", "host_b"))
+
+
+SQL_HOST_MIRROR_PAIRS = f"""
+with {_XHOST_SQL.strip()},
+hd as (select distinct host, md5(text) as digest from corpus),
+elig as (select hd.host, hd.digest from hd
+         join (select digest from hd group by digest
+               having count(*) between 2 and 4) e using (digest)),
+pairs as (select a.host as host_a, b.host as host_b,
+                 cast(count(*) as bigint) as shared_digests
+          from elig a join elig b using (digest)
+          where a.host < b.host group by 1, 2),
+tot as (select host, cast(count(*) as bigint) as n from hd group by host)
+select host_a, host_b, shared_digests,
+       ta.n as digests_a, tb.n as digests_b,
+       cast((10000 * shared_digests) // least(ta.n, tb.n) as bigint)
+         as overlap_bp,
+       (10000 * shared_digests) // least(ta.n, tb.n) >= 7000 as is_mirror
+from pairs
+join tot ta on ta.host = pairs.host_a
+join tot tb on tb.host = pairs.host_b
+order by host_a, host_b
+"""
+
+
+def _spam_urls(docs):
+    """Frontier-candidate URL fixture exercising every url_prefilter
+    verdict class: clean base urls plus deterministic slices carrying a
+    blockword path (%13), a digit-heavy id path (%17), a 12-deep path
+    (%19), a >220-char path (%23), and a 9-parameter tracking query
+    (%11). Overlapping slices are resolved by the operator's verdict
+    priority, identically on both engines."""
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://host"), (d % 7).cast("string"),
+        F.lit(".example.com/"), F.col("source"), F.lit("/"),
+        d.cast("string"), F.lit(".html"),
+        F.when(d % 13 == 0, F.lit("/casino/bonus-spins"))
+        .otherwise(F.lit("")),
+        F.when(d % 17 == 0,
+               F.concat(F.lit("/id"), F.repeat(d.cast("string"), 15)))
+        .otherwise(F.lit("")),
+        F.when(d % 19 == 0, F.repeat(F.lit("/sub"), 12))
+        .otherwise(F.lit("")),
+        F.when(d % 23 == 0, F.concat(F.lit("/p/"), F.repeat(F.lit("z"), 200)))
+        .otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit("?s=1&t=2&r=3&a=4&b=5&c=6&d=7&e=8&f=9"))
+        .otherwise(F.lit("")))
+    return docs.select("doc_id", url.alias("url"))
+
+
+def q_url_prefilter(spark, sf_dir):
+    """URL-level pre-fetch filter (operators/frontier.url_prefilter — the
+    RefinedWeb/UT1-blocklist stage): lexical spam features + keep/drop
+    verdict per frontier candidate, BEFORE any fetch is scheduled. The
+    fixture plants all five drop classes (blockword / params / digits /
+    depth / length) plus clean urls; the verdict CASE priority breaks
+    the overlaps. Scale shape: one whole-stage-codegen projection —
+    zero shuffles, zero UDFs, composes as a pushdown-friendly filter on
+    the frontier scan."""
+    urls = _spam_urls(_t(spark, sf_dir, "documents"))
+    return (FR.url_prefilter(urls)
+            .select("doc_id", "url_len", "path_depth", "n_params",
+                    "digit_bp", "drop_reason", "keep")
+            .orderBy("doc_id"))
+
+
+SQL_URL_PREFILTER = """
+with urls as (
+  select doc_id,
+    'https://host' || cast(doc_id % 7 as varchar) || '.example.com/'
+    || source || '/' || cast(doc_id as varchar) || '.html'
+    || case when doc_id % 13 = 0 then '/casino/bonus-spins' else '' end
+    || case when doc_id % 17 = 0
+            then '/id' || repeat(cast(doc_id as varchar), 15) else '' end
+    || case when doc_id % 19 = 0 then repeat('/sub', 12) else '' end
+    || case when doc_id % 23 = 0 then '/p/' || repeat('z', 200) else '' end
+    || case when doc_id % 11 = 0
+            then '?s=1&t=2&r=3&a=4&b=5&c=6&d=7&e=8&f=9' else '' end as url
+  from documents),
+f as (select doc_id, lower(url) as u,
+             regexp_extract(lower(url),
+                            '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+               as path,
+             regexp_extract(lower(url), '\\?([^#]*)', 1) as query
+      from urls),
+g as (select doc_id,
+             cast(length(u) as bigint) as url_len,
+             cast(length(path) - length(replace(path, '/', '')) as bigint)
+               as path_depth,
+             cast(case when query = '' then 0
+                  else length(query) - length(replace(query, '&', '')) + 1
+                  end as bigint) as n_params,
+             cast((10000 * (length(u)
+                   - length(regexp_replace(u, '[0-9]', '', 'g'))))
+                  // greatest(length(u), 1) as bigint) as digit_bp,
+             regexp_matches(u, 'casino|viagra|gambling|pills|xxx')
+               as blocked
+      from f)
+select doc_id, url_len, path_depth, n_params, digit_bp,
+       case when blocked then 'blockword'
+            when n_params > 8 then 'params'
+            when digit_bp > 4000 then 'digits'
+            when path_depth > 8 then 'depth'
+            when url_len > 220 then 'length'
+            else 'ok' end as drop_reason,
+       (case when blocked then 'blockword'
+             when n_params > 8 then 'params'
+             when digit_bp > 4000 then 'digits'
+             when path_depth > 8 then 'depth'
+             when url_len > 220 then 'length'
+             else 'ok' end) = 'ok' as keep
+from g order by doc_id
+"""
+
+
+
 def registry():
     """name → (spark_fn, oracle_sql | None).
 
@@ -5480,6 +5652,9 @@ def registry():
     """
     return {
         # -- 1. never driver-checked (new in round 5) --
+        "host_mirror_pairs": (q_host_mirror_pairs,
+                              SQL_HOST_MIRROR_PAIRS),
+        "url_prefilter": (q_url_prefilter, SQL_URL_PREFILTER),
         "retry_backoff_state": (q_retry_backoff_state, SQL_RETRY_BACKOFF),
         "robots_wildcard_gate": (q_robots_wildcard_gate,
                                  _sql_robots_wildcard),
