@@ -207,7 +207,8 @@ class CrawlEngine:
                  robots_wildcard: bool = False,
                  retry_failed: bool = False,
                  max_attempts: int = 3,
-                 retry_backoff_rounds: int = 1) -> None:
+                 retry_backoff_rounds: int = 1,
+                 url_filter: bool = False) -> None:
         self.spark = spark
         self.io = TableIO(spark, root)
         self.per_host_budget = per_host_budget
@@ -329,6 +330,25 @@ class CrawlEngine:
             raise ValueError("retry_backoff_rounds must be >= 0")
         self.max_attempts = max_attempts
         self.retry_backoff_rounds = retry_backoff_rounds
+        # URL pre-fetch filter (operators/frontier.url_prefilter): gate
+        # BOTH frontier-ingestion points — bootstrap seeds and per-round
+        # discovered links — so a blocklisted/spam-shaped url never
+        # occupies frontier state or a fetch slot. A pure stateless
+        # projection over the candidate set, so replay/resume stay
+        # byte-identical; at web scale this is the cheapest drop point
+        # there is (the byte never downloaded).
+        self.url_filter = url_filter
+
+    def _ingest_gate(self, frontier: DataFrame) -> DataFrame:
+        """Apply the URL pre-fetch filter to FRONTIER_SCHEMA rows (no-op
+        unless url_filter=True). Runs on canonical_url — post-
+        normalization, so an uppercased blockword or a default-port
+        variant cannot sneak past the lexical gate."""
+        if not self.url_filter:
+            return frontier
+        cols = frontier.columns
+        return (FR.url_prefilter(frontier, url_col="canonical_url")
+                .filter(F.col("keep")).select(*cols))
 
     # -- lifecycle ------------------------------------------------------------
     def bootstrap(self, seeds: DataFrame | None = None,
@@ -374,7 +394,7 @@ class CrawlEngine:
             seeds = (sm_seeds if seeds is None
                      else seeds.select("url", "priority", "discovered_ts")
                      .unionByName(sm_seeds))
-        frontier = canonicalize_seeds(seeds)
+        frontier = self._ingest_gate(canonicalize_seeds(seeds))
         self.io.overwrite(frontier, "frontier", round_id=-1)
         self.io.overwrite(robots, "robots", round_id=-1)
 
@@ -1088,7 +1108,7 @@ class CrawlEngine:
                                   "discovered_ts",
                                   F.to_timestamp(F.lit("2026-06-01"))
                                   + F.make_interval(secs=F.lit(round_id))))
-                fresh = canonicalize_seeds(discovered)
+                fresh = self._ingest_gate(canonicalize_seeds(discovered))
                 known_seen = io.read("url_seen").select("canonical_url")
                 fresh = (fresh
                          .join(known_seen, "canonical_url", "left_anti")

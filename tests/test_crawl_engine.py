@@ -1430,3 +1430,77 @@ def test_retry_crash_after_pages_commit_heals(spark, tmp_path):
     assert resumed.seen_set() == full.seen_set()
     seen = resumed.io.read("url_seen")
     assert seen.groupBy("url_hash").count().filter("count > 1").count() == 0
+
+
+def test_url_filter_gates_seed_and_discovery_ingestion(spark, tmp_path):
+    """url_filter=True: spam-shaped urls are dropped at BOTH ingestion
+    points (bootstrap seeds, discovered links) — they never occupy
+    frontier state or a fetch slot; clean urls crawl identically to the
+    ungated engine. With the gate off, the same spam seeds reach the
+    fetch stage."""
+    ids = list(range(30))
+    clean = _one_host_seeds(spark, ids)
+    spam = spark.createDataFrame(
+        [("https://hostq.example/casino/bonus.html", 0,
+          dt.datetime(2026, 1, 1)),
+         ("https://hostq.example/deep/a/b/c/d/e/f/g/h/i/j.html", 0,
+          dt.datetime(2026, 1, 1)),
+         ("https://hostq.example/track?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9",
+          0, dt.datetime(2026, 1, 1))],
+        "url string, priority int, discovered_ts timestamp")
+    seeds = clean.unionByName(spam)
+
+    gated = CrawlEngine(spark, str(tmp_path / "g"), per_host_budget=100,
+                        url_filter=True)
+    gated.bootstrap(seeds, _hostq_robots(spark))
+    # the spam seeds never entered the frontier
+    assert gated.io.read("frontier").count() == 30
+    gated.run(max_rounds=5)
+    fetched = {r["canonical_url"]
+               for r in gated.io.read("pages").collect()}
+    assert not any("casino" in u or "track?" in u for u in fetched)
+
+    # gate off: same seeds, spam urls DO occupy fetch slots
+    ungated = CrawlEngine(spark, str(tmp_path / "u"), per_host_budget=100)
+    ungated.bootstrap(seeds, _hostq_robots(spark))
+    assert ungated.io.read("frontier").count() == 33
+    ungated.run(max_rounds=5)
+    fetched_u = {r["canonical_url"]
+                 for r in ungated.io.read("pages").collect()}
+    assert any("casino" in u for u in fetched_u)
+    # the clean crawl is unchanged by the gate
+    assert {u for u in fetched_u
+            if "casino" not in u and "track" not in u
+            and "/deep/" not in u} == fetched
+
+
+def test_url_filter_discovery_and_resume(spark, tmp_path):
+    """Discovery path under url_filter: a two-round discovery crawl with
+    the gate on resumes byte-identically after a kill (the gate is a
+    pure function of the candidate set)."""
+    seeds_recs = pages_local(210)[200:203]
+    seeds = spark.createDataFrame(
+        [(r["url"], 0, r["warc_ts"]) for r in seeds_recs],
+        "url string, priority int, discovered_ts timestamp")
+
+    def mk(root):
+        e = CrawlEngine(spark, str(root), per_host_budget=BUDGET,
+                        discover_links=True, url_filter=True)
+        e.bootstrap(seeds, make_robots(spark))
+        return e
+
+    full = mk(tmp_path / "f")
+    full.run(max_rounds=3)
+
+    part = mk(tmp_path / "p")
+    part.run_round(0)
+    del part
+    resumed = CrawlEngine(spark, str(tmp_path / "p"),
+                          per_host_budget=BUDGET, discover_links=True,
+                          url_filter=True)
+    resumed.run(max_rounds=2)  # rounds 1-2: same horizon as the full run
+
+    cols = ["canonical_url", "round", "fetch_slot"]
+    a = sorted(map(tuple, full.io.read("pages").select(*cols).collect()))
+    b = sorted(map(tuple, resumed.io.read("pages").select(*cols).collect()))
+    assert a == b and len(a) > 0

@@ -52,6 +52,9 @@ MODES = {
     # pattern→regex rules; prices the per-candidate regex gate vs the
     # prefix-only path
     "robots_wildcard": {"robots_wildcard": True},
+    # URL pre-fetch filter: per-candidate lexical gate at both frontier
+    # ingestion points (bootstrap + discovery)
+    "url_filter": {"url_filter": True},
     # transient-failure retry: per-round retries-ledger gate join +
     # done-set filtering + ledger overwrite commit (~12.5% of fetches
     # fail transiently under the simulated seam and re-enter later
