@@ -458,3 +458,81 @@ def strip_boilerplate_lines(docs: DataFrame, id_col: str = "id",
             .select("id", "clean_text",
                     F.col("n_lines").cast("long").alias("n_lines"),
                     "n_boiler_lines"))
+
+
+def dsir_weights(docs: DataFrame, target_model: DataFrame,
+                 background_model: DataFrame, *, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """DSIR-style importance resampling weights (Data Selection via
+    Importance Resampling, Xie et al. 2023, arXiv:2302.03169), reduced
+    to the engine's bit-exact integer fixed point: per doc the weight is
+    the ratio of its mean trigram frequency under a TARGET reference
+    model (what we want more of — wiki/books analog) to its mean
+    frequency under the BACKGROUND model (the raw corpus itself), and
+    the keep decision samples proportional to the weight, capped at
+    certainty:
+
+        fam_t, fam_b  = LM_SCALE * hit_mass / (N_model * n_trigrams)
+        weight_fp     = (LM_SCALE * fam_t) div (fam_b + 1)   # +1: no div0
+        keep_bp       = least(10000, (10000 * weight_fp) div LM_SCALE)
+        sampled       = md5_bp(id) < keep_bp
+
+    All integer `div` (fam <= LM_SCALE, so LM_SCALE*fam_t <= 1e14 — no
+    bigint overflow at any corpus size); md5 basis points make the draw
+    a pure function of the id, so re-runs and different cluster sizes
+    keep the SAME rows (same contract as stratified_sample).
+
+    Scale shape (100 TB): ONE exploded trigram stream serves BOTH
+    models — each model is vocab-bounded (MBs) and broadcast, joined
+    left so out-of-vocab trigrams count as zero mass; the single
+    doc-keyed exchange aggregates both hit masses together (vs 2x
+    lm_familiarity, which would pay the explode + exchange twice). The
+    two model totals are 1-row aggregates, cross-joined broadcast. The
+    keep decision never shuffles — it is a filter of the output."""
+    from .sampling import _hash_bp
+    n_t = F.broadcast(target_model.agg(
+        F.sum("n").cast("long").alias("nt_total")))
+    n_b = F.broadcast(background_model.agg(
+        F.sum("n").cast("long").alias("nb_total")))
+    tri = docs.select(F.col(id_col).alias("id"),
+                      F.explode_outer(char_trigrams(F.col(text_col)))
+                      .alias("trigram"))
+    scored = (tri
+              .join(F.broadcast(target_model
+                                .withColumnRenamed("n", "_n_t")),
+                    "trigram", "left")
+              .join(F.broadcast(background_model
+                                .withColumnRenamed("n", "_n_b")),
+                    "trigram", "left")
+              .groupBy("id")
+              .agg(F.count(F.col("trigram")).alias("n_trigrams"),
+                   F.sum(F.coalesce(F.col("_n_t"), F.lit(0)))
+                   .cast("long").alias("mass_t"),
+                   F.sum(F.coalesce(F.col("_n_b"), F.lit(0)))
+                   .cast("long").alias("mass_b")))
+    fam = (scored.crossJoin(n_t).crossJoin(n_b)
+           .withColumn(
+               "fam_target_fp",
+               F.when(F.col("n_trigrams") == 0, F.lit(0).cast("long"))
+               .otherwise(F.expr(
+                   f"(cast({LM_SCALE} as bigint) * mass_t) "
+                   "div (nt_total * n_trigrams)")))
+           .withColumn(
+               "fam_background_fp",
+               F.when(F.col("n_trigrams") == 0, F.lit(0).cast("long"))
+               .otherwise(F.expr(
+                   f"(cast({LM_SCALE} as bigint) * mass_b) "
+                   "div (nb_total * n_trigrams)"))))
+    weighted = fam.withColumn(
+        "weight_fp",
+        F.expr(f"(cast({LM_SCALE} as bigint) * fam_target_fp) "
+               "div (fam_background_fp + 1)"))
+    return (weighted
+            .withColumn("keep_bp",
+                        F.least(F.lit(10000).cast("long"),
+                                F.expr(f"(10000 * weight_fp) "
+                                       f"div {LM_SCALE}")))
+            .withColumn("sampled", _hash_bp(F.col("id")) < F.col("keep_bp"))
+            .select("id", F.col("n_trigrams").cast("long").alias("n_trigrams"),
+                    "fam_target_fp", "fam_background_fp", "weight_fp",
+                    "keep_bp", "sampled"))

@@ -5634,6 +5634,72 @@ from g order by doc_id
 
 
 
+def q_dsir_importance(spark, sf_dir):
+    """DSIR-style importance resampling (operators/textstats.dsir_weights,
+    arXiv:2302.03169 reduced to integer fixed point): target model =
+    char-trigram counts over the 'src0' reference slice, background
+    model = the full corpus; per-doc weight = ratio of mean trigram
+    frequency under target vs background, keep decision proportional to
+    the weight via the md5-bp draw (pure function of the id — re-runs
+    keep the SAME rows). One exploded trigram stream serves both
+    broadcast models; one doc-keyed exchange total. The 'rebalance raw
+    crawl toward a quality reference' step of an LLM data build,
+    complementing sample_by_quality's absolute-quartile strata."""
+    docs = _t(spark, sf_dir, "documents")
+    target = TS.trigram_lm_train(docs.filter(F.col("source") == "src0"))
+    background = TS.trigram_lm_train(docs)
+    return TS.dsir_weights(docs, target, background).orderBy("id")
+
+
+SQL_DSIR = f"""
+with s as (select doc_id, source, lower(trim(text)) as s from documents),
+tri as (select doc_id, source,
+               unnest(case when length(s) < 3 then []::varchar[]
+                      else list_transform(range(1, length(s) - 1),
+                                          i -> substr(s, i, 3)) end)
+                 as trigram
+        from s),
+tmodel as (select trigram, cast(count(*) as bigint) as n
+           from tri where source = 'src0' group by trigram),
+bmodel as (select trigram, cast(count(*) as bigint) as n
+           from tri group by trigram),
+tt as (select cast(sum(n) as bigint) as nt_total from tmodel),
+bt as (select cast(sum(n) as bigint) as nb_total from bmodel),
+scored as (select t.doc_id as id,
+                  cast(count(*) as bigint) as n_trigrams,
+                  cast(sum(coalesce(tm.n, 0)) as bigint) as mass_t,
+                  cast(sum(coalesce(bm.n, 0)) as bigint) as mass_b
+           from tri t
+           left join tmodel tm using (trigram)
+           left join bmodel bm using (trigram)
+           group by t.doc_id),
+f as (select d.doc_id as id,
+             cast(coalesce(sc.n_trigrams, 0) as bigint) as n_trigrams,
+             cast(case when coalesce(sc.n_trigrams, 0) = 0 then 0
+                  else (10000000 * sc.mass_t)
+                       // (tt.nt_total * sc.n_trigrams) end as bigint)
+               as fam_target_fp,
+             cast(case when coalesce(sc.n_trigrams, 0) = 0 then 0
+                  else (10000000 * sc.mass_b)
+                       // (bt.nb_total * sc.n_trigrams) end as bigint)
+               as fam_background_fp
+      from documents d
+      left join scored sc on sc.id = d.doc_id
+      cross join tt cross join bt),
+w as (select *,
+             cast((10000000 * fam_target_fp) // (fam_background_fp + 1)
+                  as bigint) as weight_fp
+      from f)
+select id, n_trigrams, fam_target_fp, fam_background_fp, weight_fp,
+       cast(least(10000, (10000 * weight_fp) // 10000000) as bigint)
+         as keep_bp,
+       ({_hex_int_sql("md5(cast(id as varchar))", 1)} % 10000)
+         < least(10000, (10000 * weight_fp) // 10000000) as sampled
+from w order by id
+"""
+
+
+
 def registry():
     """name → (spark_fn, oracle_sql | None).
 
@@ -5652,6 +5718,7 @@ def registry():
     """
     return {
         # -- 1. never driver-checked (new in round 5) --
+        "dsir_importance": (q_dsir_importance, SQL_DSIR),
         "host_mirror_pairs": (q_host_mirror_pairs,
                               SQL_HOST_MIRROR_PAIRS),
         "url_prefilter": (q_url_prefilter, SQL_URL_PREFILTER),
