@@ -536,3 +536,55 @@ def dsir_weights(docs: DataFrame, target_model: DataFrame,
             .select("id", F.col("n_trigrams").cast("long").alias("n_trigrams"),
                     "fam_target_fp", "fam_background_fp", "weight_fp",
                     "keep_bp", "sampled"))
+
+
+def ccnet_lang_buckets(scored: DataFrame, *, id_col: str = "id",
+                       lang_col: str = "lang", score_col: str = "score",
+                       q1_bp: int = 3334, q2_bp: int = 6667) -> DataFrame:
+    """CCNet head/middle/tail partitioning (Wenzek et al.,
+    arXiv:1911.00359 §4.4): within EACH language, split documents into
+    quality terciles of the LM score — CCNet keeps 'head' (best third)
+    for training and discards or down-weights the tail. Input: any
+    (id, lang, score) frame — in this engine, lang_id_col ×
+    lm_familiarity (higher familiarity = better, so head is the TOP
+    tercile; CCNet's perplexity is the same split with the sign
+    flipped). Output: (id, lang, score, cut1, cut2, bucket) with bucket
+    ∈ {tail, middle, head}.
+
+    Cuts are EXACT nearest-rank quantiles (smallest score whose
+    cumulative count ≥ ceil(q·n)), not percentile_approx — approx
+    sketches differ across engines and would break oracle parity.
+
+    Scale shape (same bounded-histogram trick as
+    frontier.estimate_crawl_delays): documents collapse map-side to a
+    (lang, score) histogram — score is LM_SCALE fixed point, so
+    distinct values per language are bounded by the score domain, NOT
+    the corpus size. The cumulative walk's window partitions see only
+    histogram rows (a language with 10^9 docs costs the same window
+    state as one with 10^3 — the shape WindowExec-can't-skew-split
+    demands), the per-language cut table is tiny and BROADCAST back,
+    and the bucket label is a pure projection. Two exchanges total
+    beyond the score computation: the histogram hash shuffle and the
+    window sort; corpus text never moves.
+    """
+    from pyspark.sql.window import Window
+
+    s = scored.select(F.col(id_col).alias("id"),
+                      F.col(lang_col).alias("lang"),
+                      F.col(score_col).cast("long").alias("score"))
+    hist = s.groupBy("lang", "score").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("lang").orderBy("score")
+    wt = Window.partitionBy("lang")
+    cum = (hist.withColumn("cum", F.sum("c").over(w))
+           .withColumn("n", F.sum("c").over(wt)))
+    t1 = F.expr(f"(n * {q1_bp} + 9999) div 10000")
+    t2 = F.expr(f"(n * {q2_bp} + 9999) div 10000")
+    # cum rises with score, so min(score | cum >= target) IS nearest-rank
+    cuts = cum.groupBy("lang").agg(
+        F.min(F.when(F.col("cum") >= t1, F.col("score"))).alias("cut1"),
+        F.min(F.when(F.col("cum") >= t2, F.col("score"))).alias("cut2"))
+    return (s.join(F.broadcast(cuts), "lang")
+            .select("id", "lang", "score", "cut1", "cut2",
+                    F.when(F.col("score") <= F.col("cut1"), F.lit("tail"))
+                    .when(F.col("score") <= F.col("cut2"), F.lit("middle"))
+                    .otherwise(F.lit("head")).alias("bucket")))

@@ -5699,6 +5699,123 @@ from w order by id
 """
 
 
+# Per-language marker suffixes for the CCNet-bucket fixture: 10 words each,
+# every word a member of that language's LANG_MARKERS set, chosen to
+# minimize cross-language marker collisions (only 'que' is shared, fr↔es).
+# Repeated ×2 → 20 marker hits, dominating the ≤8 English-marker hits the
+# base fixture text carries (measured across all three sf dirs).
+_CCNET_SUFFIXES = (
+    " the and of to that it for with was on",           # doc_id % 4 == 0
+    " der die das und ist nicht ein eine mit von",      # % 4 == 1
+    " le les et des une dans pour que qui avec",        # % 4 == 2
+    " el los las por para con una es y que",            # % 4 == 3
+)
+
+
+def _ccnet_enriched(docs):
+    d = F.col("doc_id")
+    suffix = (F.when(d % 4 == 0, F.lit(_CCNET_SUFFIXES[0] * 2))
+              .when(d % 4 == 1, F.lit(_CCNET_SUFFIXES[1] * 2))
+              .when(d % 4 == 2, F.lit(_CCNET_SUFFIXES[2] * 2))
+              .otherwise(F.lit(_CCNET_SUFFIXES[3] * 2)))
+    return docs.select("doc_id", "source",
+                       F.concat(F.col("text"), suffix).alias("text"))
+
+
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail corpus partitioning (arXiv:1911.00359
+    §4.4; operators/textstats.ccnet_lang_buckets): lang_id ×
+    trigram-LM familiarity, then PER-LANGUAGE exact nearest-rank
+    tercile cuts assign each doc a head/middle/tail quality bucket —
+    the published pipeline stage between language split and LM
+    filtering. Differs from sample_by_quality (absolute range quartiles
+    over ONE population): CCNet's cuts are per-language quantiles, so a
+    low-resource language keeps its own head rather than losing it to
+    a high-resource language's score distribution. Fixture appends
+    deterministic marker suffixes so all four LANG_MARKERS languages
+    appear. Scale shape: docs collapse to a bounded (lang, score_fp)
+    histogram before any window; cuts broadcast back; bucket label is a
+    pure projection."""
+    docs = _ccnet_enriched(_t(spark, sf_dir, "documents"))
+    model = TS.trigram_lm_train(docs.filter(F.col("source") == "src0"))
+    fam = TS.lm_familiarity(docs, model).select("id", "familiarity_fp")
+    lang = TS.lang_id_col(docs, "doc_id", "text").select("id", "pred_lang")
+    out = TS.ccnet_lang_buckets(fam.join(lang, "id"),
+                                lang_col="pred_lang",
+                                score_col="familiarity_fp")
+    return (out.select("id", "lang",
+                       F.col("score").alias("familiarity_fp"),
+                       F.col("cut1").alias("cut1_fp"),
+                       F.col("cut2").alias("cut2_fp"), "bucket")
+            .orderBy("id"))
+
+
+def _sql_ccnet_buckets():
+    from ..functions.kernel import LANG_MARKERS
+    sfx = {i: (_CCNET_SUFFIXES[i] * 2).replace("'", "''")
+           for i in range(4)}
+    scores = {lang: _lang_score_sql(lang, m)
+              for lang, m in sorted(LANG_MARKERS.items())}
+    cols = ", ".join(f"{expr} as score_{lang}"
+                     for lang, expr in scores.items())
+    langs = sorted(scores)
+    m = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    case = ("case when " + m + " <= 0 then 'und' "
+            + " ".join(f"when score_{lang} = {m} then '{lang}'"
+                       for lang in langs[:-1])
+            + f" else '{langs[-1]}' end")
+    return f"""
+with d0 as (select doc_id, source,
+  text || case when doc_id % 4 = 0 then '{sfx[0]}'
+               when doc_id % 4 = 1 then '{sfx[1]}'
+               when doc_id % 4 = 2 then '{sfx[2]}'
+               else '{sfx[3]}' end as text
+  from documents),
+s as (select doc_id, source, lower(trim(text)) as s from d0),
+tri as (select doc_id, source,
+               unnest(case when length(s) < 3 then []::varchar[]
+                      else list_transform(range(1, length(s) - 1),
+                                          i -> substr(s, i, 3)) end) as trigram
+        from s),
+model as (select trigram, cast(count(*) as bigint) as n
+          from tri where source = 'src0' group by trigram),
+total as (select cast(sum(n) as bigint) as n_total from model),
+fsc as (select t.doc_id as id,
+               cast(count(*) as bigint) as n_trigrams,
+               cast(sum(coalesce(mo.n, 0)) as bigint) as hit_mass
+        from tri t left join model mo using (trigram)
+        group by t.doc_id),
+fam as (select d.doc_id as id,
+               cast(case when coalesce(sc.n_trigrams, 0) = 0 then 0
+                    else (10000000 * sc.hit_mass)
+                         // (t.n_total * sc.n_trigrams) end
+                    as bigint) as score
+        from d0 d left join fsc sc on sc.id = d.doc_id
+        cross join total t),
+lsc as (select doc_id as id, {cols} from d0),
+lng as (select id, {case} as lang from lsc),
+j as (select fam.id, lng.lang, fam.score from fam join lng using (id)),
+hist as (select lang, score, cast(count(*) as bigint) as c
+         from j group by lang, score),
+cum as (select lang, score,
+               cast(sum(c) over (partition by lang order by score)
+                    as bigint) as cum,
+               cast(sum(c) over (partition by lang) as bigint) as n
+        from hist),
+cuts as (select lang,
+                min(case when cum >= (n * 3334 + 9999) // 10000
+                         then score end) as cut1,
+                min(case when cum >= (n * 6667 + 9999) // 10000
+                         then score end) as cut2
+         from cum group by lang)
+select j.id, j.lang, j.score as familiarity_fp,
+       cuts.cut1 as cut1_fp, cuts.cut2 as cut2_fp,
+       case when j.score <= cuts.cut1 then 'tail'
+            when j.score <= cuts.cut2 then 'middle'
+            else 'head' end as bucket
+from j join cuts using (lang) order by id
+"""
+
 
 def registry():
     """name → (spark_fn, oracle_sql | None).
@@ -5718,6 +5835,7 @@ def registry():
     """
     return {
         # -- 1. never driver-checked (new in round 5) --
+        "ccnet_lang_buckets": (q_ccnet_buckets, _sql_ccnet_buckets),
         "dsir_importance": (q_dsir_importance, SQL_DSIR),
         "host_mirror_pairs": (q_host_mirror_pairs,
                               SQL_HOST_MIRROR_PAIRS),
