@@ -719,3 +719,55 @@ def url_prefilter(urls: DataFrame, *, url_col: str = "url",
         "drop_reason": reason,
         "keep": reason == "ok",
     }).drop("_nd", "_blocked"))
+
+
+# Tracking / session query parameters stripped by aggressive URL
+# canonicalization — the Heritrix/Internet-Archive canonicalization-rule
+# lexicon (utm_* is the Google Analytics family; gclid/fbclid/msclkid are
+# click ids; *sessionid/sid are server session tokens that make every
+# visit a "new" URL).
+TRACKING_PARAM_RE = (r"^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|mc_eid|"
+                     r"igshid|yclid|_ga|ref_src|phpsessid|jsessionid|"
+                     r"sessionid|sid)(=|$)")
+
+
+def url_tracking_canonical(urls: DataFrame, *, url_col: str = "url",
+                           tracking_re: str = TRACKING_PARAM_RE) -> DataFrame:
+    """Aggressive URL canonicalization for frontier dedup (the
+    Heritrix canonicalization-rules stage): strip the fragment, strip a
+    path-embedded ``;jsessionid=`` token, drop tracking/session query
+    parameters, and SORT the surviving parameters — so the million
+    ``?utm_source=`` variants of one page collapse to one frontier row
+    BEFORE url_seen membership is consulted. Complements
+    kernel.canonicalize_url (scheme/host/port normalization, query kept
+    verbatim) and surt_key (ordering key; query kept verbatim): this is
+    the lossy tier a crawl opts into per-policy, which is why it is a
+    separate operator rather than a change to the lossless canonical.
+
+    Output: input row + ``canon_url``, ``n_params_in``,
+    ``n_params_kept``, ``changed``.
+
+    Scale shape (100 TB frontier): pure JVM expressions — split /
+    filter / array_sort / array_join inside one whole-stage-codegen
+    projection; zero shuffles, zero UDFs. Downstream exact dedup on
+    canon_url replaces dedup on the raw url and is strictly coarser.
+    """
+    u = F.substring_index(F.col(url_col), "#", 1)
+    u = F.regexp_replace(u, r"(?i);jsessionid=[^;?#]*", "")
+    staged = urls.withColumn("_u", u)
+    query = (F.when(F.instr(F.col("_u"), "?") > 0,
+                    F.expr("substring(_u, instr(_u, '?') + 1)"))
+             .otherwise(F.lit("")))
+    params = F.filter(F.split(query, "&"), lambda p: p != "")
+    kept = F.array_sort(F.filter(
+        params, lambda p: ~F.lower(p).rlike(tracking_re)))
+    base = F.substring_index(F.col("_u"), "?", 1)
+    canon = (F.when(F.size(kept) > 0,
+                    F.concat(base, F.lit("?"), F.array_join(kept, "&")))
+             .otherwise(base))
+    return (staged.withColumns({
+        "canon_url": canon,
+        "n_params_in": F.size(params).cast("long"),
+        "n_params_kept": F.size(kept).cast("long"),
+    }).withColumn("changed", F.col("canon_url") != F.col(url_col))
+        .drop("_u"))

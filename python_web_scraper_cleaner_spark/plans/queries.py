@@ -5817,6 +5817,87 @@ from j join cuts using (lang) order by id
 """
 
 
+def _tracking_urls(docs):
+    d = F.col("doc_id")
+    return docs.select("doc_id", F.concat(
+        F.lit("https://h"), (d % 7).cast("string"),
+        F.lit(".example.com/"), F.col("source"), F.lit("/"),
+        d.cast("string"),
+        F.when(d % 7 == 0, F.lit(";jsessionid=ABC123"))
+        .otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.lit("?utm_source=news&b=2&a=1"))
+        .when(d % 6 == 1, F.lit("?z=9&y=8&GCLID=abc"))
+        .when(d % 6 == 2, F.lit("?FBCLID=1"))
+        .when(d % 6 == 3, F.lit("?"))
+        .when(d % 6 == 5, F.lit("?a=1&a=0&sid=S"))
+        .otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit("#frag")).otherwise(F.lit("")))
+        .alias("url"))
+
+
+def q_url_tracking_canonical(spark, sf_dir):
+    """Aggressive URL canonicalization (operators/frontier.
+    url_tracking_canonical — the Heritrix canonicalization-rules
+    stage): fragment strip, path ;jsessionid strip, tracking/session
+    query params dropped (case-insensitive lexicon), survivors SORTED —
+    the frontier-dedup tier that collapses the million ?utm_source=
+    variants of one page before url_seen is consulted. Complements the
+    lossless kernel.canonicalize_url (f10) and surt_key, which keep the
+    query verbatim. Fixture exercises every rule: mixed-case click ids,
+    jsessionid path tokens, bare '?', param reordering, fragments.
+    Scale shape: one whole-stage-codegen projection — zero shuffles,
+    zero UDFs."""
+    urls = _tracking_urls(_t(spark, sf_dir, "documents"))
+    return (FR.url_tracking_canonical(urls)
+            .select("doc_id", "url", "canon_url", "n_params_in",
+                    "n_params_kept", "changed")
+            .orderBy("doc_id"))
+
+
+def _sql_url_tracking_canonical():
+    from ..operators.frontier import TRACKING_PARAM_RE
+    return f"""
+with urls as (select doc_id,
+  'https://h' || cast(doc_id % 7 as varchar) || '.example.com/'
+  || source || '/' || cast(doc_id as varchar)
+  || case when doc_id % 7 = 0 then ';jsessionid=ABC123' else '' end
+  || case when doc_id % 6 = 0 then '?utm_source=news&b=2&a=1'
+          when doc_id % 6 = 1 then '?z=9&y=8&GCLID=abc'
+          when doc_id % 6 = 2 then '?FBCLID=1'
+          when doc_id % 6 = 3 then '?'
+          when doc_id % 6 = 5 then '?a=1&a=0&sid=S'
+          else '' end
+  || case when doc_id % 11 = 0 then '#frag' else '' end as url
+  from documents),
+c as (select doc_id, url,
+  regexp_replace(split_part(url, '#', 1),
+                 ';jsessionid=[^;?#]*', '', 'i') as u
+  from urls),
+p as (select doc_id, url,
+  split_part(u, '?', 1) as base,
+  case when position('?' in u) > 0
+       then substr(u, position('?' in u) + 1) else '' end as q
+  from c),
+k as (select doc_id, url, base,
+  list_filter(string_split(q, '&'), x -> x <> '') as params
+  from p),
+s as (select doc_id, url, base, params,
+  list_sort(list_filter(params,
+      x -> not regexp_matches(lower(x), '{TRACKING_PARAM_RE}'))) as kept
+  from k),
+f as (select doc_id, url,
+  case when len(kept) > 0
+       then base || '?' || array_to_string(kept, '&')
+       else base end as canon_url,
+  cast(len(params) as bigint) as n_params_in,
+  cast(len(kept) as bigint) as n_params_kept
+  from s)
+select doc_id, url, canon_url, n_params_in, n_params_kept,
+       canon_url <> url as changed
+from f order by doc_id
+"""
+
+
 def registry():
     """name → (spark_fn, oracle_sql | None).
 
@@ -5836,6 +5917,8 @@ def registry():
     return {
         # -- 1. never driver-checked (new in round 5) --
         "ccnet_lang_buckets": (q_ccnet_buckets, _sql_ccnet_buckets),
+        "url_tracking_canonical": (q_url_tracking_canonical,
+                                   _sql_url_tracking_canonical),
         "dsir_importance": (q_dsir_importance, SQL_DSIR),
         "host_mirror_pairs": (q_host_mirror_pairs,
                               SQL_HOST_MIRROR_PAIRS),
