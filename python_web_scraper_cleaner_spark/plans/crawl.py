@@ -208,7 +208,8 @@ class CrawlEngine:
                  retry_failed: bool = False,
                  max_attempts: int = 3,
                  retry_backoff_rounds: int = 1,
-                 url_filter: bool = False) -> None:
+                 url_filter: bool = False,
+                 strip_tracking: bool = False) -> None:
         self.spark = spark
         self.io = TableIO(spark, root)
         self.per_host_budget = per_host_budget
@@ -338,6 +339,25 @@ class CrawlEngine:
         # byte-identical; at web scale this is the cheapest drop point
         # there is (the byte never downloaded).
         self.url_filter = url_filter
+        # Aggressive URL canonicalization (operators/frontier.
+        # url_tracking_canonical): strip tracking/session params + sort
+        # survivors on RAW candidate urls BEFORE the lossless
+        # canonicalization, so tracking variants of one page collapse to
+        # a single frontier row and a single fetch. A pure projection of
+        # the candidate url — replay/resume stay byte-identical. Off by
+        # default: parameter dropping is a per-crawl policy choice and
+        # changes crawl ordering vs the reference contract.
+        self.strip_tracking = strip_tracking
+
+    def _strip_tracking(self, seeds: DataFrame) -> DataFrame:
+        """Apply aggressive param-strip canonicalization to raw seed rows
+        (url, priority, discovered_ts) — no-op unless strip_tracking."""
+        if not self.strip_tracking:
+            return seeds
+        cols = seeds.columns
+        return (FR.url_tracking_canonical(seeds, url_col="url")
+                .withColumn("url", F.col("canon_url"))
+                .select(*cols))
 
     def _ingest_gate(self, frontier: DataFrame) -> DataFrame:
         """Apply the URL pre-fetch filter to FRONTIER_SCHEMA rows (no-op
@@ -394,7 +414,8 @@ class CrawlEngine:
             seeds = (sm_seeds if seeds is None
                      else seeds.select("url", "priority", "discovered_ts")
                      .unionByName(sm_seeds))
-        frontier = self._ingest_gate(canonicalize_seeds(seeds))
+        frontier = self._ingest_gate(
+            canonicalize_seeds(self._strip_tracking(seeds)))
         self.io.overwrite(frontier, "frontier", round_id=-1)
         self.io.overwrite(robots, "robots", round_id=-1)
 
@@ -1108,7 +1129,8 @@ class CrawlEngine:
                                   "discovered_ts",
                                   F.to_timestamp(F.lit("2026-06-01"))
                                   + F.make_interval(secs=F.lit(round_id))))
-                fresh = self._ingest_gate(canonicalize_seeds(discovered))
+                fresh = self._ingest_gate(
+                    canonicalize_seeds(self._strip_tracking(discovered)))
                 known_seen = io.read("url_seen").select("canonical_url")
                 fresh = (fresh
                          .join(known_seen, "canonical_url", "left_anti")

@@ -1504,3 +1504,69 @@ def test_url_filter_discovery_and_resume(spark, tmp_path):
     a = sorted(map(tuple, full.io.read("pages").select(*cols).collect()))
     b = sorted(map(tuple, resumed.io.read("pages").select(*cols).collect()))
     assert a == b and len(a) > 0
+
+
+def _variant_seeds(spark, ids):
+    """Three tracking variants per page id — all params in the strip
+    lexicon, so the aggressive canonical is the clean url itself."""
+    rows = []
+    for i in ids:
+        u = f"https://hostq.example/news/{i}.html"
+        rows += [(u, 0, dt.datetime(2026, 1, 1)),
+                 (u + "?utm_source=feed&utm_medium=rss", 0,
+                  dt.datetime(2026, 1, 1)),
+                 (u + "?gclid=CjkK" + str(i) + "&utm_campaign=x#top", 0,
+                  dt.datetime(2026, 1, 1))]
+    return spark.createDataFrame(
+        rows, "url string, priority int, discovered_ts timestamp")
+
+
+def test_strip_tracking_collapses_variants(spark, tmp_path):
+    """strip_tracking=True: tracking variants of one page collapse to a
+    single frontier row and a single fetch; with the mode off, the
+    lossless canonical keeps the query and each variant occupies its own
+    frontier row."""
+    ids = list(range(10))
+    seeds = _variant_seeds(spark, ids)
+
+    stripped = CrawlEngine(spark, str(tmp_path / "s"), per_host_budget=100,
+                           strip_tracking=True)
+    stripped.bootstrap(seeds, _hostq_robots(spark))
+    assert stripped.io.read("frontier").count() == 10
+    stripped.run(max_rounds=3)
+    fetched = sorted(r["canonical_url"]
+                     for r in stripped.io.read("pages").collect())
+    assert fetched == sorted(
+        f"https://hostq.example/news/{i}.html" for i in ids)
+
+    plain = CrawlEngine(spark, str(tmp_path / "p"), per_host_budget=100)
+    plain.bootstrap(seeds, _hostq_robots(spark))
+    assert plain.io.read("frontier").count() == 30
+
+
+def test_strip_tracking_resume_byte_identical(spark, tmp_path):
+    """Kill/resume under strip_tracking: the strip is a pure projection
+    of the candidate url, so a resumed crawl reproduces the full run's
+    (canonical_url, round, fetch_slot) set exactly."""
+    seeds = _variant_seeds(spark, list(range(12)))
+
+    def mk(root):
+        e = CrawlEngine(spark, str(root), per_host_budget=5,
+                        strip_tracking=True)
+        e.bootstrap(seeds, _hostq_robots(spark))
+        return e
+
+    full = mk(tmp_path / "f")
+    full.run(max_rounds=3)
+
+    part = mk(tmp_path / "p")
+    part.run_round(0)
+    del part
+    resumed = CrawlEngine(spark, str(tmp_path / "p"), per_host_budget=5,
+                          strip_tracking=True)
+    resumed.run(max_rounds=2)
+
+    cols = ["canonical_url", "round", "fetch_slot"]
+    a = sorted(map(tuple, full.io.read("pages").select(*cols).collect()))
+    b = sorted(map(tuple, resumed.io.read("pages").select(*cols).collect()))
+    assert a == b and len(a) == 12

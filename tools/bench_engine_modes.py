@@ -61,6 +61,9 @@ MODES = {
     # rounds, so n_fetched counts attempts, not urls)
     "retry": {"retry_failed": True, "max_attempts": 3,
               "retry_backoff_rounds": 1},
+    # aggressive URL canonicalization: tracking-param strip + param sort
+    # on raw candidates at both ingestion points (pure projection)
+    "strip_tracking": {"strip_tracking": True},
 }
 
 
