@@ -1024,3 +1024,72 @@ def extract_anchors(raw: bytes | str, base_url: str) -> list[tuple[str, str]]:
         if url is not None:
             out.append((url, anchor))
     return out
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level page cleaning (engine-required training-data op — the
+# canonical webtext cleaning recipe of Raffel et al. 2020 §2.2, as realized
+# by the public tensorflow_datasets c4_utils.clean_page loop). No reference
+# analog: the reference cleans markup, not corpus lines.
+# ---------------------------------------------------------------------------
+
+C4_END_MARKS = ('.', '!', '?', '"')
+C4_POLICY_SUBSTRINGS = (
+    "terms of use", "privacy policy", "cookie policy",
+    "uses cookies", "use of cookies", "use cookies",
+)
+_C4_EDGE_WS = re.compile(r"^[ \t\r]+|[ \t\r]+$")
+_C4_WORD_SPLIT = re.compile(r"[ \t\x0b\f\r]+")  # Java \s minus \n (in-line)
+_C4_SENT_MARK = re.compile(r"[.!?]")
+
+
+def c4_clean(text: str, *, min_words_per_line: int = 5,
+             min_sentences: int = 3) -> dict:
+    """C4 line filtering over one page's extracted text. Returns
+    ``{n_lines, n_cand, n_kept, n_sentences, kept, clean_text}``.
+
+    Faithful to the public c4_utils.clean_page rule ORDER: a line must
+    first survive the structural gates (non-empty after edge-trim, ends
+    in a terminal mark, not an ellipsis, >= min_words_per_line words);
+    only surviving candidates are checked for the content rules, in
+    order — "lorem ipsum" drops the PAGE, "javascript" drops the LINE,
+    "{" drops the PAGE, a policy substring drops the LINE. Pages whose
+    kept text has fewer than ``min_sentences`` sentence-final marks are
+    dropped (the nltk sentence counter of the original is approximated
+    by counting [.!?] occurrences — documented substitution, identical
+    on both sides of the parity check). A dropped page reports
+    n_kept = n_sentences = 0 and empty clean_text, mirroring the
+    original's early ``return None``."""
+    cand: list[str] = []
+    for line in text.split("\n"):
+        line = _C4_EDGE_WS.sub("", line)
+        if not line or line[-1] not in C4_END_MARKS or line.endswith("..."):
+            continue
+        if len(_C4_WORD_SPLIT.split(line)) < min_words_per_line:
+            continue
+        cand.append(line)
+    kept: list[str] = []
+    page_drop = False
+    for line in cand:
+        low = line.lower()
+        if "lorem ipsum" in low:
+            page_drop = True
+            break
+        if "javascript" in low:
+            continue
+        if "{" in line:
+            page_drop = True
+            break
+        if any(p in low for p in C4_POLICY_SUBSTRINGS):
+            continue
+        kept.append(line)
+    if page_drop:
+        return {"n_lines": len(text.split("\n")), "n_cand": len(cand),
+                "n_kept": 0, "n_sentences": 0, "kept": False,
+                "clean_text": ""}
+    clean = "\n".join(kept)
+    n_sent = len(_C4_SENT_MARK.findall(clean))
+    ok = n_sent >= min_sentences
+    return {"n_lines": len(text.split("\n")), "n_cand": len(cand),
+            "n_kept": len(kept), "n_sentences": n_sent, "kept": ok,
+            "clean_text": clean if ok else ""}

@@ -588,3 +588,77 @@ def ccnet_lang_buckets(scored: DataFrame, *, id_col: str = "id",
                     F.when(F.col("score") <= F.col("cut1"), F.lit("tail"))
                     .when(F.col("score") <= F.col("cut2"), F.lit("middle"))
                     .otherwise(F.lit("head")).alias("bucket")))
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level page cleaning (Raffel et al. 2020 §2.2) — JVM twin of
+# functions/kernel.c4_clean. Pure higher-order array expressions over the
+# split lines: zero shuffles, zero Python, whole-stage codegen end to end.
+# ---------------------------------------------------------------------------
+
+def _c4_strip(line: Column) -> Column:
+    return F.regexp_replace(line, r"^[ \t\r]+|[ \t\r]+$", "")
+
+
+def _c4_candidate(line: Column, min_words: int) -> Column:
+    """Structural gates, kernel order: non-empty, terminal mark, not an
+    ellipsis line, >= min_words words (Java \\s-minus-\\n split)."""
+    return ((line != "")
+            & F.substring(line, -1, 1).isin(".", "!", "?", '"')
+            & ~line.endswith("...")
+            & (F.size(F.split(line, r"[ \t\x0B\f\r]+", -1)) >= min_words))
+
+
+def c4_quality_filter(docs: DataFrame, *, id_col: str = "id",
+                      text_col: str = "text",
+                      min_words_per_line: int = 5,
+                      min_sentences: int = 3,
+                      keep_text: bool = False) -> DataFrame:
+    """Per-page C4 cleaning stats + keep decision (kernel.c4_clean twin).
+
+    Rule order matches the kernel exactly (see its docstring for the
+    c4_utils provenance): structural candidate gates first; then over the
+    candidates — "lorem ipsum" drops the page, "javascript" drops the
+    line, "{" drops the page (the exists-form `brace AND NOT javascript`
+    is equivalent to the kernel's sequential early-return: a lorem page
+    is dropped either way, and a brace on a javascript line never
+    reaches the brace check), policy substrings drop the line; finally
+    the kept text needs >= min_sentences [.!?] marks.
+
+    100-TB shape: one projection, no exchange — the keep decision is a
+    pure function of the row, so the filter composes into any scan and
+    pushes as far as the extraction stage allows. Returns (id, n_lines,
+    n_cand, n_kept, n_sentences, kept:0/1[, clean_text])."""
+    lines = F.split(F.col(text_col), "\n", -1)
+    stripped = F.transform(lines, _c4_strip)
+    cand = F.filter(stripped,
+                    lambda l: _c4_candidate(l, min_words_per_line))
+    page_drop = (
+        F.exists(cand, lambda l: F.lower(l).contains("lorem ipsum"))
+        | F.exists(cand, lambda l: l.contains("{")
+                   & ~F.lower(l).contains("javascript")))
+
+    from ..functions.kernel import C4_POLICY_SUBSTRINGS
+
+    def keep_line(l: Column) -> Column:
+        low = F.lower(l)
+        bad = low.contains("javascript")
+        for p in C4_POLICY_SUBSTRINGS:
+            bad = bad | low.contains(p)
+        return ~bad
+
+    kept_arr = F.filter(cand, keep_line)
+    clean = F.array_join(kept_arr, "\n")
+    n_sent = F.regexp_count(clean, F.lit(r"[.!?]"))
+    out = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(cand).cast("long").alias("n_cand"),
+        F.when(page_drop, F.lit(0)).otherwise(F.size(kept_arr))
+        .cast("long").alias("n_kept"),
+        F.when(page_drop, F.lit(0)).otherwise(n_sent)
+        .cast("long").alias("n_sentences"),
+        (~page_drop & (n_sent >= min_sentences)).cast("long").alias("kept"),
+        *([F.when(~page_drop & (n_sent >= min_sentences), clean)
+           .otherwise(F.lit("")).alias("clean_text")] if keep_text else []))
+    return out

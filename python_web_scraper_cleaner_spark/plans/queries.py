@@ -5898,6 +5898,114 @@ from f order by doc_id
 """
 
 
+# deterministic contamination for the C4 entry: appended AFTER extraction,
+# identically on the Spark side (JVM concat) and in the kernel-twin oracle,
+# so every C4 rule class actually fires on the fixture (the clean pages
+# corpus contains no lorem-ipsum / javascript / brace / policy lines).
+_C4_CONTAM = {
+    3: "\nlorem ipsum dolor sit amet today.",            # page drop
+    5: "\nPlease enable javascript to continue reading this article.",
+    7: "\nWe log data = { page: 1 } daily.",             # page drop
+    9: "\nThis website uses cookies to improve your browsing experience.",
+}
+
+
+def q_c4_line_filter(spark, sf_dir):
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2;
+    operators/textstats.c4_quality_filter): pages → vectorized extraction
+    → per-page line filter + keep decision, the canonical webtext recipe
+    between raw extraction and dedup in a training-data build. The filter
+    itself is pure JVM array expressions over the already-extracted text
+    — zero exchanges added to the extraction scan; deterministic
+    contamination lines make each rule class (page-drop, line-drop,
+    policy, ellipsis) fire. Oracle: kernel.c4_clean twin over the same
+    logical pages, emitted as VALUES (same pattern as wet_scan_tokens)."""
+    from ..functions.udfs import with_clean_text
+    from ..operators.textstats import c4_quality_filter
+    from ..sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, 1200)
+    cleaned = with_clean_text(pages, output_format="txt") \
+        .filter(F.col("ok"))
+    doc_id = F.regexp_extract("url", r"(\d+)\.html$", 1).cast("long")
+    extra = F.lit("")
+    for k, v in sorted(_C4_CONTAM.items()):
+        extra = F.when(doc_id % 11 == k, F.lit(v)).otherwise(extra)
+    extra2 = F.when(doc_id % 13 == 4, F.lit("\nRead more...")) \
+        .otherwise(F.lit(""))
+    docs = cleaned.select(doc_id.alias("id"),
+                          F.concat("text", extra, extra2).alias("text"))
+    return c4_quality_filter(docs).orderBy("id")
+
+
+@lru_cache(maxsize=None)
+def _sql_c4_line_filter():
+    """Expected per-page C4 stats via the kernel twin (kernel.c4_clean)
+    over the same pages + the same deterministic contamination."""
+    from ..functions import kernel as K
+    from ..sources.pages import pages_local
+
+    rows = []
+    for i, page in enumerate(pages_local(1200)):
+        out = K.clean_html(page["html"], output_format="txt")
+        if not out.ok:
+            continue
+        text = out.text + _C4_CONTAM.get(i % 11, "")
+        if i % 13 == 4:
+            text += "\nRead more..."
+        r = K.c4_clean(text)
+        rows.append((i, r["n_lines"], r["n_cand"], r["n_kept"],
+                     r["n_sentences"], int(r["kept"])))
+    return _values_sql(
+        rows,
+        ["id", "n_lines", "n_cand", "n_kept", "n_sentences", "kept"],
+        bigint_cols={"id", "n_lines", "n_cand", "n_kept", "n_sentences",
+                     "kept"},
+        order_by="id")
+
+
+def q_wat_scan_links(spark, sf_dir):
+    """WAT link-graph ingestion (sources/warc.py WAT tier): the third
+    file of the Common Crawl triple. Metadata records carrying the WAT
+    JSON envelope → length-delimited parse (gzip members, the real
+    framing) → ``from_json`` + explode, whole-stage JVM — the link graph
+    is built from WAT at the cost of a JSON decode per record instead of
+    an HTML parse per page, exactly how production crawls feed PageRank.
+    Output is per-target indegree; the oracle recomputes it from the
+    logical pages through the SAME kernel link extractor the writer used
+    (kernel.extract_links), proving the write→gzip→parse→from_json chain
+    lossless on the link framing."""
+    from ..sources.warc import synthesize_wat_segments, wat_links, \
+        wat_records
+
+    segs = synthesize_wat_segments(spark, 1200, pages_per_segment=50,
+                                   gzip_members=True)
+    edges = wat_links(wat_records(segs))
+    return (edges.groupBy("target")
+            .agg(F.count("*").alias("n_refs"),
+                 F.countDistinct("src").alias("n_src_urls"))
+            .orderBy("target"))
+
+
+@lru_cache(maxsize=None)
+def _sql_wat_scan_links():
+    """Expected (target, n_refs, n_src_urls) via kernel.extract_links
+    over the same synthesized corpus — writer-independent expectation."""
+    from ..functions import kernel as K
+    from ..sources.pages import pages_local
+
+    refs: dict = {}
+    for page in pages_local(1200):
+        for target in K.extract_links(page["html"], page["url"]):
+            n, srcs = refs.get(target, (0, set()))
+            srcs.add(page["url"])
+            refs[target] = (n + 1, srcs)
+    rows = [(t, n, len(srcs)) for t, (n, srcs) in sorted(refs.items())]
+    return _values_sql(rows, ["target", "n_refs", "n_src_urls"],
+                       bigint_cols={"n_refs", "n_src_urls"},
+                       order_by="target")
+
+
 def registry():
     """name → (spark_fn, oracle_sql | None).
 
@@ -5916,6 +6024,8 @@ def registry():
     """
     return {
         # -- 1. never driver-checked (new in round 5) --
+        "c4_line_filter": (q_c4_line_filter, _sql_c4_line_filter),
+        "wat_scan_links": (q_wat_scan_links, _sql_wat_scan_links),
         "ccnet_lang_buckets": (q_ccnet_buckets, _sql_ccnet_buckets),
         "url_tracking_canonical": (q_url_tracking_canonical,
                                    _sql_url_tracking_canonical),

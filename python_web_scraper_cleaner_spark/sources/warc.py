@@ -306,3 +306,126 @@ def wet_records(segments: DataFrame, *,
                 "segment_id", "rec_idx", "url", "warc_ts", "text"])
 
     return segments.mapInPandas(gen, schema=WET_RECORD_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WAT (metadata JSON records) — the third file of the Common Crawl triple.
+# Real crawls build their link graph from WAT, never by re-parsing HTML:
+# each WARC response gets a metadata record whose JSON payload carries the
+# already-extracted out-links (Envelope → Payload-Metadata →
+# HTTP-Response-Metadata → HTML-Metadata → Links). This tier completes the
+# WARC/WET/WAT source set with the same framing, writer-determinism, and
+# degrade-per-record contracts as its two siblings above.
+# ---------------------------------------------------------------------------
+
+WAT_RECORD_SCHEMA = ("segment_id long, rec_idx int, url string, "
+                     "warc_ts string, wat_json string")
+
+# the JSON envelope path real WAT files use (subset: the link fields)
+WAT_LINKS_SPARK_SCHEMA = (
+    "struct<Envelope:struct<`Payload-Metadata`:struct<"
+    "`HTTP-Response-Metadata`:struct<`HTML-Metadata`:struct<"
+    "Links:array<struct<path:string,url:string>>>>>>>")
+
+
+def build_wat_record(url: str, ts: str, links: list[str]) -> bytes:
+    """One WARC/1.0 metadata record whose payload is the WAT JSON
+    envelope for a response record — the link list as
+    ``{"path": "A@/href", "url": ...}`` entries, document order
+    preserved. ``separators=(',', ':')`` + ``ensure_ascii`` keep the
+    bytes deterministic and ASCII (oracle-derivable)."""
+    import json
+
+    envelope = {"Envelope": {
+        "WARC-Header-Metadata": {"WARC-Target-URI": url},
+        "Payload-Metadata": {"HTTP-Response-Metadata": {"HTML-Metadata": {
+            "Links": [{"path": "A@/href", "url": u} for u in links],
+        }}},
+    }}
+    body = json.dumps(envelope, separators=(",", ":"),
+                      ensure_ascii=True).encode("ascii")
+    head = (f"WARC/1.0\r\n"
+            f"WARC-Type: metadata\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {ts}\r\n"
+            f"Content-Type: application/json\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n").encode("ascii")
+    return head + body + b"\r\n\r\n"
+
+
+def synthesize_wat_segments(spark, n_pages: int, *,
+                            pages_per_segment: int = 50,
+                            gzip_members: bool = False) -> DataFrame:
+    """(segment_id, wat:binary): deterministic WAT segments — one
+    metadata record per logical page, links computed by the SAME kernel
+    extractor the crawl discovery path uses (kernel.extract_links), so
+    the WAT link graph is byte-consistent with what a WARC re-parse
+    would yield. Segment boundaries mirror the WARC/WET layout so the
+    (warc, wet, wat) triple aligns — exactly how Common Crawl ships."""
+    import pandas as pd
+
+    from ..functions.kernel import extract_links
+    from .pages import page_record
+
+    n_segments = -(-n_pages // pages_per_segment)
+    frame = gzip_member if gzip_members else (lambda b: b)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for seg in pdf["id"]:
+                seg = int(seg)
+                lo = seg * pages_per_segment
+                hi = min(lo + pages_per_segment, n_pages)
+                parts = [frame(build_warcinfo(seg))]
+                for i in range(lo, hi):
+                    page = page_record(i)
+                    links = extract_links(page["html"], page["url"])
+                    parts.append(frame(build_wat_record(
+                        page["url"], "2026-06-01T00:00:00Z", links)))
+                rows.append((seg, b"".join(parts)))
+            yield pd.DataFrame(rows, columns=["segment_id", "wat"])
+
+    return (spark.range(n_segments)
+            .repartition(min(n_segments, 32))
+            .mapInPandas(gen, schema="segment_id long, wat binary"))
+
+
+def wat_records(segments: DataFrame, *,
+                blob_col: str = "wat") -> DataFrame:
+    """Explode WAT segment blobs into metadata-record rows
+    (WAT_RECORD_SCHEMA). Same Arrow-stage contract as warc_records /
+    wet_records: the segment blob never leaves the stage — only the
+    narrow (url, ts, wat_json) rows do. The JSON STAYS A STRING here on
+    purpose: decoding it is ``F.from_json`` with WAT_LINKS_SPARK_SCHEMA
+    downstream, whole-stage JVM — the link graph is built without any
+    Python in the hot path after this parse."""
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for seg_id, blob in zip(pdf["segment_id"], pdf[blob_col]):
+                for idx, url, ts, _status, body in parse_warc_segment(
+                        bytes(blob), record_type="metadata"):
+                    rows.append((int(seg_id), idx, url, ts,
+                                 body.decode("ascii", "replace")))
+            yield pd.DataFrame(rows, columns=[
+                "segment_id", "rec_idx", "url", "warc_ts", "wat_json"])
+
+    return segments.mapInPandas(gen, schema=WAT_RECORD_SCHEMA)
+
+
+def wat_links(records: DataFrame) -> DataFrame:
+    """(segment_id, src, target) edge rows from WAT metadata records —
+    ``from_json`` + ``explode`` only, whole-stage JVM after the Arrow
+    parse. This is the production link-graph ingestion path: feeding
+    operators/graph.py (pagerank, HITS, anchor rollup inputs) from WAT
+    costs a JSON decode per record instead of an HTML parse per page."""
+    links = F.from_json(F.col("wat_json"), WAT_LINKS_SPARK_SCHEMA) \
+        ["Envelope"]["Payload-Metadata"]["HTTP-Response-Metadata"] \
+        ["HTML-Metadata"]["Links"]
+    return (records
+            .select("segment_id", F.col("url").alias("src"),
+                    F.explode(links).alias("l"))
+            .select("segment_id", "src", F.col("l")["url"].alias("target")))

@@ -158,3 +158,68 @@ def test_wet_gzip_members_match_plain(spark):
         .orderBy("segment_id", "rec_idx")
     assert [tuple(r) for r in plain.collect()] == \
            [tuple(r) for r in gz.collect()]
+
+
+# ---------------------------------------------------------------------------
+# WAT (metadata JSON link records) — the third Common Crawl file
+# ---------------------------------------------------------------------------
+
+def test_wat_record_roundtrip_and_json_shape():
+    import json
+
+    from python_web_scraper_cleaner_spark.sources.warc import (
+        build_wat_record, wat_records)  # noqa: F401 (import surface)
+    links = ["https://b.example/x", "https://c.example/y"]
+    rec = build_wat_record("http://a.example/1", TS, links)
+    parsed = parse_warc_segment(build_warcinfo(0) + rec,
+                                record_type="metadata")
+    assert len(parsed) == 1
+    idx, url, ts, _status, body = parsed[0]
+    assert url == "http://a.example/1" and ts == TS
+    env = json.loads(body)
+    got = [e["url"] for e in env["Envelope"]["Payload-Metadata"]
+           ["HTTP-Response-Metadata"]["HTML-Metadata"]["Links"]]
+    assert got == links
+    # response parse of the same segment finds nothing (type filter works)
+    assert parse_warc_segment(build_warcinfo(0) + rec) == []
+
+
+def test_wat_links_match_kernel_extractor(spark):
+    # the full chain — write (gzip members) → parse → from_json → explode —
+    # must reproduce exactly what kernel.extract_links sees per page
+    from python_web_scraper_cleaner_spark.functions.kernel import (
+        extract_links)
+    from python_web_scraper_cleaner_spark.sources.pages import pages_local
+    from python_web_scraper_cleaner_spark.sources.warc import (
+        synthesize_wat_segments, wat_links, wat_records)
+
+    n = 120
+    segs = synthesize_wat_segments(spark, n, pages_per_segment=25,
+                                   gzip_members=True)
+    edges = wat_links(wat_records(segs)).collect()
+    got = {}
+    for r in edges:
+        got.setdefault(r["src"], []).append(r["target"])
+    expected = {}
+    for page in pages_local(n):
+        links = extract_links(page["html"], page["url"])
+        if links:
+            expected[page["url"]] = links
+    assert set(got) == set(expected)
+    for src, targets in expected.items():
+        assert sorted(got[src]) == sorted(targets), src
+
+
+def test_wat_corrupt_segment_degrades_not_raises(spark):
+    import pandas as pd
+
+    from python_web_scraper_cleaner_spark.sources.warc import (
+        build_wat_record, wat_links, wat_records)
+    good = build_warcinfo(0) + build_wat_record(
+        "http://a.example/1", TS, ["https://b.example/x"])
+    corrupt = good + b"WARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: 999999\r\n\r\ntrunc"
+    segs = spark.createDataFrame(
+        pd.DataFrame({"segment_id": [0], "wat": [corrupt]}))
+    rows = wat_links(wat_records(segs)).collect()
+    assert [(r["src"], r["target"]) for r in rows] == [
+        ("http://a.example/1", "https://b.example/x")]
