@@ -179,6 +179,18 @@ AUDITED = [
      "shuffles — only (url, digest) crosses the full-outer SortMergeJoin "
      "exchanges; at scale both snapshots are url-bucketed (zero-exchange "
      "SMJ), demo pays the two url hash exchanges + partial-agg rollup"),
+    ("c4_line_filter",
+     "C4 line cleaning adds ZERO exchanges to the extraction scan: the "
+     "keep decision and all per-page stats are higher-order array exprs "
+     "in the same projection as the pandas-UDF extract — the only "
+     "Exchange is the demo's final orderBy; no window, no join, no "
+     "Python beyond the mandated extraction kernel"),
+    ("wat_scan_links",
+     "WAT link ingestion: segment blob consumed inside the Arrow stage, "
+     "from_json+explode run whole-stage JVM; the demo's countDistinct "
+     "rollup takes the standard two-level distinct-agg shape — partial "
+     "(target,src) collapse then the target agg, both map-side combined "
+     "— so only 8-byte-ish key pairs ever shuffle, never JSON or HTML"),
 ]
 
 KEEP = re.compile(
