@@ -609,27 +609,10 @@ def _c4_candidate(line: Column, min_words: int) -> Column:
             & (F.size(F.split(line, r"[ \t\x0B\f\r]+", -1)) >= min_words))
 
 
-def c4_quality_filter(docs: DataFrame, *, id_col: str = "id",
-                      text_col: str = "text",
-                      min_words_per_line: int = 5,
-                      min_sentences: int = 3,
-                      keep_text: bool = False) -> DataFrame:
-    """Per-page C4 cleaning stats + keep decision (kernel.c4_clean twin).
-
-    Rule order matches the kernel exactly (see its docstring for the
-    c4_utils provenance): structural candidate gates first; then over the
-    candidates — "lorem ipsum" drops the page, "javascript" drops the
-    line, "{" drops the page (the exists-form `brace AND NOT javascript`
-    is equivalent to the kernel's sequential early-return: a lorem page
-    is dropped either way, and a brace on a javascript line never
-    reaches the brace check), policy substrings drop the line; finally
-    the kept text needs >= min_sentences [.!?] marks.
-
-    100-TB shape: one projection, no exchange — the keep decision is a
-    pure function of the row, so the filter composes into any scan and
-    pushes as far as the extraction stage allows. Returns (id, n_lines,
-    n_cand, n_kept, n_sentences, kept:0/1[, clean_text])."""
-    lines = F.split(F.col(text_col), "\n", -1)
+def _c4_parts(text: Column, min_words_per_line: int):
+    """(lines, cand, page_drop, kept_arr, clean, n_sent) shared by the
+    stats operator and the engine's scalar keep column."""
+    lines = F.split(text, "\n", -1)
     stripped = F.transform(lines, _c4_strip)
     cand = F.filter(stripped,
                     lambda l: _c4_candidate(l, min_words_per_line))
@@ -650,6 +633,41 @@ def c4_quality_filter(docs: DataFrame, *, id_col: str = "id",
     kept_arr = F.filter(cand, keep_line)
     clean = F.array_join(kept_arr, "\n")
     n_sent = F.regexp_count(clean, F.lit(r"[.!?]"))
+    return lines, cand, page_drop, kept_arr, clean, n_sent
+
+
+def c4_kept_col(text: Column, *, min_words_per_line: int = 5,
+                min_sentences: int = 3) -> Column:
+    """Scalar C4 keep decision (kernel.c4_clean['kept'] twin) — a pure
+    boolean row function, null text → false, so it composes into any
+    filter or projection without changing the plan shape."""
+    _, _, page_drop, _, _, n_sent = _c4_parts(text, min_words_per_line)
+    return F.coalesce(~page_drop & (n_sent >= min_sentences),
+                      F.lit(False))
+
+
+def c4_quality_filter(docs: DataFrame, *, id_col: str = "id",
+                      text_col: str = "text",
+                      min_words_per_line: int = 5,
+                      min_sentences: int = 3,
+                      keep_text: bool = False) -> DataFrame:
+    """Per-page C4 cleaning stats + keep decision (kernel.c4_clean twin).
+
+    Rule order matches the kernel exactly (see its docstring for the
+    c4_utils provenance): structural candidate gates first; then over the
+    candidates — "lorem ipsum" drops the page, "javascript" drops the
+    line, "{" drops the page (the exists-form `brace AND NOT javascript`
+    is equivalent to the kernel's sequential early-return: a lorem page
+    is dropped either way, and a brace on a javascript line never
+    reaches the brace check), policy substrings drop the line; finally
+    the kept text needs >= min_sentences [.!?] marks.
+
+    100-TB shape: one projection, no exchange — the keep decision is a
+    pure function of the row, so the filter composes into any scan and
+    pushes as far as the extraction stage allows. Returns (id, n_lines,
+    n_cand, n_kept, n_sentences, kept:0/1[, clean_text])."""
+    lines, cand, page_drop, kept_arr, clean, n_sent = _c4_parts(
+        F.col(text_col), min_words_per_line)
     out = docs.select(
         F.col(id_col).alias("id"),
         F.size(lines).cast("long").alias("n_lines"),

@@ -14,7 +14,10 @@ html_cleaner_core.py:run_batch), re-expressed as north_rule demands:
       fetch stage (groupBy(host).applyInPandas — per-host pacing
       serialized within a task, S3)
       ──vectorized extraction (F3, byte-identical kernel)──►
-      near-dup probe vs the persisted MinHash signature index (optional,
+      C4 line-quality verdict (optional, c4_filter=True: pages failing
+      the Raffel et al. line recipe are flagged `c4_kept=false` and
+      excluded from the corpus view / signature index, audit rows kept)
+      ──► near-dup probe vs the persisted MinHash signature index (optional,
       dedup_index=True: batch band-probes sig_index, near-dups flagged,
       only kept docs' bands appended — corpus never re-shingled)
     transactional commits: pages+r, warc_segments+r (optional,
@@ -209,7 +212,10 @@ class CrawlEngine:
                  max_attempts: int = 3,
                  retry_backoff_rounds: int = 1,
                  url_filter: bool = False,
-                 strip_tracking: bool = False) -> None:
+                 strip_tracking: bool = False,
+                 c4_filter: bool = False,
+                 c4_min_words: int = 5,
+                 c4_min_sentences: int = 3) -> None:
         self.spark = spark
         self.io = TableIO(spark, root)
         self.per_host_budget = per_host_budget
@@ -348,6 +354,17 @@ class CrawlEngine:
         # default: parameter dropping is a per-crawl policy choice and
         # changes crawl ordering vs the reference contract.
         self.strip_tracking = strip_tracking
+        # C4 line-level quality gate (operators/textstats.c4_kept_col —
+        # the Raffel et al. 2020 recipe, kernel.c4_clean twin): each
+        # round stamps extracted pages with a `c4_kept` verdict; failed
+        # pages stay in the sink for audit but are excluded from the
+        # corpus view the signature index and near-dup probe consume
+        # (same flag-don't-delete contract as near_dup). A pure
+        # projection of the extracted text, so replay/resume stay
+        # byte-identical.
+        self.c4_filter = c4_filter
+        self.c4_min_words = c4_min_words
+        self.c4_min_sentences = c4_min_sentences
 
     def _strip_tracking(self, seeds: DataFrame) -> DataFrame:
         """Apply aggressive param-strip canonicalization to raw seed rows
@@ -555,6 +572,8 @@ class CrawlEngine:
         kept = committed.filter(F.col("ok"))
         if "near_dup" in committed.columns:
             kept = kept.filter(~F.col("near_dup"))
+        if "c4_kept" in committed.columns:
+            kept = kept.filter(F.col("c4_kept"))
         sig_r = io.latest_round("sig_index") if io.exists("sig_index") \
             else None
         index = io.read("sig_index") if sig_r is not None else None
@@ -579,11 +598,17 @@ class CrawlEngine:
         from ..operators import dedup as D
         if index_bands is None:
             return pages.withColumn("near_dup", F.lit(False))
-        new_docs = pages.filter(F.col("ok")).select("url_hash", "text")
+        new_docs = pages.filter(F.col("ok"))
+        if "c4_kept" in pages.columns:
+            # c4-dropped pages never enter the corpus — skip their probe
+            new_docs = new_docs.filter(F.col("c4_kept"))
+        new_docs = new_docs.select("url_hash", "text")
         committed = self.io.read("pages")
         index_docs = committed.filter(F.col("ok"))
         if "near_dup" in committed.columns:
             index_docs = index_docs.filter(~F.col("near_dup"))
+        if "c4_kept" in committed.columns:
+            index_docs = index_docs.filter(F.col("c4_kept"))
         pairs = D.minhash_lsh_probe_index(
             index_bands, index_docs.select("url_hash", "text"), new_docs,
             id_col="url_hash", text_col="text", k=self._sig_k,
@@ -934,6 +959,14 @@ class CrawlEngine:
                              "lang", "ok", "extracted_chars", "error",
                              *extra_cols,
                              *(["attempt"] if self.retry_failed else [])))
+            if self.c4_filter:
+                from ..operators.textstats import c4_kept_col
+                pages = pages.withColumn(
+                    "c4_kept",
+                    F.col("ok") & c4_kept_col(
+                        F.col("text"),
+                        min_words_per_line=self.c4_min_words,
+                        min_sentences=self.c4_min_sentences))
             if self.dedup_index:
                 # localCheckpoint, not persist: the probe + flag + every
                 # commit re-enter this frame, and a plain persist caches
@@ -997,8 +1030,11 @@ class CrawlEngine:
                     # q_dedup_incremental's index build,
                     # plans/queries.py)
                     par = self.spark.sparkContext.defaultParallelism
-                    kept_new = (pages
-                                .filter(F.col("ok") & ~F.col("near_dup"))
+                    kept_new = pages.filter(F.col("ok")
+                                            & ~F.col("near_dup"))
+                    if self.c4_filter:
+                        kept_new = kept_new.filter(F.col("c4_kept"))
+                    kept_new = (kept_new
                                 .select("url_hash", "text")
                                 .repartition(par, F.col("url_hash")))
                     new_bands = D.banded_signatures(
@@ -1146,6 +1182,9 @@ class CrawlEngine:
                      "n_remaining": io.read("frontier").count()}
             if self.dedup_index:
                 stats["n_near_dup"] = pages.filter("near_dup").count()
+            if self.c4_filter:
+                stats["n_c4_dropped"] = pages.filter(
+                    F.col("ok") & ~F.col("c4_kept")).count()
             if trap_dropped is not None:
                 stats["n_trap_dropped"] = trap_dropped.count()
         finally:

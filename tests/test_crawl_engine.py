@@ -1570,3 +1570,65 @@ def test_strip_tracking_resume_byte_identical(spark, tmp_path):
     a = sorted(map(tuple, full.io.read("pages").select(*cols).collect()))
     b = sorted(map(tuple, resumed.io.read("pages").select(*cols).collect()))
     assert a == b and len(a) == 12
+
+
+def test_c4_filter_mode_flags_and_excludes_from_index(spark, tmp_path):
+    # c4_filter=True stamps every extracted page with the kernel-twin C4
+    # verdict; dropped pages stay in the sink for audit but never enter
+    # the signature index (the corpus view)
+    from python_web_scraper_cleaner_spark.functions.kernel import c4_clean
+
+    # the synthetic corpus is all full sentences, so the DEFAULT gate
+    # passes everything; min_sentences=17 splits the fixture's real
+    # 16-vs-17 sentence-count distribution so the drop path is exercised
+    eng = CrawlEngine(spark, str(tmp_path / "c4"), per_host_budget=BUDGET,
+                      c4_filter=True, c4_min_sentences=17,
+                      dedup_index=True)
+    stats = drain(eng, spark)
+    assert all("n_c4_dropped" in s for s in stats)
+
+    pages = eng.io.read("pages")
+    rows = pages.select("url_hash", "ok", "text", "c4_kept").collect()
+    dropped = 0
+    for r in rows:
+        expected = (bool(r["ok"])
+                    and c4_clean(r["text"], min_sentences=17)["kept"])
+        assert r["c4_kept"] == expected, r["url_hash"]
+        if r["ok"] and not expected:
+            dropped += 1
+    assert dropped > 0  # the fixture corpus must exercise the gate
+    assert sum(s["n_c4_dropped"] for s in stats) == dropped
+
+    # index membership: exactly the ok & c4_kept & !near_dup url_hashes
+    idx_ids = {r["id"] for r in
+               eng.io.read("sig_index").select("id").distinct().collect()}
+    kept_ids = {r["url_hash"] for r in rows if r["ok"] and r["c4_kept"]}
+    nd = {r["url_hash"] for r in
+          pages.filter("near_dup").select("url_hash").collect()}
+    assert idx_ids == kept_ids - nd
+
+
+def test_c4_filter_mode_kill_resume_identical(spark, tmp_path):
+    # the verdict is a pure function of committed text: a resumed store
+    # must finish with the identical page set and identical c4 flags
+    full = CrawlEngine(spark, str(tmp_path / "full"),
+                       per_host_budget=BUDGET, c4_filter=True,
+                       c4_min_sentences=17)
+    drain(full, spark)
+
+    killed = CrawlEngine(spark, str(tmp_path / "killed"),
+                         per_host_budget=BUDGET, c4_filter=True,
+                         c4_min_sentences=17)
+    killed.bootstrap(make_seeds(spark), make_robots(spark))
+    killed.run(max_rounds=2)  # "crash" after two rounds
+    resumed = CrawlEngine(spark, str(tmp_path / "killed"),
+                          per_host_budget=BUDGET, c4_filter=True,
+                          c4_min_sentences=17)
+    resumed.run(max_rounds=30)
+
+    def snap(e):
+        return sorted((r["url"], r["round"], r["c4_kept"]) for r in
+                      e.io.read("pages")
+                      .select("url", "round", "c4_kept").collect())
+
+    assert snap(full) == snap(resumed)

@@ -64,6 +64,10 @@ MODES = {
     # aggressive URL canonicalization: tracking-param strip + param sort
     # on raw candidates at both ingestion points (pure projection)
     "strip_tracking": {"strip_tracking": True},
+    # C4 line-quality verdict: higher-order array exprs over the
+    # extracted text in the same projection as the extract stage — the
+    # cheapest mode by construction (no new table, no join, no shuffle)
+    "c4_filter": {"c4_filter": True},
 }
 
 
