@@ -176,3 +176,37 @@ def pack_shards(df: DataFrame, *, id_col: str, tokens_col: str,
                     F.floor((F.col("bucket_offset")
                              + F.col("local_prefix")) / budget)
                     .cast("long").alias("shard_id")))
+
+
+def leakage_safe_split(df: DataFrame, *, unit_col: str,
+                       splits: tuple = (("train", 9800), ("valid", 100),
+                                        ("test", 100))) -> DataFrame:
+    """Assign every row to a train/valid/test split by hashing the
+    GROUPING UNIT (registrable domain / host), never the document id.
+
+    Near-duplicate documents cluster within a site, so a doc-keyed split
+    leaks templated near-dups across train and eval — the contamination
+    vector per-split MinHash dedup cannot fix (each split dedups only
+    against itself). Hashing the unit makes the split a pure function of
+    the domain: every doc of a domain lands in ONE split, and re-runs,
+    retries, and cluster resizes reproduce the identical assignment
+    (same md5-basis-point determinism as stratified_sample). Split
+    widths are basis points and must sum to 10000; the realized DOC
+    share tracks the widths only insofar as domains are balanced —
+    report the audit rollup, don't assume.
+
+    100-TB shape: one md5 projection + a literal when-chain — zero
+    joins, zero exchanges; composes into any corpus scan."""
+    total = sum(w for _, w in splits)
+    if total != 10000:
+        raise ValueError(f"split widths must sum to 10000 bp, got {total}")
+    if len(splits) < 2:
+        raise ValueError("need at least two splits")
+    bp = _hash_bp(F.col(unit_col))
+    expr = None
+    acc = 0
+    for name, width in splits[:-1]:
+        acc += width
+        expr = (F.when(bp < acc, name) if expr is None
+                else expr.when(bp < acc, name))
+    return df.withColumn("split", expr.otherwise(splits[-1][0]))

@@ -5289,6 +5289,22 @@ from dec group by host order by host
 _PSL_RULES = ["com", "uk", "co.uk", "*.ck", "!www.ck"]
 
 
+def _psl_fixture_host(d):
+    """Deterministic fixture hosts exercising every PSL rule class —
+    shared by the registrable_domain and split_by_domain entries (and
+    mirrored verbatim in _psl_sql_ctes' hosts CTE)."""
+    return (F.when(d % 6 == 0, F.concat(F.lit("a"), (d % 10).cast("string"),
+                                        F.lit(".Example.COM")))
+            .when(d % 6 == 1, F.concat(F.lit("b"), (d % 10).cast("string"),
+                                       F.lit(".co.uk")))
+            .when(d % 6 == 2, F.concat(F.lit("c"), (d % 10).cast("string"),
+                                       F.lit(".foo.ck")))
+            .when(d % 6 == 3, F.lit("WWW.ck"))
+            .when(d % 6 == 4, F.concat(F.lit("d"), (d % 10).cast("string"),
+                                       F.lit(".uk")))
+            .otherwise(F.concat(F.lit("solo"), (d % 10).cast("string"))))
+
+
 def q_registrable_domain(spark, sf_dir):
     """Public-suffix-list registrable-domain extraction
     (operators/frontier.psl_lookup_cols; kernel twin
@@ -5304,18 +5320,8 @@ def q_registrable_domain(spark, sf_dir):
     ~9k-rule PSL swaps literals for one broadcast join (noted in the
     operator docstring)."""
     docs = _t(spark, sf_dir, "documents")
-    d = F.col("doc_id")
-    host = (F.when(d % 6 == 0, F.concat(F.lit("a"), (d % 10).cast("string"),
-                                        F.lit(".Example.COM")))
-            .when(d % 6 == 1, F.concat(F.lit("b"), (d % 10).cast("string"),
-                                       F.lit(".co.uk")))
-            .when(d % 6 == 2, F.concat(F.lit("c"), (d % 10).cast("string"),
-                                       F.lit(".foo.ck")))
-            .when(d % 6 == 3, F.lit("WWW.ck"))
-            .when(d % 6 == 4, F.concat(F.lit("d"), (d % 10).cast("string"),
-                                       F.lit(".uk")))
-            .otherwise(F.concat(F.lit("solo"), (d % 10).cast("string"))))
-    ps, reg = FR.psl_lookup_cols(host, _PSL_RULES)
+    ps, reg = FR.psl_lookup_cols(_psl_fixture_host(F.col("doc_id")),
+                                 _PSL_RULES)
     return (docs.select(ps.alias("public_suffix"),
                         F.coalesce(reg, F.lit("<none>"))
                         .alias("registrable"))
@@ -5325,10 +5331,12 @@ def q_registrable_domain(spark, sf_dir):
 
 
 @lru_cache(maxsize=None)
-def _sql_registrable_domain():
-    """Oracle: the generic PSL algorithm in SQL — per-depth suffix
-    candidates joined to a rules CTE, exception > longest normal/wildcard
-    > default, same fixture hosts."""
+def _psl_sql_ctes():
+    """Shared oracle CTEs: fixture hosts (the registrable_domain scheme)
+    through the generic PSL decision — per-depth suffix candidates joined
+    to a rules CTE, exception > longest normal/wildcard > default.
+    Yields `dec(doc_id, ls, n, pub_d)`; consumers derive the registrable
+    domain from it."""
     rule_rows = ",\n".join(
         ("('{r}', 'exc', {d})".format(r=r[1:], d=r[1:].count(".") + 1)
          if r.startswith("!") else
@@ -5371,7 +5379,12 @@ agg as (select doc_id,
 dec as (select l.doc_id, l.ls, l.n,
                case when coalesce(a.exc_d, 0) >= 2 then a.exc_d - 1
                     else coalesce(a.best, 1) end as pub_d
-        from lab l left join agg a using (doc_id))
+        from lab l left join agg a using (doc_id))"""
+
+
+def _sql_registrable_domain():
+    """Oracle: PSL rollup over the shared CTEs (_psl_sql_ctes)."""
+    return _psl_sql_ctes() + """
 select array_to_string(list_slice(ls, n - pub_d + 1, n), '.')
          as public_suffix,
        case when n >= pub_d + 1
@@ -5379,6 +5392,60 @@ select array_to_string(list_slice(ls, n - pub_d + 1, n), '.')
             else '<none>' end as registrable,
        cast(count(*) as bigint) as n_hosts
 from dec group by 1, 2 order by 1, 2
+"""
+
+
+def q_split_by_domain(spark, sf_dir):
+    """Leakage-safe train/valid/test assignment
+    (operators/sampling.leakage_safe_split): the split is a pure md5
+    function of the REGISTRABLE DOMAIN (PSL lookup), never the doc id —
+    templated near-dups cluster within a site, and a doc-keyed split
+    leaks them across train and eval (the contamination vector per-split
+    dedup cannot fix, since each split dedups only against itself).
+    Every domain lands in exactly one split by construction; re-runs and
+    cluster resizes reproduce the identical assignment. Zero joins, zero
+    per-row exchanges — PSL folds to literal arrays, the split is a
+    when-chain over md5 basis points, and the only exchange is the
+    3-row audit rollup. Reference analog: none (single-host fetcher);
+    this is the corpus-assembly step after sampling (SURVEY §2 LLM
+    tier)."""
+    from ..operators.sampling import leakage_safe_split
+    docs = _t(spark, sf_dir, "documents")
+    _ps, reg = FR.psl_lookup_cols(_psl_fixture_host(F.col("doc_id")),
+                                  _PSL_RULES)
+    with_reg = docs.select(
+        F.col("doc_id"),
+        F.coalesce(reg, F.lit("<none>")).alias("registrable"))
+    # 60/17/23 demo widths: the fixture yields only 18 distinct
+    # registrables (max basis point 8146), so production-style 98/1/1
+    # would leave valid/test empty here — the operator is width-agnostic
+    split = leakage_safe_split(with_reg, unit_col="registrable",
+                               splits=(("train", 6000), ("valid", 1700),
+                                       ("test", 2300)))
+    return (split.groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("registrable").alias("n_domains"))
+            .orderBy("split"))
+
+
+def _sql_split_by_domain():
+    """Oracle: same PSL CTEs, then the md5-basis-point split of the
+    registrable domain and the per-split audit rollup."""
+    bp = _hex_int_sql("md5(registrable)", 1) + " % 10000"
+    return _psl_sql_ctes() + f""",
+reg as (select doc_id,
+               case when n >= pub_d + 1
+                    then array_to_string(list_slice(ls, n - pub_d, n), '.')
+                    else '<none>' end as registrable
+        from dec),
+sp as (select doc_id, registrable,
+              case when {bp} < 6000 then 'train'
+                   when {bp} < 7700 then 'valid'
+                   else 'test' end as split
+       from reg)
+select split, cast(count(*) as bigint) as n_docs,
+       cast(count(distinct registrable) as bigint) as n_domains
+from sp group by split order by split
 """
 
 
@@ -6026,6 +6093,7 @@ def registry():
         # -- 1. never driver-checked (new in round 5) --
         "c4_line_filter": (q_c4_line_filter, _sql_c4_line_filter),
         "wat_scan_links": (q_wat_scan_links, _sql_wat_scan_links),
+        "split_by_domain": (q_split_by_domain, _sql_split_by_domain),
         "ccnet_lang_buckets": (q_ccnet_buckets, _sql_ccnet_buckets),
         "url_tracking_canonical": (q_url_tracking_canonical,
                                    _sql_url_tracking_canonical),

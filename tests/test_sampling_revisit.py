@@ -166,3 +166,33 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     with pytest.raises(ValueError):
         chunk_documents(df, id_col="doc_id", text_col="text",
                         chunk_tokens=4, overlap=4)
+
+
+def test_leakage_safe_split_unit_exclusive_and_deterministic(spark):
+    import pytest
+
+    from python_web_scraper_cleaner_spark.operators.sampling import (
+        leakage_safe_split)
+
+    rows = [(i, f"dom{i % 37}.example") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, domain string")
+    out = leakage_safe_split(df, unit_col="domain",
+                             splits=(("train", 6000), ("valid", 2000),
+                                     ("test", 2000)))
+    # every domain maps to exactly ONE split (the leakage-safety property)
+    multi = (out.groupBy("domain")
+             .agg(F.countDistinct("split").alias("n"))
+             .filter("n > 1").count())
+    assert multi == 0
+    # at least two splits realized, and the assignment is reproducible
+    a = {(r["id"], r["split"]) for r in out.collect()}
+    b = {(r["id"], r["split"]) for r in leakage_safe_split(
+        df, unit_col="domain",
+        splits=(("train", 6000), ("valid", 2000),
+                ("test", 2000))).collect()}
+    assert a == b
+    assert out.select("split").distinct().count() >= 2
+    # widths must sum to 10000 basis points
+    with pytest.raises(ValueError):
+        leakage_safe_split(df, unit_col="domain",
+                           splits=(("a", 5000), ("b", 4000)))
