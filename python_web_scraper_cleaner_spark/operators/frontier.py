@@ -771,3 +771,110 @@ def url_tracking_canonical(urls: DataFrame, *, url_col: str = "url",
         "n_params_kept": F.size(kept).cast("long"),
     }).withColumn("changed", F.col("canon_url") != F.col(url_col))
         .drop("_u"))
+
+
+def extract_directives(pages: DataFrame, *, url_col: str = "url",
+                       html_col: str = "html") -> DataFrame:
+    """Page-level crawl directives: meta-robots ``noindex``/``nofollow``
+    and the ``rel=canonical`` target, extracted from raw HTML.
+
+    The robots.txt layer (apply_robots / apply_robots_wildcard) gates
+    fetching per host-path; these are the PER-PAGE directives a crawler
+    honors after the fetch (Googlebot/Heritrix semantics): ``noindex``
+    keeps the page out of the corpus/index while its links may still be
+    followed, ``nofollow`` suppresses out-link discovery from this page,
+    and ``rel=canonical`` folds duplicate URLs onto a canonical target
+    BEFORE content dedup ever runs — the polite-web analog of the
+    reference's URL-seen skip (/root/reference/scripts/news.py:17-34),
+    driven by the publisher's own declaration instead of our hash.
+
+    Output: input row + ``noindex``, ``nofollow`` (booleans),
+    ``canonical_url`` (declared target, or the page's own URL when no
+    tag / an empty href is present) and ``canonical_self``.
+
+    Scale shape (100 TB): three case-insensitive regexp extractions over
+    the html column inside ONE whole-stage-codegen projection — no
+    shuffle, no UDF, and the html column is dropped from the output so
+    the wide blob never crosses a downstream exchange. Canonical-group
+    folding (groupBy canonical_url) then shuffles only the url-cardinality
+    directive rows, never the payload.
+    """
+    html = F.col(html_col).cast("string")
+    # content attr of a robots meta tag, either attribute order
+    robots_content = F.concat_ws(
+        " ",
+        F.regexp_extract(
+            html, r'(?i)<meta\s+name="robots"\s+content="([^"]*)"', 1),
+        F.regexp_extract(
+            html, r'(?i)<meta\s+content="([^"]*)"\s+name="robots"', 1))
+    canon_href = F.regexp_extract(
+        html, r'(?i)<link\s+rel="canonical"\s+href="([^"]*)"', 1)
+    canonical = (F.when(canon_href == "", F.col(url_col))
+                 .otherwise(canon_href))
+    return (pages.withColumns({
+        "noindex": robots_content.rlike(r"(?i)\bnoindex\b"),
+        "nofollow": robots_content.rlike(r"(?i)\bnofollow\b"),
+        "canonical_url": canonical,
+    }).withColumn("canonical_self", F.col("canonical_url") == F.col(url_col))
+        .drop(html_col))
+
+
+def revalidation_plan(history: DataFrame, pages: DataFrame, *,
+                      page_col: str = "page_id", ts_col: str = "ts",
+                      id_col: str = "fetch_id", changed_col: str = "changed",
+                      etag_col: str = "has_etag",
+                      lastmod_col: str = "has_last_modified",
+                      bytes_col: str = "page_bytes",
+                      header_bytes: int = 600) -> DataFrame:
+    """Conditional-GET recrawl planning: per page, decide full fetch vs
+    If-None-Match / If-Modified-Since revalidation and price the expected
+    bandwidth (the HTTP-cache-validation layer Heritrix/Nutch run next to
+    the Cho-Garcia-Molina revisit scheduler — see revisit_schedule).
+
+    Inputs: the fetch ``history`` frame revisit_schedule consumes (one
+    row per past fetch with a ``changed`` flag), plus a per-page frame
+    with validator capability (served an ETag / a Last-Modified header)
+    and the page's full-body transfer size.
+
+    Output per page: n_fetches, n_changes, change_bp (observed change
+    rate in basis points), mode ('conditional' when either validator is
+    available, else 'full'), expected_bytes — a conditional request pays
+    the full body only at the observed change rate and a ~header-sized
+    304 otherwise, a full fetch always pays the body — and saved_bp, the
+    bandwidth fraction the validator saves. Schedulers feed saved_bp
+    into fetch budgeting: a 10^10-URL frontier whose hosts serve
+    validators recrawls for ~the header bill on still pages.
+
+    All math is integer basis points (ANSI-safe: n_fetches >= 1 by
+    construction of the group, page_bytes is guarded). Scale shape: the
+    history aggregate reuses revisit_schedule (ONE exchange — window and
+    groupBy share the page-id partitioning); the validator join is
+    page-cardinality on the same key, so AQE plans a co-partitioned or
+    broadcast join, and no text/blob column moves at any point.
+    """
+    stats = revisit_schedule(history, page_col=page_col, ts_col=ts_col,
+                             id_col=id_col, changed_col=changed_col)
+    caps = pages.select(
+        F.col(page_col).alias("page_id"),
+        F.col(etag_col).alias("_etag"),
+        F.col(lastmod_col).alias("_lastmod"),
+        F.col(bytes_col).cast("long").alias("page_bytes"))
+    j = stats.join(caps, "page_id")
+    change_bp = F.expr("(10000 * n_changes) div n_fetches")
+    conditional = F.col("_etag") | F.col("_lastmod")
+    exp_cond = F.expr(
+        f"(change_bp * page_bytes + (10000 - change_bp) * {header_bytes}) "
+        "div 10000")
+    expected = F.when(conditional, exp_cond).otherwise(F.col("page_bytes"))
+    return (j.withColumn("change_bp", change_bp.cast("long"))
+            .withColumn("mode", F.when(conditional, F.lit("conditional"))
+                        .otherwise(F.lit("full")))
+            .withColumn("expected_bytes", expected.cast("long"))
+            .withColumn(
+                "saved_bp",
+                F.when(F.col("page_bytes") > 0,
+                       F.expr("(10000 * (page_bytes - expected_bytes)) "
+                              "div page_bytes"))
+                .otherwise(F.lit(0)).cast("long"))
+            .select("page_id", "n_fetches", "n_changes", "change_bp",
+                    "mode", "page_bytes", "expected_bytes", "saved_bp"))

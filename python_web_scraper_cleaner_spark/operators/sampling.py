@@ -210,3 +210,52 @@ def leakage_safe_split(df: DataFrame, *, unit_col: str,
         expr = (F.when(bp < acc, name) if expr is None
                 else expr.when(bp < acc, name))
     return df.withColumn("split", expr.otherwise(splits[-1][0]))
+
+
+def mixture_weights(df: DataFrame, *, strata_cols: list[str],
+                    tokens_col: str, budget_tokens: int) -> DataFrame:
+    """Temperature-scaled data-mixing allocation: split a training token
+    budget across (language, source, ...) strata proportionally to
+    sqrt(stratum tokens) — the tau = 0.5 temperature sampling used for
+    multilingual/multi-source LLM mixes (mT5/XLM-R convention: raw
+    proportions starve tail strata, uniform over-weights them; the square
+    root is the standard compromise).
+
+    Input: one row per doc with a precomputed token count. Output per
+    stratum: n_docs, n_tokens, weight (floor(sqrt(n_tokens)) — integer
+    fixed-point so Spark and the oracle agree bit-for-bit; IEEE-754
+    sqrt is correctly rounded and n_tokens is exact in double far beyond
+    any real stratum), share_bp (basis points of the mix), alloc_tokens
+    (integer split of ``budget_tokens``; floor division, so the total
+    never overshoots the budget), and epochs_bp (alloc / available — a
+    value over 10000 means the stratum repeats during training: the
+    oversampling audit reviewers check before a run).
+
+    Scale shape (100 TB): ONE map-side-combined aggregate to stratum
+    cardinality, then a single-row total joined back by broadcast —
+    stratum counts are thousands of rows; nothing text-sized moves.
+    ANSI-safe: total weight >= 1 whenever any stratum has a token, and
+    both divisions are guarded for the degenerate all-empty stratum.
+    """
+    per = (df.groupBy(*strata_cols)
+           .agg(F.count("*").alias("n_docs"),
+                F.sum(F.col(tokens_col).cast("long")).alias("n_tokens")))
+    per = per.withColumn(
+        "weight", F.floor(F.sqrt(F.col("n_tokens"))).cast("long"))
+    total = per.agg(F.sum("weight").alias("_tw"))
+    j = per.crossJoin(F.broadcast(total))
+    alloc = F.when(F.col("_tw") > 0,
+                   F.expr(f"({budget_tokens} * weight) div _tw")) \
+             .otherwise(F.lit(0)).cast("long")
+    share = F.when(F.col("_tw") > 0,
+                   F.expr("(10000 * weight) div _tw")) \
+             .otherwise(F.lit(0)).cast("long")
+    out = (j.withColumn("share_bp", share)
+           .withColumn("alloc_tokens", alloc)
+           .withColumn(
+               "epochs_bp",
+               F.when(F.col("n_tokens") > 0,
+                      F.expr("(10000 * alloc_tokens) div n_tokens"))
+               .otherwise(F.lit(0)).cast("long")))
+    return out.select(*strata_cols, "n_docs", "n_tokens", "weight",
+                      "share_bp", "alloc_tokens", "epochs_bp")

@@ -680,3 +680,59 @@ def c4_quality_filter(docs: DataFrame, *, id_col: str = "id",
         *([F.when(~page_drop & (n_sent >= min_sentences), clean)
            .otherwise(F.lit("")).alias("clean_text")] if keep_text else []))
     return out
+
+
+# soft-404 phrase list: lowercase substrings whose presence marks an error
+# page served with HTTP 200. Kept tiny and literal so the DuckDB oracle
+# mirrors it verbatim (SQL twin in plans/queries.py).
+SOFT404_PHRASES = (
+    "page not found",
+    "404",
+    "does not exist",
+    "no longer available",
+    "an error occurred",
+)
+
+
+def soft404_signals(docs: DataFrame, *, id_col: str = "id",
+                    title_col: str = "title", text_col: str = "text",
+                    status_col: str = "http_status",
+                    max_words: int = 80) -> DataFrame:
+    """Soft-404 detection: error pages served with HTTP 200 — the classic
+    crawl-corpus poison (the server says OK, the body says "not found"),
+    invisible to the status-code filter and to robots handling. Standard
+    crawler countermeasure (Bar-Yossef et al., "Sic transit gloria telae:
+    towards an understanding of the web's decay", WWW'04): classify on
+    content signals, not status. Reference analog: the extraction
+    ok/error gate (/root/reference/scraper_cleaner/html_cleaner_core.py)
+    catches EMPTY extractions; this catches extractions that succeeded
+    but yielded an error page.
+
+    Signals per doc: n_words (whitespace tokens), phrase_hits (how many
+    of SOFT404_PHRASES occur in the lowercased body), title_error (title
+    matches 404/not-found/error). Verdict: is_soft404 = served 200 AND
+    at least one body phrase AND (short body OR error title) — a real
+    404/410 response is a HARD error handled upstream, so status != 200
+    never flags here.
+
+    Scale shape (100 TB): five `contains` probes + one regexp over text
+    in a single whole-stage-codegen projection; zero shuffles, zero UDFs,
+    no text column in the output.
+    """
+    lowered = F.lower(F.col(text_col))
+    hits = None
+    for p in SOFT404_PHRASES:
+        h = F.contains(lowered, F.lit(p)).cast("long")
+        hits = h if hits is None else hits + h
+    n_words = token_count_col(F.col(text_col))
+    title_error = F.lower(F.col(title_col)).rlike(
+        r"(404|not found|error)")
+    verdict = ((F.col(status_col) == 200) & (hits >= 1)
+               & ((n_words < max_words) | title_error))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.col(status_col).cast("long").alias("http_status"),
+        n_words.alias("n_words"),
+        hits.cast("long").alias("phrase_hits"),
+        title_error.alias("title_error"),
+        verdict.alias("is_soft404"))

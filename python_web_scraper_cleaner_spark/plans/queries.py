@@ -6073,6 +6073,272 @@ def _sql_wat_scan_links():
                        order_by="target")
 
 
+# ---------------------------------------------------------------------------
+# Page directives (meta robots + rel=canonical), soft-404, conditional-GET
+# revalidation, and temperature-scaled data mixing (round 5, session 9)
+# ---------------------------------------------------------------------------
+
+# Both engines derive the directive-page HTML from documents with the same
+# string surgery: doc_id % 7 picks the meta-robots payload, doc_id % 5 picks
+# the rel=canonical shape (1 → points at the cleaned canonical form of the
+# URL, 3 → explicit self-canonical, else no tag).
+_DIRECTIVE_META = {2: '<meta name="robots" content="noindex">',
+                   4: '<meta name="robots" content="nofollow">',
+                   6: '<meta name="robots" content="noindex, nofollow">'}
+
+
+def _directive_pages(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    base = _doc_urls(docs).join(docs.select("doc_id", "text"), "doc_id")
+    d = F.col("doc_id")
+    meta = F.lit("")
+    for mod, tag in _DIRECTIVE_META.items():
+        meta = F.when(d % 7 == mod, F.lit(tag)).otherwise(meta)
+    clean_url = F.concat(
+        F.lit("https://host"), (d % 7).cast("string"),
+        F.lit(".example.com/"), F.col("source"), F.lit("/"),
+        d.cast("string"), F.lit(".html"))
+    link = (F.when(d % 5 == 1, F.concat(
+                F.lit('<link rel="canonical" href="'), clean_url,
+                F.lit('">')))
+            .when(d % 5 == 3, F.concat(
+                F.lit('<link rel="canonical" href="'), F.col("url"),
+                F.lit('">')))
+            .otherwise(F.lit("")))
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), d.cast("string"),
+        F.lit("</title>"), meta, link,
+        F.lit("</head><body><p>"), F.col("text"),
+        F.lit("</p></body></html>"))
+    return base.withColumn("html", html)
+
+
+def q_page_directives(spark, sf_dir):
+    """Per-page crawl directives (operators/frontier.extract_directives):
+    meta-robots noindex/nofollow + rel=canonical folding — the
+    publisher-declared layer of the URL-seen/dedup family
+    (/root/reference/scripts/news.py:17-34). Directive HTML is derived
+    from documents identically on both sides; extraction is three
+    case-insensitive regexps in one codegen projection, html dropped
+    before anything shuffles."""
+    pages = _directive_pages(spark, sf_dir)
+    return (FR.extract_directives(pages, url_col="url", html_col="html")
+            .select("doc_id", "url", "noindex", "nofollow",
+                    "canonical_url", "canonical_self")
+            .orderBy("doc_id"))
+
+
+_SQL_PAGE_DIRECTIVES = f"""
+with urls as ({_DOC_URLS_SQL.replace('from documents',
+                                     'from (select * from documents '
+                                     'where doc_id < 400)')}),
+pages as (
+  select u.doc_id, u.url,
+    '<html><head><title>Doc ' || cast(u.doc_id as varchar) || '</title>'
+    || case u.doc_id % 7
+         when 2 then '<meta name="robots" content="noindex">'
+         when 4 then '<meta name="robots" content="nofollow">'
+         when 6 then '<meta name="robots" content="noindex, nofollow">'
+         else '' end
+    || case u.doc_id % 5
+         when 1 then '<link rel="canonical" href="https://host'
+                     || cast(u.doc_id % 7 as varchar) || '.example.com/'
+                     || u.source || '/' || cast(u.doc_id as varchar)
+                     || '.html">'
+         when 3 then '<link rel="canonical" href="' || u.url || '">'
+         else '' end
+    || '</head><body><p>' || d.text || '</p></body></html>' as html
+  from urls u join documents d using (doc_id)),
+x as (
+  select doc_id, url,
+    regexp_extract(html,
+      '(?i)<meta\\s+name="robots"\\s+content="([^"]*)"', 1) || ' ' ||
+    regexp_extract(html,
+      '(?i)<meta\\s+content="([^"]*)"\\s+name="robots"', 1) as robots,
+    regexp_extract(html,
+      '(?i)<link\\s+rel="canonical"\\s+href="([^"]*)"', 1) as href
+  from pages)
+select doc_id, url,
+       regexp_matches(robots, '(?i)\\bnoindex\\b') as noindex,
+       regexp_matches(robots, '(?i)\\bnofollow\\b') as nofollow,
+       case when href = '' then url else href end as canonical_url,
+       (case when href = '' then url else href end) = url as canonical_self
+from x order by doc_id
+"""
+
+
+def q_soft404_detect(spark, sf_dir):
+    """Soft-404 classification (operators/textstats.soft404_signals):
+    error pages served with HTTP 200, flagged on body phrases + length +
+    title — the content-level gate next to the reference's empty-
+    extraction check (html_cleaner_core.py ok/error). The corpus injects
+    deterministic soft-404s (id+500000, flagged), hard 404s (id+600000,
+    status excludes them) and phrase-in-long-prose decoys (id+700000)."""
+    base = (_t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 300)
+            .select(F.col("doc_id").alias("id"),
+                    F.concat(F.lit("Doc "),
+                             F.col("doc_id").cast("string")).alias("title"),
+                    "text", F.lit(200).alias("http_status")))
+    err_text = F.lit("404. the page you requested does not exist "
+                     "or is no longer available.")
+    soft = (base.filter(F.col("id") % 10 == 7)
+            .select((F.col("id") + 500000).alias("id"),
+                    F.lit("Error 404 - Not Found").alias("title"),
+                    err_text.alias("text"),
+                    F.lit(200).alias("http_status")))
+    hard = (base.filter(F.col("id") % 10 == 8)
+            .select((F.col("id") + 600000).alias("id"),
+                    F.lit("Error 404 - Not Found").alias("title"),
+                    err_text.alias("text"),
+                    F.lit(404).alias("http_status")))
+    decoy = (base.filter(F.col("id") % 10 == 9)
+             .select((F.col("id") + 700000).alias("id"), "title",
+                     F.concat(F.col("text"),
+                              F.lit(" an error occurred while loading "
+                                    "comments.")).alias("text"),
+                     F.lit(200).alias("http_status")))
+    corpus = base.unionByName(soft).unionByName(hard).unionByName(decoy)
+    return (TS.soft404_signals(corpus, id_col="id", title_col="title",
+                               text_col="text", status_col="http_status")
+            .orderBy("id"))
+
+
+_SOFT404_ERR_TEXT = ("404. the page you requested does not exist "
+                     "or is no longer available.")
+
+_SQL_SOFT404 = f"""
+with base as (
+  select doc_id as id, 'Doc ' || cast(doc_id as varchar) as title,
+         text, 200 as http_status
+  from documents where doc_id < 300),
+corpus as (
+  select * from base
+  union all
+  select id + 500000, 'Error 404 - Not Found',
+         '{_SOFT404_ERR_TEXT}', 200 from base where id % 10 = 7
+  union all
+  select id + 600000, 'Error 404 - Not Found',
+         '{_SOFT404_ERR_TEXT}', 404 from base where id % 10 = 8
+  union all
+  select id + 700000, title,
+         text || ' an error occurred while loading comments.', 200
+  from base where id % 10 = 9),
+sig as (
+  select id, cast(http_status as bigint) as http_status,
+    cast(case when trim(text) = '' then 0
+              else len(regexp_split_to_array(trim(text), '\\s+'))
+         end as bigint) as n_words,
+    cast((case when contains(lower(text), 'page not found') then 1 else 0 end)
+       + (case when contains(lower(text), '404') then 1 else 0 end)
+       + (case when contains(lower(text), 'does not exist') then 1 else 0 end)
+       + (case when contains(lower(text), 'no longer available') then 1 else 0 end)
+       + (case when contains(lower(text), 'an error occurred') then 1 else 0 end)
+      as bigint) as phrase_hits,
+    regexp_matches(lower(title), '(404|not found|error)') as title_error
+  from corpus)
+select id, http_status, n_words, phrase_hits, title_error,
+       (http_status = 200 and phrase_hits >= 1
+        and (n_words < 80 or title_error)) as is_soft404
+from sig order by id
+"""
+
+
+def q_revalidation_plan(spark, sf_dir):
+    """Conditional-GET recrawl pricing (operators/frontier.
+    revalidation_plan): per page, validator capability (ETag /
+    Last-Modified) + the observed change rate decide revalidate-vs-full
+    and the expected bandwidth — the HTTP-cache layer beside
+    frontier_revisit's Cho-Garcia-Molina scheduler. History derives
+    from events exactly as frontier_revisit's does."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("page_id"), "ts",
+        F.col("event_id").alias("fetch_id"),
+        F.col("event_type").isin("click", "purchase").alias("changed"))
+    pages = (ev.select("page_id").distinct()
+             .select("page_id",
+                     (F.col("page_id") % 3 != 0).alias("has_etag"),
+                     (F.col("page_id") % 2 == 0).alias("has_last_modified"),
+                     (F.lit(20000) + (F.col("page_id") % 17) * 3000)
+                     .alias("page_bytes")))
+    return (FR.revalidation_plan(ev, pages, header_bytes=600)
+            .orderBy("page_id"))
+
+
+_SQL_REVALIDATION = """
+with h as (select user_id as page_id,
+                  event_type in ('click', 'purchase') as changed
+           from events),
+a as (select page_id, cast(count(*) as bigint) as n_fetches,
+             cast(sum(case when changed then 1 else 0 end) as bigint)
+               as n_changes
+      from h group by page_id),
+p as (select distinct page_id, page_id % 3 <> 0 as has_etag,
+             page_id % 2 = 0 as has_last_modified,
+             cast(20000 + (page_id % 17) * 3000 as bigint) as page_bytes
+      from h),
+j as (select a.*, p.has_etag, p.has_last_modified, p.page_bytes,
+             cast((10000 * a.n_changes) // a.n_fetches as bigint)
+               as change_bp
+      from a join p using (page_id)),
+e as (select *,
+        case when has_etag or has_last_modified
+             then cast((change_bp * page_bytes
+                        + (10000 - change_bp) * 600) // 10000 as bigint)
+             else page_bytes end as expected_bytes,
+        case when has_etag or has_last_modified then 'conditional'
+             else 'full' end as mode
+      from j)
+select page_id, n_fetches, n_changes, change_bp, mode, page_bytes,
+       expected_bytes,
+       cast(case when page_bytes > 0
+                 then (10000 * (page_bytes - expected_bytes)) // page_bytes
+                 else 0 end as bigint) as saved_bp
+from e order by page_id
+"""
+
+
+def q_mixture_weights(spark, sf_dir):
+    """Temperature-scaled data mixing (operators/sampling.
+    mixture_weights): sqrt-of-token-mass allocation of a 1M-token
+    training budget across (lang, source) strata — the mT5/XLM-R tau=0.5
+    convention, integer fixed-point so both engines agree bit-for-bit.
+    Downstream companion of stratified_sample/pack_shards: weights pick
+    HOW MUCH of each stratum; those two pick WHICH docs and WHERE."""
+    from ..operators.sampling import mixture_weights
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", "source",
+        TS.token_count_col(F.col("text")).alias("n_toks"))
+    return (mixture_weights(docs, strata_cols=["lang", "source"],
+                                tokens_col="n_toks",
+                                budget_tokens=1_000_000)
+            .orderBy("lang", "source"))
+
+
+_SQL_MIXTURE = """
+with toks as (
+  select lang, source,
+    case when trim(text) = '' then 0
+         else len(regexp_split_to_array(trim(text), '\\s+')) end as n_toks
+  from documents),
+per as (select lang, source, cast(count(*) as bigint) as n_docs,
+               cast(sum(n_toks) as bigint) as n_tokens
+        from toks group by lang, source),
+w as (select *, cast(floor(sqrt(n_tokens)) as bigint) as weight from per),
+tot as (select cast(sum(weight) as bigint) as tw from w),
+j as (select w.*, tot.tw,
+             cast(case when tw > 0 then (10000 * weight) // tw
+                       else 0 end as bigint) as share_bp,
+             cast(case when tw > 0 then (1000000 * weight) // tw
+                       else 0 end as bigint) as alloc_tokens
+      from w, tot)
+select lang, source, n_docs, n_tokens, weight, share_bp, alloc_tokens,
+       cast(case when n_tokens > 0 then (10000 * alloc_tokens) // n_tokens
+                 else 0 end as bigint) as epochs_bp
+from j order by lang, source
+"""
+
+
 def registry():
     """name → (spark_fn, oracle_sql | None).
 
@@ -6091,6 +6357,10 @@ def registry():
     """
     return {
         # -- 1. never driver-checked (new in round 5) --
+        "page_directives": (q_page_directives, _SQL_PAGE_DIRECTIVES),
+        "soft404_detect": (q_soft404_detect, _SQL_SOFT404),
+        "revalidation_plan": (q_revalidation_plan, _SQL_REVALIDATION),
+        "mixture_weights": (q_mixture_weights, _SQL_MIXTURE),
         "c4_line_filter": (q_c4_line_filter, _sql_c4_line_filter),
         "wat_scan_links": (q_wat_scan_links, _sql_wat_scan_links),
         "split_by_domain": (q_split_by_domain, _sql_split_by_domain),
