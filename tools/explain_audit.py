@@ -191,6 +191,27 @@ AUDITED = [
      "rollup takes the standard two-level distinct-agg shape — partial "
      "(target,src) collapse then the target agg, both map-side combined "
      "— so only 8-byte-ish key pairs ever shuffle, never JSON or HTML"),
+    ("page_directives",
+     "meta-robots + rel=canonical extraction: all three regexps and the "
+     "canonical/self defaults evaluate in ONE codegen projection with "
+     "the html column dropped inside it — the wide blob never reaches "
+     "an exchange; the only exchanges are the fixture's doc_id "
+     "build-join and the final presentation sort"),
+    ("soft404_detect",
+     "soft-404 verdict: five contains probes + one regexp + the token "
+     "count all in a single projection over the union-of-scans (inject "
+     "branches pushed as DataFilters); ZERO exchanges before the final "
+     "orderBy — a pushdown-friendly corpus filter like url_prefilter"),
+    ("revalidation_plan",
+     "conditional-GET pricing: the history row_number window and the "
+     "per-page aggregate share ONE hashpartitioning(page_id) exchange "
+     "(the revisit_schedule shape, reused); the validator frame joins "
+     "on the same 8-byte key; byte/bp math stays codegen"),
+    ("mixture_weights",
+     "temperature mixing: ONE map-side-combined stratum aggregate, then "
+     "the 1-row total weight broadcasts back (IdentityBroadcastMode "
+     "nested-loop, the bm25 stats pattern) — nothing text-sized moves; "
+     "token counts collapse in the scan projection"),
 ]
 
 KEEP = re.compile(
