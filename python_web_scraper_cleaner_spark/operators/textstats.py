@@ -736,3 +736,52 @@ def soft404_signals(docs: DataFrame, *, id_col: str = "id",
         hits.cast("long").alias("phrase_hits"),
         title_error.alias("title_error"),
         verdict.alias("is_soft404"))
+
+
+def linear_quality_score(docs: DataFrame, weights: dict, *,
+                         id_col: str = "id", text_col: str = "text",
+                         bias_bp: int = 0,
+                         threshold_bp: int = 0) -> DataFrame:
+    """Linear bag-of-words quality classifier — the model-based filter
+    tier (the GPT-3/LLaMA "wiki-ref" logistic-classifier family, and the
+    supervised counterpart of the heuristic gopher_quality /
+    lm_familiarity tiers): per document,
+    ``margin_bp = bias_bp + sum(weights[token])`` over lowercased
+    whitespace tokens (non-alphanumerics stripped per token), and
+    ``keep = margin_bp >= threshold_bp``. Weights are integer BASIS
+    POINTS, so the margin is bit-deterministic — no float dot product, no
+    sigmoid (monotone in the margin, so thresholding the margin IS
+    thresholding the probability).
+
+    The reference has no model-based quality gate (its only quality
+    signal is extraction success, scraper_cleaner/html_cleaner_core.py);
+    this is the corpus-scale filter a training-data build inserts after
+    the heuristic gates.
+
+    Scale shape (100 TB): the weight table folds into a LITERAL
+    ``create_map`` inside the projection — no broadcast join, no
+    shuffle, ZERO exchanges end-to-end; two ``F.aggregate`` passes over
+    the token array stay in whole-stage codegen. A learned vocabulary of
+    ~10^5 terms would switch to a broadcast map; the per-row plan is
+    unchanged.
+    """
+    pairs = []
+    for term in sorted(weights):
+        pairs += [F.lit(term), F.lit(int(weights[term]))]
+    wmap = F.create_map(*pairs)
+    norm = lambda t: F.regexp_replace(t, r"[^a-z0-9]", "")  # noqa: E731
+    toks = ws_tokens(F.col(text_col))
+    margin = F.aggregate(
+        toks, F.lit(int(bias_bp)).cast("long"),
+        lambda acc, t: acc + F.coalesce(
+            F.try_element_at(wmap, norm(t)).cast("long"), F.lit(0)))
+    n_hits = F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, t: acc + F.when(
+            F.try_element_at(wmap, norm(t)).isNotNull(),
+            F.lit(1)).otherwise(F.lit(0)).cast("long"))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        margin.alias("margin_bp"),
+        n_hits.alias("n_weighted_tokens"),
+        (margin >= F.lit(int(threshold_bp))).alias("keep"))

@@ -215,7 +215,8 @@ class CrawlEngine:
                  strip_tracking: bool = False,
                  c4_filter: bool = False,
                  c4_min_words: int = 5,
-                 c4_min_sentences: int = 3) -> None:
+                 c4_min_sentences: int = 3,
+                 honor_directives: bool = False) -> None:
         self.spark = spark
         self.io = TableIO(spark, root)
         self.per_host_budget = per_host_budget
@@ -365,6 +366,17 @@ class CrawlEngine:
         self.c4_filter = c4_filter
         self.c4_min_words = c4_min_words
         self.c4_min_sentences = c4_min_sentences
+        # Per-page crawl directives (operators/frontier.meta_robots_flags
+        # — the extract_directives expressions): each round stamps
+        # extracted pages with `noindex`/`nofollow` from the robots meta
+        # tag. noindex pages stay in the sink for audit but are excluded
+        # from the corpus view and the signature index (the c4_kept
+        # flag-don't-delete contract); nofollow suppresses THIS page's
+        # out-link harvest, so its targets never enter the frontier via
+        # it (they remain discoverable through other pages — per-page
+        # directive semantics, not a url blocklist). Pure projections of
+        # the fetched html, so replay/resume stay byte-identical.
+        self.honor_directives = honor_directives
 
     def _strip_tracking(self, seeds: DataFrame) -> DataFrame:
         """Apply aggressive param-strip canonicalization to raw seed rows
@@ -574,6 +586,8 @@ class CrawlEngine:
             kept = kept.filter(~F.col("near_dup"))
         if "c4_kept" in committed.columns:
             kept = kept.filter(F.col("c4_kept"))
+        if "noindex" in committed.columns:
+            kept = kept.filter(~F.col("noindex"))
         sig_r = io.latest_round("sig_index") if io.exists("sig_index") \
             else None
         index = io.read("sig_index") if sig_r is not None else None
@@ -602,6 +616,9 @@ class CrawlEngine:
         if "c4_kept" in pages.columns:
             # c4-dropped pages never enter the corpus — skip their probe
             new_docs = new_docs.filter(F.col("c4_kept"))
+        if "noindex" in pages.columns:
+            # same for noindex pages: never in the corpus, never probed
+            new_docs = new_docs.filter(~F.col("noindex"))
         new_docs = new_docs.select("url_hash", "text")
         committed = self.io.read("pages")
         index_docs = committed.filter(F.col("ok"))
@@ -609,6 +626,8 @@ class CrawlEngine:
             index_docs = index_docs.filter(~F.col("near_dup"))
         if "c4_kept" in committed.columns:
             index_docs = index_docs.filter(F.col("c4_kept"))
+        if "noindex" in committed.columns:
+            index_docs = index_docs.filter(~F.col("noindex"))
         pairs = D.minhash_lsh_probe_index(
             index_bands, index_docs.select("url_hash", "text"), new_docs,
             id_col="url_hash", text_col="text", k=self._sig_k,
@@ -939,11 +958,21 @@ class CrawlEngine:
                                        F.when(F.col("fetch_ok"),
                                               F.col("html"))))
             extra_cols = []
+            if self.honor_directives:
+                noindex, nofollow = FR.meta_robots_flags(
+                    F.col("html").cast("string"))
+                fetched = (fetched.withColumn("noindex", noindex)
+                           .withColumn("nofollow", nofollow))
+                extra_cols += ["noindex", "nofollow"]
             if self._harvest_links:
-                fetched = fetched.withColumn(
-                    "links", extract_links_udf(F.col("html"),
-                                               F.col("url")))
-                extra_cols = ["links"]
+                links = extract_links_udf(F.col("html"), F.col("url"))
+                if self.honor_directives:
+                    # nofollow: this page contributes NO discovery edges
+                    links = (F.when(F.col("nofollow"),
+                                    F.array().cast("array<string>"))
+                             .otherwise(links))
+                fetched = fetched.withColumn("links", links)
+                extra_cols += ["links"]
             cleaned = with_clean_text(fetched, output_format="txt")
             pages = (cleaned
                      .withColumn("lang",
@@ -1034,6 +1063,8 @@ class CrawlEngine:
                                             & ~F.col("near_dup"))
                     if self.c4_filter:
                         kept_new = kept_new.filter(F.col("c4_kept"))
+                    if self.honor_directives:
+                        kept_new = kept_new.filter(~F.col("noindex"))
                     kept_new = (kept_new
                                 .select("url_hash", "text")
                                 .repartition(par, F.col("url_hash")))
@@ -1185,6 +1216,9 @@ class CrawlEngine:
             if self.c4_filter:
                 stats["n_c4_dropped"] = pages.filter(
                     F.col("ok") & ~F.col("c4_kept")).count()
+            if self.honor_directives:
+                stats["n_noindex"] = pages.filter("noindex").count()
+                stats["n_nofollow"] = pages.filter("nofollow").count()
             if trap_dropped is not None:
                 stats["n_trap_dropped"] = trap_dropped.count()
         finally:

@@ -6094,10 +6094,13 @@ def _directive_pages(spark, sf_dir):
     meta = F.lit("")
     for mod, tag in _DIRECTIVE_META.items():
         meta = F.when(d % 7 == mod, F.lit(tag)).otherwise(meta)
+    # %5==1 docs declare a SHARED canonical (ids 1,6,11,16 → target 0,
+    # 21,26,31,36 → 20, …) so canonical_fold has real multi-variant
+    # groups; %5==3 docs self-canonicalize
+    t = d - d % 20
     clean_url = F.concat(
-        F.lit("https://host"), (d % 7).cast("string"),
-        F.lit(".example.com/"), F.col("source"), F.lit("/"),
-        d.cast("string"), F.lit(".html"))
+        F.lit("https://host"), (t % 7).cast("string"),
+        F.lit(".example.com/page/"), t.cast("string"), F.lit(".html"))
     link = (F.when(d % 5 == 1, F.concat(
                 F.lit('<link rel="canonical" href="'), clean_url,
                 F.lit('">')))
@@ -6142,8 +6145,9 @@ pages as (
          else '' end
     || case u.doc_id % 5
          when 1 then '<link rel="canonical" href="https://host'
-                     || cast(u.doc_id % 7 as varchar) || '.example.com/'
-                     || u.source || '/' || cast(u.doc_id as varchar)
+                     || cast((u.doc_id - u.doc_id % 20) % 7 as varchar)
+                     || '.example.com/page/'
+                     || cast(u.doc_id - u.doc_id % 20 as varchar)
                      || '.html">'
          when 3 then '<link rel="canonical" href="' || u.url || '">'
          else '' end
@@ -6164,6 +6168,218 @@ select doc_id, url,
        case when href = '' then url else href end as canonical_url,
        (case when href = '' then url else href end) = url as canonical_self
 from x order by doc_id
+"""
+
+
+def q_canonical_fold(spark, sf_dir):
+    """Canonical-group folding — the downstream consumer of
+    page_directives: URLs sharing a declared rel=canonical target
+    collapse to ONE corpus identity (publisher-declared dedup, applied
+    BEFORE content dedup spends a shingle). Per canonical target:
+    variant count, indexable count (noindex pages never index, wherever
+    they point), and the representative = min doc_id among indexable
+    variants (-1 when every variant is noindex). Only url-cardinality
+    directive rows reach the groupBy — html was dropped in the
+    extraction projection (PLANS_AUDIT page_directives)."""
+    pages = _directive_pages(spark, sf_dir)
+    d = FR.extract_directives(pages, url_col="url", html_col="html")
+    return (d.groupBy("canonical_url")
+            .agg(F.count(F.lit(1)).alias("n_variants"),
+                 F.sum((~F.col("noindex")).cast("long"))
+                 .alias("n_indexable"),
+                 F.coalesce(
+                     F.min(F.when(~F.col("noindex"), F.col("doc_id"))),
+                     F.lit(-1)).alias("rep_doc_id"))
+            .orderBy("canonical_url"))
+
+
+_SQL_CANONICAL_FOLD = f"""
+with urls as ({_DOC_URLS_SQL.replace('from documents',
+                                     'from (select * from documents '
+                                     'where doc_id < 400)')}),
+pages as (
+  select u.doc_id, u.url,
+    case u.doc_id % 7
+      when 2 then 'noindex' when 6 then 'noindex' else '' end as robots,
+    case u.doc_id % 5
+      when 1 then 'https://host'
+                  || cast((u.doc_id - u.doc_id % 20) % 7 as varchar)
+                  || '.example.com/page/'
+                  || cast(u.doc_id - u.doc_id % 20 as varchar) || '.html'
+      when 3 then u.url
+      else '' end as href
+  from urls u),
+x as (
+  select doc_id, robots = 'noindex' as noindex,
+         case when href = '' then url else href end as canonical_url
+  from pages)
+select canonical_url, cast(count(*) as bigint) as n_variants,
+       cast(sum(case when noindex then 0 else 1 end) as bigint)
+         as n_indexable,
+       cast(coalesce(min(case when not noindex then doc_id end), -1)
+            as bigint) as rep_doc_id
+from x group by canonical_url order by canonical_url
+"""
+
+
+def q_meta_refresh_chain(spark, sf_dir):
+    """Meta-refresh soft-redirect resolution (composed:
+    frontier.extract_meta_refresh → graph.resolve_redirect_chains): the
+    redirect layer HTTP-only handling misses — ``<meta
+    http-equiv="refresh" content="N; url=T">`` stubs extracted from raw
+    HTML as single-hop edges (both attribute orders), then every source
+    resolved to its terminal URL via path doubling, with the first-hop
+    delay carried through (``instant`` = delay 0, scheduling-equivalent
+    to a 301). Oracle: DuckDB builds the same HTML, regexp-extracts the
+    same edges, and walks chains WITH RECURSIVE to the same max_hops
+    budget — extraction AND bounded resolution pinned on both engines.
+
+    Fixture (pure doc_id arithmetic): refresh chains of 12 pages
+    (offset 11 is a terminal content page), delay = doc_id % 4, odd
+    doc_ids use the reversed attribute order; every 8th group's terminal
+    refreshes back to its group head, closing a 12-cycle (~8% of
+    sources genuinely unresolvable)."""
+    from ..operators.graph import resolve_redirect_chains
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2400)
+    d = F.col("doc_id")
+    u = lambda c: F.concat(F.lit("https://mr.example/p"),  # noqa: E731
+                           c.cast("string"))
+    dst = (F.when(d % 96 == 95, u(d - 11))
+           .when(d % 12 < 11, u(d + 1)))
+    tag = F.when(
+        dst.isNotNull(),
+        F.when(d % 2 == 1,
+               F.concat(F.lit('<meta content="'), (d % 4).cast("string"),
+                        F.lit('; url='), dst,
+                        F.lit('" http-equiv="refresh">')))
+        .otherwise(
+            F.concat(F.lit('<meta http-equiv="refresh" content="'),
+                     (d % 4).cast("string"), F.lit('; url='), dst,
+                     F.lit('">')))).otherwise(F.lit(""))
+    pages = docs.select(
+        u(d).alias("url"),
+        F.concat(F.lit("<html><head><title>p"), d.cast("string"),
+                 F.lit("</title>"), tag, F.lit("</head><body>"),
+                 F.substring(F.col("text"), 1, 80),
+                 F.lit("</body></html>")).alias("html"))
+    edges = FR.extract_meta_refresh(pages)
+    resolved = resolve_redirect_chains(edges.select("src", "dst"),
+                                       max_hops=32)
+    return (resolved.join(edges.select("src", "refresh_delay"), "src")
+            .withColumn("instant", F.col("refresh_delay") == 0)
+            .orderBy("src"))
+
+
+_SQL_META_REFRESH = """
+with recursive
+src_rows as (select doc_id from documents where doc_id < 2400),
+built as (
+  select 'https://mr.example/p' || cast(doc_id as varchar) as url,
+         doc_id,
+         case when doc_id % 96 = 95
+              then 'https://mr.example/p' || cast(doc_id - 11 as varchar)
+              when doc_id % 12 < 11
+              then 'https://mr.example/p' || cast(doc_id + 1 as varchar)
+              end as tgt
+  from src_rows),
+pages as (
+  select url,
+         '<html><head><title>p' || cast(doc_id as varchar) || '</title>'
+         || case when tgt is null then ''
+                 when doc_id % 2 = 1
+                 then '<meta content="' || cast(doc_id % 4 as varchar)
+                      || '; url=' || tgt || '" http-equiv="refresh">'
+                 else '<meta http-equiv="refresh" content="'
+                      || cast(doc_id % 4 as varchar) || '; url=' || tgt
+                      || '">' end
+         || '</head><body></body></html>' as html
+  from built),
+ext as (
+  select url as src,
+         regexp_extract(html,
+           '(?i)<meta\\s+http-equiv="refresh"\\s+content="(\\d+);\\s*url=([^"]*)"',
+           2)
+         || regexp_extract(html,
+           '(?i)<meta\\s+content="(\\d+);\\s*url=([^"]*)"\\s+http-equiv="refresh"',
+           2) as dst,
+         regexp_extract(html,
+           '(?i)<meta\\s+http-equiv="refresh"\\s+content="(\\d+);\\s*url=([^"]*)"',
+           1)
+         || regexp_extract(html,
+           '(?i)<meta\\s+content="(\\d+);\\s*url=([^"]*)"\\s+http-equiv="refresh"',
+           1) as delay
+  from pages),
+edges as (
+  select src, dst, cast(delay as bigint) as refresh_delay
+  from ext where dst <> '' and delay <> ''),
+m as (select src, min(dst) as dst from edges group by src),
+walk as (
+  select src, dst as cur, 1 as hops from m
+  union all
+  select w.src, m2.dst, w.hops + 1
+  from walk w join m m2 on m2.src = w.cur
+  where w.hops < 32),
+outs as (select distinct src as node from m),
+term as (
+  select w.src, w.cur as final_url, w.hops
+  from walk w left join outs o on o.node = w.cur
+  where o.node is null)
+select m.src, t.final_url, t.hops,
+       t.src is null as unresolved,
+       e.refresh_delay,
+       e.refresh_delay = 0 as instant
+from m
+join edges e on e.src = m.src
+left join term t on t.src = m.src
+order by m.src
+"""
+
+
+# fixture-vocabulary linear model: integer basis-point weights over the
+# closed token set the synthetic documents draw from (FIXTURES.md §1) —
+# stands in for learned logistic-regression weights; the operator is
+# vocabulary-agnostic
+_QUALITY_LINEAR_WEIGHTS = {
+    "data": 120, "spark": 100, "query": 90, "join": 80, "merge": 70,
+    "sort": 60, "window": 50, "column": 40, "vector": 30, "stream": 20,
+    "slow": -150, "small": -60, "big": -40, "fast": -30,
+    "the": -10, "a": -10,
+}
+
+
+def q_quality_linear(spark, sf_dir):
+    """Model-based quality classifier (textstats.linear_quality_score):
+    linear bag-of-words margin in integer basis points — the supervised
+    GPT-3/LLaMA "wiki-ref classifier" tier beside the heuristic gates
+    (gopher/C4) and the statistical ones (trigram LM, DSIR, CCNet).
+    Weights fold into a literal map inside the projection: ZERO
+    exchanges over the corpus scan (the output orderBy is demo-only).
+    keep = margin_bp >= 0 with bias -500 bp."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 4000)
+    return (TS.linear_quality_score(
+        docs, _QUALITY_LINEAR_WEIGHTS, id_col="doc_id",
+        text_col="text", bias_bp=-500, threshold_bp=0)
+        .orderBy("id"))
+
+
+_SQL_QUALITY_LINEAR = """
+with w(term, w_bp) as (values
+  ('data', 120), ('spark', 100), ('query', 90), ('join', 80),
+  ('merge', 70), ('sort', 60), ('window', 50), ('column', 40),
+  ('vector', 30), ('stream', 20), ('slow', -150), ('small', -60),
+  ('big', -40), ('fast', -30), ('the', -10), ('a', -10)),
+raw as (
+  select doc_id as id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) as tok
+  from documents where doc_id < 4000),
+toks as (
+  select id, regexp_replace(tok, '[^a-z0-9]', '', 'g') as tok from raw)
+select t.id,
+       cast(-500 + coalesce(sum(w.w_bp), 0) as bigint) as margin_bp,
+       cast(count(w.w_bp) as bigint) as n_weighted_tokens,
+       (-500 + coalesce(sum(w.w_bp), 0)) >= 0 as keep
+from toks t left join w on w.term = t.tok
+group by t.id order by t.id
 """
 
 
@@ -6358,6 +6574,9 @@ def registry():
     return {
         # -- 1. never driver-checked (new in round 5) --
         "page_directives": (q_page_directives, _SQL_PAGE_DIRECTIVES),
+        "canonical_fold": (q_canonical_fold, _SQL_CANONICAL_FOLD),
+        "meta_refresh_chain": (q_meta_refresh_chain, _SQL_META_REFRESH),
+        "quality_linear": (q_quality_linear, _SQL_QUALITY_LINEAR),
         "soft404_detect": (q_soft404_detect, _SQL_SOFT404),
         "revalidation_plan": (q_revalidation_plan, _SQL_REVALIDATION),
         "mixture_weights": (q_mixture_weights, _SQL_MIXTURE),

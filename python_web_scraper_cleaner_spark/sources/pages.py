@@ -37,7 +37,7 @@ _SECTIONS = ("news", "tech", "sports", "private")
 N_TEMPLATES = 10
 
 # bump when page_record's html changes — benchmark page caches key on it
-PAGES_VERSION = 2
+PAGES_VERSION = 3
 
 
 def _host_index(doc_id: int) -> int:
@@ -141,6 +141,20 @@ def page_record(doc_id: int, *, paragraphs: int = 4) -> dict:
                 f"</head><body><h1>{title}</h1>{body}</body></html>")
     else:
         html = f"<html><head><title>{title}</title></head><body>{body}</body></html>"
+
+    # per-page crawl directives, head-only (extracted text, links, and
+    # template metadata are untouched): mod-11 classes guarantee every
+    # directive combination in any 33-page window. 7 uses the reversed
+    # attribute order on purpose — parsers must accept both.
+    drc = doc_id % 11
+    directive = {5: '<meta name="robots" content="noindex">',
+                 7: '<meta content="nofollow" name="robots">',
+                 9: '<meta name="robots" content="noindex, nofollow">'
+                 }.get(drc, "")
+    if drc == 3:
+        directive += f'<link rel="canonical" href="{page_url(doc_id // 2)}">'
+    if directive:
+        html = html.replace("<head>", "<head>" + directive, 1)
 
     raw = html.encode("utf-8")
     if doc_id % 37 == 0:

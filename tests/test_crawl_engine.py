@@ -1632,3 +1632,88 @@ def test_c4_filter_mode_kill_resume_identical(spark, tmp_path):
                       .select("url", "round", "c4_kept").collect())
 
     assert snap(full) == snap(resumed)
+
+
+def test_honor_directives_flags_and_index_exclusion(spark, tmp_path):
+    # honor_directives=True stamps noindex/nofollow from the robots meta
+    # tag the fixture injects on its mod-11 classes; noindex pages stay
+    # in the sink but never enter the signature index (the c4_kept
+    # flag-don't-delete contract)
+    eng = CrawlEngine(spark, str(tmp_path / "dir"), per_host_budget=BUDGET,
+                      honor_directives=True, dedup_index=True)
+    stats = drain(eng, spark)
+    assert all("n_noindex" in s and "n_nofollow" in s for s in stats)
+
+    doc_of = {r["url"]: i for i, r in enumerate(pages_local(N_SEEDS))}
+    pages = eng.io.read("pages")
+    rows = pages.select("url", "url_hash", "ok", "noindex", "nofollow",
+                        "near_dup").collect()
+    assert rows
+    n_noindex = 0
+    for r in rows:
+        drc = doc_of[r["url"]] % 11
+        assert r["noindex"] == (drc in (5, 9)), r["url"]
+        assert r["nofollow"] == (drc in (7, 9)), r["url"]
+        n_noindex += int(r["noindex"])
+    assert n_noindex > 0  # the fixture must exercise the gate
+    assert sum(s["n_noindex"] for s in stats) == n_noindex
+
+    idx_ids = {r["id"] for r in
+               eng.io.read("sig_index").select("id").distinct().collect()}
+    kept_ids = {r["url_hash"] for r in rows
+                if r["ok"] and not r["noindex"] and not r["near_dup"]}
+    assert idx_ids == kept_ids
+
+
+def test_honor_directives_nofollow_suppresses_discovery(spark, tmp_path):
+    # a nofollow page contributes ZERO discovery edges; the same page in
+    # a directive-blind crawl harvests its out-links
+    honor = CrawlEngine(spark, str(tmp_path / "honor"),
+                        per_host_budget=BUDGET, honor_directives=True,
+                        discover_links=True)
+    drain(honor, spark)
+    blind = CrawlEngine(spark, str(tmp_path / "blind"),
+                        per_host_budget=BUDGET, discover_links=True)
+    drain(blind, spark)
+
+    hp = {r["url"]: r for r in
+          honor.io.read("pages").select("url", "nofollow", "links",
+                                        "fetch_ok").collect()}
+    bp = {r["url"]: r["links"] for r in
+          blind.io.read("pages").select("url", "links").collect()}
+    suppressed = 0
+    for url, r in hp.items():
+        if r["nofollow"] and r["fetch_ok"]:
+            assert r["links"] == [], url
+            if url in bp and bp[url]:
+                suppressed += 1
+        elif url in bp and r["fetch_ok"]:
+            assert r["links"] == bp[url], url
+    assert suppressed > 0  # blind crawl really harvested those pages
+
+
+def test_honor_directives_kill_resume_identical(spark, tmp_path):
+    # directive flags are pure functions of fetched html: a resumed
+    # store finishes with identical pages and identical flags
+    full = CrawlEngine(spark, str(tmp_path / "full"),
+                       per_host_budget=BUDGET, honor_directives=True,
+                       discover_links=True)
+    drain(full, spark)
+
+    killed = CrawlEngine(spark, str(tmp_path / "killed"),
+                         per_host_budget=BUDGET, honor_directives=True,
+                         discover_links=True)
+    killed.bootstrap(make_seeds(spark), make_robots(spark))
+    killed.run(max_rounds=2)  # "crash" after two rounds
+    resumed = CrawlEngine(spark, str(tmp_path / "killed"),
+                          per_host_budget=BUDGET, honor_directives=True,
+                          discover_links=True)
+    resumed.run(max_rounds=30)
+
+    def snap(e):
+        return sorted((r["url"], r["round"], r["noindex"], r["nofollow"])
+                      for r in e.io.read("pages")
+                      .select("url", "round", "noindex", "nofollow")
+                      .collect())
+
+    assert snap(full) == snap(resumed)

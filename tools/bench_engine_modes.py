@@ -68,6 +68,9 @@ MODES = {
     # extracted text in the same projection as the extract stage — the
     # cheapest mode by construction (no new table, no join, no shuffle)
     "c4_filter": {"c4_filter": True},
+    # meta-robots directives: two regexps over fetched html in the
+    # extract projection (noindex/nofollow stamps + link-harvest gate)
+    "directives": {"honor_directives": True},
 }
 
 

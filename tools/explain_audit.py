@@ -207,6 +207,23 @@ AUDITED = [
      "per-page aggregate share ONE hashpartitioning(page_id) exchange "
      "(the revisit_schedule shape, reused); the validator frame joins "
      "on the same 8-byte key; byte/bp math stays codegen"),
+    ("meta_refresh_chain",
+     "meta-refresh soft redirects: four regexp extractions + html drop "
+     "in the scan-side projection; the path-doubling resolver exchanges "
+     "only (src, dst) url pairs per jump round with localCheckpoint "
+     "lineage cuts; the delay join is url-keyed — no text, no html, no "
+     "window anywhere"),
+    ("quality_linear",
+     "linear quality classifier: the weight table folds into a literal "
+     "create_map INSIDE the projection — expect ZERO Exchange operators "
+     "over the corpus scan (the demo orderBy is the only wide op); both "
+     "F.aggregate passes stay in whole-stage codegen"),
+    ("canonical_fold",
+     "canonical-group folding: the directive extraction (regexps + "
+     "canonical default) stays in the scan-side projection; the ONLY "
+     "wide exchange is the canonical_url groupBy with map-side partial "
+     "aggregation — html never reaches it, noindex/representative fold "
+     "inside the aggregate (no window, no second pass)"),
     ("mixture_weights",
      "temperature mixing: ONE map-side-combined stratum aggregate, then "
      "the 1-row total weight broadcasts back (IdentityBroadcastMode "
