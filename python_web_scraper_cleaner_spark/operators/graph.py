@@ -298,3 +298,168 @@ def host_link_rollup(edges: DataFrame, *, src_host_col: str = "src_host",
                     F.when(F.coalesce("n_peers_out", F.lit(0)) > 0,
                            F.expr("10000 * n_recip div n_peers_out"))
                     .otherwise(F.lit(0)).cast("long").alias("recip_bp")))
+
+
+def trustrank_fixed_point(edges: DataFrame, seeds: DataFrame,
+                          nodes: DataFrame, *, n_seeds: int,
+                          iters: int = 3, damp_num: int = 85,
+                          damp_den: int = 100,
+                          scale: int = SCALE) -> DataFrame:
+    """TrustRank (Gyöngyi/Garcia-Molina/Pedersen, VLDB'04) over
+    ``edges`` (src, dst): PageRank with the teleport vector concentrated
+    on a hand-vetted trusted ``seeds`` (id) set instead of uniform, so
+    trust flows OUT of the seeds along links and spam neighborhoods —
+    reachable mostly from other spam — starve. The demotion-side
+    complement to pagerank_fixed_point above: a discovery crawler
+    schedules by rank but BUDGETS by trust (pages with high rank but
+    negligible trust are the classic link-farm signature). The
+    reference's fixed seed list is implicitly an all-trusted-seeds crawl
+    (/root/reference/scripts/news.py:3-7); this makes that trust
+    assumption an explicit, propagating score.
+
+    Same fixed-point integer contract as pagerank_fixed_point: rank mass
+    scaled by ``scale``, bigint math end to end, bit-deterministic (sums
+    are associative; floor div matches DuckDB `//` on non-negative
+    operands). r0 = scale//n_seeds on seeds else 0; each iteration
+    r(j) = tele(j) + Σ_{i→j} r(i)·damp div (den·outdeg(i)), where
+    tele(j) = scale·(den−num) div (den·n_seeds) on seeds else 0.
+
+    Returns (id, trust_fp, is_seed).
+
+    Scale shape: identical two-shuffles-per-iteration profile to
+    pagerank_fixed_point (edges⋈ranks on src, integer SUM on dst), plus
+    a ONE-OFF broadcast hash join of the seed flag onto nodes — seeds
+    are tiny by construction (hundreds of hand-vetted hosts even at
+    10^10 URLs). outdeg computed once; deep ``iters`` wants the same
+    periodic localCheckpoint note as pagerank."""
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    tele = scale * (damp_den - damp_num) // (damp_den * n_seeds)
+    base = (nodes.join(
+        F.broadcast(seeds.select("id", F.lit(True).alias("_seed"))),
+        "id", "left")
+        .select("id", F.coalesce("_seed", F.lit(False)).alias("is_seed"),
+                F.when(F.col("_seed"), F.lit(tele).cast("long"))
+                .otherwise(F.lit(0).cast("long")).alias("tele_fp")))
+    ranks = base.select(
+        "id", F.when(F.col("is_seed"),
+                     F.lit(scale // n_seeds).cast("long"))
+        .otherwise(F.lit(0).cast("long")).alias("trust_fp"))
+    for _ in range(iters):
+        contribs = (edges
+                    .join(ranks.withColumnRenamed("id", "src"), "src")
+                    .join(outdeg, "src")
+                    .select(F.col("dst").alias("id"),
+                            F.expr(f"trust_fp * {damp_num} "
+                                   f"div ({damp_den} * outdeg)")
+                            .alias("c")))
+        summed = contribs.groupBy("id").agg(F.sum("c").alias("s"))
+        ranks = (base.join(summed, "id", "left")
+                 .select("id",
+                         (F.col("tele_fp")
+                          + F.coalesce(F.col("s"), F.lit(0)))
+                         .alias("trust_fp")))
+    return ranks.join(base.select("id", "is_seed"), "id")
+
+
+def opic_cash(edges: DataFrame, nodes: DataFrame, *, n_nodes: int,
+              rounds: int = 3, scale: int = SCALE) -> DataFrame:
+    """OPIC — On-line Page Importance Computation (Abiteboul/Preda/
+    Cobena, WWW'03), THE frontier-priority algorithm built for crawlers:
+    unlike PageRank it needs no converged global iteration before being
+    useful — every page carries ``cash`` (importance arriving since its
+    last fetch) and ``history`` (total cash ever credited), and the
+    frontier simply fetches the highest-cash page next. This operator is
+    the synchronous batch analog over the discovered graph: per round
+    every page distributes its whole cash equally along its out-links
+    and is credited to history; dangling pages (no out-links) pay their
+    cash to the virtual root, which redistributes it uniformly next
+    round (the paper's virtual-page trick, keeping total cash ~constant
+    instead of leaking).
+
+    Fixed-point integer contract as pagerank_fixed_point: cash_0 =
+    scale//n_nodes each; cash_{k+1}(j) = Σ_{i→j} cash_k(i) div
+    outdeg(i) + dangling_k div n_nodes; hist after ``rounds`` =
+    Σ_{t=0..rounds-1} cash_t (floor-div remainders evaporate — bounded
+    by |E| per round, deterministic on both engines). Returns (id,
+    cash_fp, hist_fp): schedule by hist + cash (the paper's estimator),
+    or by cash alone for pure adaptivity.
+
+    Scale shape: per round exactly one edges⋈cash hash join keyed on
+    src (same co-partitioned profile as a pagerank iteration), one
+    map-side-combinable integer SUM keyed on dst, and ONE single-row
+    dangling aggregate whose scalar broadcasts — no extra exchanges.
+    hist rides along in the same node-keyed frame, so no second join.
+    Deep ``rounds`` wants periodic localCheckpoint (iterative-lineage
+    note on pagerank_fixed_point)."""
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    state = nodes.select(
+        "id", F.lit(scale // n_nodes).cast("long").alias("cash_fp"),
+        F.lit(0).cast("long").alias("hist_fp"))
+    for _ in range(rounds):
+        withdeg = state.join(
+            outdeg.withColumnRenamed("src", "id"), "id", "left")
+        dang = (withdeg.filter(F.col("outdeg").isNull())
+                .agg(F.coalesce(F.sum("cash_fp"), F.lit(0))
+                     .cast("long").alias("_dang")))
+        recv = (edges
+                .join(state.withColumnRenamed("id", "src"), "src")
+                .join(outdeg, "src")
+                .select(F.col("dst").alias("id"),
+                        F.expr("cash_fp div outdeg").alias("c"))
+                .groupBy("id").agg(F.sum("c").alias("s")))
+        state = (state.join(recv, "id", "left")
+                 .crossJoin(F.broadcast(dang))
+                 .select("id",
+                         (F.coalesce(F.col("s"), F.lit(0))
+                          + F.expr(f"_dang div {n_nodes}"))
+                         .cast("long").alias("cash_fp"),
+                         (F.col("hist_fp") + F.col("cash_fp"))
+                         .alias("hist_fp")))
+    return state
+
+
+def bfs_seed_distance(edges: DataFrame, seeds: DataFrame, *,
+                      max_depth: int = 4) -> DataFrame:
+    """Crawl-depth labeling: minimum hop count from the ``seeds`` (id)
+    set along ``edges`` (src, dst), capped at ``max_depth`` — exactly
+    the max-depth budget real crawlers enforce (Heritrix max-hops,
+    wget -l). The reference crawls its seed list at depth 0 plus one
+    in-page discovery hop (/root/reference/scripts/news.py:37-48 —
+    implicitly max_depth=1); a frontier at 10^10 URLs budgets
+    systematically by depth because URL count grows geometrically
+    with it.
+
+    Returns (id, depth) for every node WITHIN ``max_depth`` hops of a
+    seed — unreached nodes are simply absent (anti-joinable), so the
+    output is frontier-sized, not graph-sized, at small depths.
+
+    Algorithm: ``max_depth`` rounds of min-relaxation — frontier_k =
+    nodes first reached at depth k (join frontier with edges on src,
+    anti-join already-labeled) — the textbook level-synchronous BFS.
+    Deliberately NOT path-doubling (cf. resolve_redirect_chains): the
+    depth cap IS the semantics, the round count equals the cap (small,
+    single digits), and level-synchronous rounds touch only the
+    frontier's out-edges, not the whole pointer table. Early exit when
+    a level comes up empty.
+
+    Scale shape: per round, one frontier⋈edges hash join keyed on src
+    (frontier is the small side at low depths — broadcastable), one
+    distinct on the new level, one left_anti against the accumulated
+    labels, and a localCheckpoint lineage cut. Nothing driver-side
+    except the empty-level check."""
+    labels = (seeds.select("id").distinct()
+              .select("id", F.lit(0).alias("depth"))
+              .localCheckpoint(eager=True))
+    frontier = labels
+    for k in range(1, max_depth + 1):
+        nxt = (edges.join(frontier.withColumnRenamed("id", "src")
+                          .select("src"), "src")
+               .select(F.col("dst").alias("id")).distinct()
+               .join(labels.select("id"), "id", "left_anti")
+               .select("id", F.lit(k).alias("depth"))
+               .localCheckpoint(eager=True))
+        if nxt.isEmpty():
+            break
+        labels = labels.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return labels

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..operators import frontier as FR
+from ..operators import graph as G
 from ..operators import search as S
 from ..operators import similarity as SIM
 from ..operators import textstats as TS
@@ -6555,6 +6556,234 @@ from j order by lang, source
 """
 
 
+def _doc_graph(spark, sf_dir):
+    """(nodes, edges, n) — the deterministic doc link-graph fixture shared
+    by link_pagerank/link_hits (dst = id//2 and (3·id+1) mod n, the same
+    closure shape the synthetic pages corpus uses for URL discovery,
+    sources/pages.py:78)."""
+    nodes = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"))
+    n = nodes.count()
+    edges = (nodes.select(F.col("id").alias("src"),
+                          F.expr("id div 2").alias("dst"))
+             .unionByName(
+                 nodes.select(F.col("id").alias("src"),
+                              F.expr(f"(3*id + 1) % {n}").alias("dst"))))
+    return nodes, edges, n
+
+
+_GRAPH_CTES = """nn as (select count(*) as c from documents),
+nodes as (select doc_id as id from documents),
+edges as (
+  select doc_id as src, doc_id // 2 as dst from documents
+  union all
+  select doc_id, (3*doc_id + 1) % (select c from nn) from documents),
+outdeg as (select src, count(*) as od from edges group by src)"""
+
+
+def q_link_trustrank(spark, sf_dir):
+    """Spam-demoting frontier trust: fixed-point integer TrustRank
+    (operators/graph.py:trustrank_fixed_point) over the deterministic
+    doc link graph, teleporting only to the trusted seed slice
+    (doc_id % 17 == 0 — the batch analog of a hand-vetted host
+    whitelist). Top 20 by propagated trust; pure bigint math so the
+    unrolled-CTE oracle matches bit-for-bit. Schedule-by-rank,
+    budget-by-trust is the composed frontier story (see
+    frontier_priority for the rank side)."""
+    nodes, edges, n = _doc_graph(spark, sf_dir)
+    seeds = nodes.filter(F.col("id") % 17 == 0)
+    ns = seeds.count()
+    tr = G.trustrank_fixed_point(edges, seeds, nodes, n_seeds=ns, iters=3)
+    return (tr.select(F.col("id").alias("doc_id"), "trust_fp", "is_seed")
+            .orderBy(F.desc("trust_fp"), "doc_id").limit(20))
+
+
+def _sql_link_trustrank(iters: int = 3) -> str:
+    ctes = [_GRAPH_CTES,
+            "seeds as (select id from nodes where id % 17 = 0)",
+            "ns as (select count(*) as c from seeds)",
+            """b as (select n.id, s.id is not null as is_seed,
+            case when s.id is not null
+                 then (1000000000000 * 15) // (100 * (select c from ns))
+                 else 0 end as tele
+     from nodes n left join seeds s using (id))""",
+            """r0 as (select id,
+            case when is_seed then 1000000000000 // (select c from ns)
+                 else 0 end as r from b)"""]
+    for k in range(1, iters + 1):
+        ctes.append(f"""r{k} as (
+  select b.id, cast(b.tele + coalesce(s.s, 0) as bigint) as r
+  from b left join (
+    select e.dst as id,
+           cast(sum((r.r * 85) // (100 * o.od)) as bigint) as s
+    from edges e
+    join r{k - 1} r on r.id = e.src
+    join outdeg o on o.src = e.src
+    group by e.dst) s on s.id = b.id)""")
+    return ("with " + ",\n".join(ctes) +
+            f"\nselect b.id as doc_id, r.r as trust_fp, b.is_seed"
+            f"\nfrom r{iters} r join b on b.id = r.id"
+            "\norder by trust_fp desc, doc_id limit 20")
+
+
+SQL_LINK_TRUSTRANK = _sql_link_trustrank()
+
+
+def q_frontier_opic(spark, sf_dir):
+    """OPIC crawl priority (operators/graph.py:opic_cash — Abiteboul's
+    On-line Page Importance Computation, the importance estimator built
+    FOR crawlers): 3 synchronous cash-distribution rounds over a graph
+    where the doc_id % 3 == 0 slice is DANGLING (no out-links), so the
+    virtual-root redistribution path is exercised, not just documented.
+    Top 20 by accumulated history (the paper's importance estimate),
+    cash as tiebreak; bigint floor math end-to-end so the unrolled-CTE
+    oracle matches bit-for-bit."""
+    nodes = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"))
+    n = nodes.count()
+    linkers = nodes.filter(F.col("id") % 3 != 0)
+    edges = (linkers.select(F.col("id").alias("src"),
+                            F.expr("id div 2").alias("dst"))
+             .unionByName(
+                 linkers.select(F.col("id").alias("src"),
+                                F.expr(f"(3*id + 1) % {n}").alias("dst"))))
+    st = G.opic_cash(edges, nodes, n_nodes=n, rounds=3)
+    return (st.select(F.col("id").alias("doc_id"), "cash_fp", "hist_fp")
+            .orderBy(F.desc("hist_fp"), F.desc("cash_fp"), "doc_id")
+            .limit(20))
+
+
+def _sql_frontier_opic(rounds: int = 3) -> str:
+    ctes = ["nn as (select count(*) as c from documents)",
+            "nodes as (select doc_id as id from documents)",
+            """edges as (
+  select doc_id as src, doc_id // 2 as dst from documents
+  where doc_id % 3 <> 0
+  union all
+  select doc_id, (3*doc_id + 1) % (select c from nn) from documents
+  where doc_id % 3 <> 0)""",
+            "outdeg as (select src, count(*) as od from edges group by src)",
+            """s0 as (select id, 1000000000000 // (select c from nn) as cash,
+             cast(0 as bigint) as hist from nodes)"""]
+    for k in range(1, rounds + 1):
+        ctes.append(f"""d{k} as (
+  select cast(coalesce(sum(s.cash), 0) as bigint) as d
+  from s{k - 1} s left join outdeg o on o.src = s.id
+  where o.src is null)""")
+        ctes.append(f"""v{k} as (
+  select e.dst as id, cast(sum(s.cash // o.od) as bigint) as r
+  from edges e
+  join s{k - 1} s on s.id = e.src
+  join outdeg o on o.src = e.src
+  group by e.dst)""")
+        ctes.append(f"""s{k} as (
+  select n.id,
+         cast(coalesce(v.r, 0)
+              + (select d from d{k}) // (select c from nn) as bigint)
+           as cash,
+         cast(p.hist + p.cash as bigint) as hist
+  from nodes n
+  left join v{k} v on v.id = n.id
+  join s{k - 1} p on p.id = n.id)""")
+    return ("with " + ",\n".join(ctes) +
+            f"\nselect id as doc_id, cash as cash_fp, hist as hist_fp"
+            f"\nfrom s{rounds}"
+            "\norder by hist_fp desc, cash_fp desc, doc_id limit 20")
+
+
+SQL_FRONTIER_OPIC = _sql_frontier_opic()
+
+
+def q_seed_distance(spark, sf_dir):
+    """Crawl-depth labeling (operators/graph.py:bfs_seed_distance):
+    min-hop distance from the seed slice (doc_id % 29 == 0) along the
+    doc link graph, capped at max_depth=4 — the Heritrix-style max-hops
+    budget as a first-class batch operator. Output is REACHED nodes
+    only (frontier-sized, not graph-sized); unreached docs are the
+    anti-join complement."""
+    nodes, edges, _ = _doc_graph(spark, sf_dir)
+    seeds = nodes.filter(F.col("id") % 29 == 0)
+    d = G.bfs_seed_distance(edges, seeds, max_depth=4)
+    return (d.select(F.col("id").alias("doc_id"),
+                     F.col("depth").cast("long").alias("depth"))
+            .orderBy("depth", "doc_id"))
+
+
+SQL_SEED_DISTANCE = f"""
+with recursive {_GRAPH_CTES},
+seeds as (select id from nodes where id % 29 = 0),
+reach(id, depth) as (
+  select id, 0 from seeds
+  union
+  select e.dst, r.depth + 1
+  from reach r join edges e on e.src = r.id
+  where r.depth < 4)
+select id as doc_id, cast(min(depth) as bigint) as depth
+from reach group by id
+order by depth, doc_id
+"""
+
+
+def q_mirror_clusters(spark, sf_dir):
+    """Mirror SITE clusters — host_mirror_pairs composed through
+    connected_components (pair relations are not transitive: a source
+    mirrored by two hosts welds all three into one site cluster), then
+    canonical-host election (min host) + cluster size. The per-cluster
+    canonical is what a frontier actually consumes: fetch the canonical
+    host, suppress the rest of its cluster. Scale shape: the pair frame
+    is host-cardinality (candidate-driven, see host_mirror_pairs);
+    components run min-label propagation + path halving on that small
+    graph; sizes come from an aggregate + join, not a window."""
+    corpus = _xhost_corpus(_t(spark, sf_dir, "documents"))
+    pairs = (D.host_mirror_pairs(corpus, max_hosts_per_digest=4,
+                                 mirror_bp=7000)
+             .filter(F.col("is_mirror")))
+    comp = D.connected_components(pairs, "host_a", "host_b")
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hosts"))
+    return (comp.join(sizes, "component_id")
+            .select(F.col("id").alias("host"),
+                    F.col("component_id").alias("cluster_id"),
+                    "n_hosts",
+                    (F.col("id") == F.col("component_id"))
+                    .alias("is_canonical"))
+            .orderBy("host"))
+
+
+SQL_MIRROR_CLUSTERS = f"""
+with recursive {_XHOST_SQL.strip()},
+hd as (select distinct host, md5(text) as digest from corpus),
+elig as (select hd.host, hd.digest from hd
+         join (select digest from hd group by digest
+               having count(*) between 2 and 4) e using (digest)),
+mp as (select a.host as host_a, b.host as host_b,
+              cast(count(*) as bigint) as shared_digests
+       from elig a join elig b using (digest)
+       where a.host < b.host group by 1, 2),
+tot as (select host, cast(count(*) as bigint) as n from hd group by host),
+m as (select host_a, host_b from mp
+      join tot ta on ta.host = mp.host_a
+      join tot tb on tb.host = mp.host_b
+      where (10000 * shared_digests) // least(ta.n, tb.n) >= 7000),
+gn as (select distinct id
+       from (select host_a as id from m
+             union all select host_b as id from m) t),
+ge as (select host_a as src, host_b as dst from m
+       union all select host_b, host_a from m),
+reach(id, comp) as (
+  select id, id from gn
+  union
+  select e.dst, r.comp from reach r join ge e on e.src = r.id),
+comps as (select id, min(comp) as component_id from reach group by id),
+sizes as (select component_id, cast(count(*) as bigint) as n_hosts
+          from comps group by component_id)
+select c.id as host, c.component_id as cluster_id, s.n_hosts,
+       c.id = c.component_id as is_canonical
+from comps c join sizes s using (component_id)
+order by host
+"""
+
+
 def registry():
     """name → (spark_fn, oracle_sql | None).
 
@@ -6573,6 +6802,10 @@ def registry():
     """
     return {
         # -- 1. never driver-checked (new in round 5) --
+        "link_trustrank": (q_link_trustrank, SQL_LINK_TRUSTRANK),
+        "frontier_opic": (q_frontier_opic, SQL_FRONTIER_OPIC),
+        "seed_distance": (q_seed_distance, SQL_SEED_DISTANCE),
+        "mirror_clusters": (q_mirror_clusters, SQL_MIRROR_CLUSTERS),
         "page_directives": (q_page_directives, _SQL_PAGE_DIRECTIVES),
         "canonical_fold": (q_canonical_fold, _SQL_CANONICAL_FOLD),
         "meta_refresh_chain": (q_meta_refresh_chain, _SQL_META_REFRESH),

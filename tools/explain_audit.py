@@ -229,6 +229,27 @@ AUDITED = [
      "the 1-row total weight broadcasts back (IdentityBroadcastMode "
      "nested-loop, the bm25 stats pattern) — nothing text-sized moves; "
      "token counts collapse in the scan projection"),
+    ("link_trustrank",
+     "seeded-teleport TrustRank: the seed flag joins onto nodes as a "
+     "BroadcastHashJoin ONCE (seeds are whitelist-sized); each of the 3 "
+     "iterations keeps the pagerank profile — edges⋈ranks hash join on "
+     "src + ONE hashaggregate exchange on dst; bigint math codegen"),
+    ("frontier_opic",
+     "OPIC cash rounds: per round one edges⋈cash join on src, one "
+     "map-side-combined SUM on dst, and a 1-row dangling aggregate that "
+     "broadcasts (IdentityBroadcastMode) — history rides in the "
+     "node-keyed frame, no extra exchange for it"),
+    ("seed_distance",
+     "level-synchronous BFS: per level the frontier (small side) joins "
+     "edges on src, new labels distinct + left_anti against the "
+     "accumulated set; localCheckpoint truncates lineage per level so "
+     "round planning stays O(1) in depth"),
+    ("mirror_clusters",
+     "mirror pairs → components → canonical election: text collapses "
+     "to md5 map-side (shuffle #1 carries digests, never text); the "
+     "pair self-join is hot-digest-capped; min-label propagation runs "
+     "on the host-cardinality graph; sizes via aggregate+join, no "
+     "window"),
 ]
 
 KEEP = re.compile(
