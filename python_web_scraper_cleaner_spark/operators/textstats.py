@@ -785,3 +785,59 @@ def linear_quality_score(docs: DataFrame, weights: dict, *,
         margin.alias("margin_bp"),
         n_hits.alias("n_weighted_tokens"),
         (margin >= F.lit(int(threshold_bp))).alias("keep"))
+
+
+def vocab_coverage(docs: DataFrame, *, text_col: str = "text",
+                   top_k: int = 50, persist: bool = True) -> DataFrame:
+    """Corpus vocabulary head: top-``top_k`` tokens by frequency with
+    cumulative mass coverage in basis points — the first number a
+    tokenizer-training run asks of a corpus (how much of the token mass
+    do the K most frequent types cover / how big must the vocab be for
+    X% coverage), and a cheap corpus-drift tripwire between crawl
+    snapshots (a head dominated by boilerplate tokens is a template
+    infestation; cf. the reference's per-document word counts,
+    /root/reference/scraper_cleaner/html_cleaner_core.py:60-66, which
+    never aggregate corpus-wide). Whitespace tokenization via the shared
+    ``ws_tokens`` convention (lower + trim + \\s+ split, empties
+    dropped), so counts reconcile with token_count_col totals.
+
+    Returns (rank, token, n, cum_bp): rank by (n desc, token) —
+    bit-deterministic ties — and cum_bp = 10000·(running token mass) //
+    (total corpus token mass).
+
+    Scale shape: the explode leaves the scan as bare token strings; the
+    frequency count is ONE map-side-combined aggregate (duplicate
+    tokens collapse inside each task before the shuffle — Zipf means
+    the hot head collapses hardest); the top-k is TakeOrderedAndProject
+    (never a full sort); the 1-row total broadcasts. The ONLY window
+    runs over the top_k rows already on the driver-adjacent single
+    partition — top_k is a constant (≤ a few thousand), so the
+    single-partition window is size-bounded by construction, never
+    corpus-driven. For full-vocab coverage curves (millions of types)
+    use pack_shards' distributed prefix-sum shape instead of this
+    head-only operator.
+
+    The counts frame feeds TWO consumers (the top-k head and the 1-row
+    total), so ``persist`` (default on, bounded) materializes it once —
+    without it each branch re-pays the corpus scan + count, the exact
+    double-scan host_link_rollup's pair table avoids the same way."""
+    from pyspark.sql import Window
+
+    toks = (docs.select(F.explode(ws_tokens(F.col(text_col)))
+                        .alias("token"))
+            .filter(F.col("token") != ""))
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    if persist:
+        from ..caching import bounded_persist
+        counts = bounded_persist(counts, tag="vocab_coverage")
+    total = counts.agg(F.sum("n").cast("long").alias("_tot"))
+    top = counts.orderBy(F.desc("n"), "token").limit(top_k)
+    w = (Window.orderBy(F.desc("n"), "token")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (top.crossJoin(F.broadcast(total))
+            .select(F.row_number().over(w).cast("long").alias("rank"),
+                    "token", "n",
+                    F.expr("10000 * sum(n) over (order by n desc, token "
+                           "rows between unbounded preceding and current "
+                           "row) div _tot").cast("long").alias("cum_bp")))

@@ -6784,6 +6784,37 @@ order by host
 """
 
 
+def q_token_vocab_coverage(spark, sf_dir):
+    """Tokenizer-vocab head (operators/textstats.vocab_coverage): top-50
+    corpus tokens by frequency with cumulative-mass coverage bp — the
+    vocabulary-size-vs-coverage curve a tokenizer-training run reads
+    first. One map-side-combined token count, TakeOrderedAndProject head,
+    1-row total broadcast; the only window is over the 50-row head."""
+    return TS.vocab_coverage(_t(spark, sf_dir, "documents"), top_k=50)
+
+
+SQL_TOKEN_VOCAB = r"""
+with toks as (
+  select unnest(regexp_split_to_array(lower(trim(text)), '\s+')) as token
+  from documents),
+t2 as (select token from toks where token <> ''),
+counts as (select token, cast(count(*) as bigint) as n
+           from t2 group by token),
+tot as (select cast(sum(n) as bigint) as t from counts),
+top as (select token, n from counts order by n desc, token limit 50),
+w as (select token, n,
+             cast(row_number() over (order by n desc, token) as bigint)
+               as rank,
+             cast(sum(n) over (order by n desc, token
+                               rows between unbounded preceding
+                               and current row) as bigint) as cum
+      from top)
+select rank, token, n,
+       cast((10000 * cum) // (select t from tot) as bigint) as cum_bp
+from w order by rank
+"""
+
+
 def registry():
     """name → (spark_fn, oracle_sql | None).
 
@@ -6802,6 +6833,7 @@ def registry():
     """
     return {
         # -- 1. never driver-checked (new in round 5) --
+        "token_vocab_coverage": (q_token_vocab_coverage, SQL_TOKEN_VOCAB),
         "link_trustrank": (q_link_trustrank, SQL_LINK_TRUSTRANK),
         "frontier_opic": (q_frontier_opic, SQL_FRONTIER_OPIC),
         "seed_distance": (q_seed_distance, SQL_SEED_DISTANCE),

@@ -153,3 +153,29 @@ def test_bfs_early_exit_on_exhausted_frontier(spark):
     rows = G.bfs_seed_distance(_edges(spark, [(0, 1)]), _ids(spark, [0]),
                                max_depth=50).collect()
     assert {r.id: r.depth for r in rows} == {0: 0, 1: 1}
+
+
+# -------------------------------------------------------------- vocab head
+
+def test_vocab_coverage_hand_counts(spark):
+    # corpus: "a a a b b" + "c A" → lowercase folds A into a:
+    # counts a:4 b:2 c:1, total 7
+    # cum_bp: a 10000*4//7=5714, a+b 10000*6//7=8571, all 10000
+    from python_web_scraper_cleaner_spark.operators import textstats as TS
+
+    docs = spark.createDataFrame([("a a a b b",), ("c A",)],
+                                 "text string")
+    rows = TS.vocab_coverage(docs, top_k=10).collect()
+    got = [(r.rank, r.token, r.n, r.cum_bp) for r in rows]
+    assert got == [(1, "a", 4, 5714), (2, "b", 2, 8571),
+                   (3, "c", 1, 10000)]
+
+
+def test_vocab_coverage_top_k_truncates_and_ties_lexicographic(spark):
+    # equal counts order lexicographically; top_k=2 keeps the head only
+    from python_web_scraper_cleaner_spark.operators import textstats as TS
+
+    docs = spark.createDataFrame([("z y x",)], "text string")
+    rows = TS.vocab_coverage(docs, top_k=2).collect()
+    got = [(r.rank, r.token, r.cum_bp) for r in rows]
+    assert got == [(1, "x", 3333), (2, "y", 6666)]

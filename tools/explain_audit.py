@@ -244,6 +244,11 @@ AUDITED = [
      "edges on src, new labels distinct + left_anti against the "
      "accumulated set; localCheckpoint truncates lineage per level so "
      "round planning stays O(1) in depth"),
+    ("token_vocab_coverage",
+     "vocab head: ONE map-side-combined token count (partial_count before "
+     "the token-key exchange), TakeOrderedAndProject for the top-k (no "
+     "global sort), 1-row total via IdentityBroadcastMode; the window "
+     "runs over the constant-k head only"),
     ("mirror_clusters",
      "mirror pairs → components → canonical election: text collapses "
      "to md5 map-side (shuffle #1 carries digests, never text); the "
