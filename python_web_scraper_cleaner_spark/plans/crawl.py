@@ -8,8 +8,9 @@ html_cleaner_core.py:run_batch), re-expressed as north_rule demands:
   round r:
     pending frontier ──bloom prefilter──► exact anti-join vs url_seen (J1)
       ──robots broadcast filter (J3)──► dynamic priority (optional,
-      priority_mode='pagerank': committed link graph → PageRank ×
-      revisit due-ness, the frontier_priority composition)
+      priority_mode='pagerank'|'opic'|'trustrank': committed link graph
+      → the chosen centrality × revisit due-ness, the frontier_priority
+      composition; trustrank teleports to the committed seed_set)
       ──per-host top-k window (O4, salted)──politeness schedule──►
       fetch stage (groupBy(host).applyInPandas — per-host pacing
       serialized within a task, S3)
@@ -237,18 +238,32 @@ class CrawlEngine:
         # the lowest priority so seeds always crawl first — deterministic.
         self.discover_links = discover_links
         self.discovery_priority = discovery_priority
-        # Dynamic frontier priority (VERDICT r4 #1): 'pagerank' replaces
-        # the static seed `priority` ordering with the composed
+        # Dynamic frontier priority (VERDICT r4 #1): the rank modes
+        # replace the static seed `priority` ordering with the composed
         # frontier_priority decision (plans/queries.q_frontier_priority,
         # proven oracle-green as a registry entry) inside the production
         # round loop: link centrality over the DISCOVERED graph (a
         # `links` table appended every round) × revisit due-ness (an
         # optional `fetch_history` table), never-fetched pages first.
+        # Three interchangeable centralities share the seam (all bigint
+        # fixed-point over the committed graph — operators/graph.py):
+        #   'pagerank'  — damped global importance (the default choice);
+        #   'opic'      — Abiteboul's OPIC cash+history estimator, the
+        #                 crawl-native importance that needs no global
+        #                 convergence (rank = hist_fp + cash_fp);
+        #   'trustrank' — teleport restricted to the BOOTSTRAP SEED SET
+        #                 (committed as `seed_set` at bootstrap): trust
+        #                 flows out of the operator-vetted seeds, so
+        #                 link-farm neighborhoods unreachable from them
+        #                 rank exactly 0 — spam demotion in the fetch
+        #                 order itself.
         # Everything derives from committed tables, so kill/resume still
         # replays the identical order (north_rule invariant).
-        if priority_mode not in ("static", "pagerank"):
+        # pagerank_iters is the iteration/round knob for ALL rank modes.
+        if priority_mode not in ("static", "pagerank", "opic", "trustrank"):
             raise ValueError(f"unknown priority_mode {priority_mode!r}")
         self.priority_mode = priority_mode
+        self._rank_mode = priority_mode != "static"
         self.pagerank_iters = pagerank_iters
         # Rank refresh cadence: round r ranks over the links committed
         # BEFORE basis = r - (r % K). At 10^10 urls re-ranking the whole
@@ -262,7 +277,7 @@ class CrawlEngine:
             raise ValueError("rank_refresh_every must be >= 1")
         self.rank_refresh_every = rank_refresh_every
         self._rank_cache: tuple | None = None  # (basis, persisted ranks)
-        self._harvest_links = discover_links or priority_mode == "pagerank"
+        self._harvest_links = discover_links or self._rank_mode
         # Per-round near-dup dedup against a PERSISTED MinHash signature
         # index (VERDICT r4 #2): each round probes the new batch against
         # the `sig_index` table (operators/dedup.minhash_lsh_probe_index),
@@ -447,6 +462,11 @@ class CrawlEngine:
             canonicalize_seeds(self._strip_tracking(seeds)))
         self.io.overwrite(frontier, "frontier", round_id=-1)
         self.io.overwrite(robots, "robots", round_id=-1)
+        # the vetted seed identity, durable: trustrank teleports to this
+        # set (committed unconditionally — tiny, and it lets any store
+        # switch into trustrank mode later without re-bootstrapping)
+        self.io.overwrite(frontier.select("url_hash").distinct(),
+                          "seed_set", round_id=-1)
 
     def last_round(self) -> int:
         r = self.io.latest_round("crawl_log")
@@ -485,13 +505,21 @@ class CrawlEngine:
                              m_bits=self._bloom_m, n_hashes=self._bloom_k)
 
     def _ranks_at_basis(self, basis: int):
-        """PageRank frame (id, rank_fp) over the links committed BEFORE
+        """Centrality frame (id, rank_fp) over the links committed BEFORE
         ``basis``, or None when that graph is empty. A pure function of
-        (committed links table, basis) — which is what makes kill/resume
-        reproduce the ordering at any refresh cadence. Cached in-process
-        per basis (persisted, nodes-sized): with rank_refresh_every=K
-        the graph is ranked once per K-round window and the other K−1
-        rounds pay only the join."""
+        (committed links table [+ committed seed_set for trustrank],
+        basis) — which is what makes kill/resume reproduce the ordering
+        at any refresh cadence. Cached in-process per basis (persisted,
+        nodes-sized): with rank_refresh_every=K the graph is ranked once
+        per K-round window and the other K−1 rounds pay only the join.
+
+        The centrality is the priority_mode: pagerank (damped global),
+        opic (hist+cash — the crawl-native estimator), or trustrank
+        (teleport restricted to the bootstrap seed_set; seeds that never
+        appeared in the harvested graph contribute no reachable mass and
+        are skipped via a semi-join — conservative, deterministic). All
+        three share the two-shuffles-per-iteration integer profile
+        (operators/graph.py)."""
         from ..caching import bounded_persist
         from ..operators import graph as G
 
@@ -513,31 +541,61 @@ class CrawlEngine:
             n = nodes.count()
             if n > 0:
                 ranks = bounded_persist(
-                    G.pagerank_fixed_point(edges, nodes, n_nodes=n,
-                                           iters=self.pagerank_iters),
-                    tag="crawl_rank")
+                    self._centrality(G, edges, nodes, n), tag="crawl_rank")
         self._rank_cache = (basis, ranks)
         return ranks
 
+    def _centrality(self, G, edges, nodes, n):
+        """Dispatch the priority_mode's centrality to (id, rank_fp)."""
+        if self.priority_mode == "opic":
+            st = G.opic_cash(edges, nodes, n_nodes=n,
+                             rounds=self.pagerank_iters)
+            # the OPIC importance estimate: accumulated history plus the
+            # cash not yet credited (Abiteboul's h+c estimator)
+            return st.select(
+                "id", (F.col("hist_fp") + F.col("cash_fp"))
+                .alias("rank_fp"))
+        if self.priority_mode == "trustrank":
+            if not self.io.exists("seed_set"):
+                raise RuntimeError(
+                    "priority_mode='trustrank' needs the committed "
+                    "seed_set table — re-run bootstrap() (this engine "
+                    "version commits it) before resuming in this mode")
+            seeds = (self.io.read("seed_set")
+                     .select(F.col("url_hash").alias("id"))
+                     .join(nodes, "id", "left_semi"))
+            ns = seeds.count()
+            if ns == 0:
+                return nodes.select(
+                    "id", F.lit(0).cast("long").alias("rank_fp"))
+            return (G.trustrank_fixed_point(
+                edges, seeds, nodes, n_seeds=ns,
+                iters=self.pagerank_iters)
+                .select("id", F.col("trust_fp").alias("rank_fp")))
+        return G.pagerank_fixed_point(edges, nodes, n_nodes=n,
+                                      iters=self.pagerank_iters)
+
     def _apply_priority(self, allowed: DataFrame, round_id: int):
-        """Compose the round's dynamic fetch ordering (priority_mode=
-        'pagerank'): never-fetched first (revisit due-ness from an
-        optional ``fetch_history`` table second), then link-centrality
-        rank over the committed ``links`` graph as of the refresh basis
-        (see _ranks_at_basis), then the static FRONTIER_ORDER as the
+        """Compose the round's dynamic fetch ordering (any rank mode):
+        never-fetched first (revisit due-ness from an optional
+        ``fetch_history`` table second), then link-centrality rank —
+        pagerank / opic / trustrank per priority_mode — over the
+        committed ``links`` graph as of the refresh basis (see
+        _ranks_at_basis), then the static FRONTIER_ORDER as the
         deterministic tiebreak — the exact composition proven
         oracle-green by the `frontier_priority` registry entry
-        (plans/queries.py:q_frontier_priority).
+        (plans/queries.py:q_frontier_priority; the trustrank/opic
+        centralities by `link_trustrank` / `frontier_opic`).
 
         Returns (frontier_with_rank_cols, order_exprs | None,
         helper_cols_to_drop). Every input is a committed table, so a
         resumed engine recomputes the identical ordering (north_rule).
 
-        Scale shape: PageRank is 2 shuffles/iteration on 8-byte keys
-        (operators/graph.py), amortized over rank_refresh_every rounds;
-        the rank and due-ness joins are id-keyed; nothing touches
-        html/text."""
-        if self.priority_mode != "pagerank":
+        Scale shape: every centrality is 2 shuffles/iteration on 8-byte
+        keys (operators/graph.py), amortized over rank_refresh_every
+        rounds; the rank and due-ness joins are id-keyed; nothing
+        touches html/text."""
+        if not self._rank_mode:
             return allowed, None, []
         io = self.io
         basis = round_id - (round_id % self.rank_refresh_every)
@@ -1076,7 +1134,7 @@ class CrawlEngine:
                         new_bands = sig_repair.unionByName(new_bands)
                 io.append_round(new_bands, "sig_index", round_id)
 
-            if (self.priority_mode == "pagerank"
+            if (self._rank_mode
                     and not self._committed("links", round_id)):
                 # grow the committed link graph: (fetching page → link
                 # target) as 8-byte hash edges, distinct per round. The

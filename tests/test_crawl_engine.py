@@ -617,6 +617,74 @@ def test_pagerank_priority_reorders_fetches_and_resumes(spark, tmp_path):
     assert resumed.seen_set() == ranked.seen_set()
 
 
+@pytest.mark.parametrize("mode", ["opic", "trustrank"])
+def test_rank_modes_reorder_and_resume(spark, tmp_path, mode):
+    """priority_mode='opic'/'trustrank' share the pagerank seam: the
+    discovery-fed centrality changes the fetch order deterministically,
+    and kill/resume replays the identical order from committed tables
+    alone (north_rule) — including trustrank's committed seed_set.
+
+    Fixture note: 6 seeds (not the pagerank test's 3) — on the 3-seed
+    slice OPIC's 3-round cash totals TIE on the one multiply-linked
+    pair that pagerank separates, so the composed order legitimately
+    falls back to the static tiebreak; the richer graph makes every
+    centrality discriminate."""
+    seeds_recs = pages_local(210)[190:196]
+    seeds = spark.createDataFrame(
+        [(r["url"], 0, r["warc_ts"]) for r in seeds_recs],
+        "url string, priority int, discovered_ts timestamp")
+    ROUNDS = 4
+
+    def run(root, m):
+        eng = CrawlEngine(spark, str(root), per_host_budget=20,
+                          discover_links=True, priority_mode=m)
+        eng.bootstrap(seeds, make_robots(spark))
+        eng.run(max_rounds=ROUNDS)
+        return eng
+
+    ranked = run(tmp_path / "rk", mode)
+    static = run(tmp_path / "st", "static")
+    assert ranked.crawl_order() != static.crawl_order()
+    assert ranked.io.exists("links")
+    if mode == "trustrank":
+        assert ranked.io.exists("seed_set")
+        assert ranked.io.read("seed_set").count() == len(seeds_recs)
+
+    # kill after round 0, resume from commits only: order equality with
+    # the uninterrupted run proves every rank recomputes from committed
+    # state (links [+ seed_set]) alone
+    part = CrawlEngine(spark, str(tmp_path / "rs"), per_host_budget=20,
+                       discover_links=True, priority_mode=mode)
+    part.bootstrap(seeds, make_robots(spark))
+    part.run_round(0)
+    del part
+    resumed = CrawlEngine(spark, str(tmp_path / "rs"), per_host_budget=20,
+                          discover_links=True, priority_mode=mode)
+    assert resumed.last_round() == 0
+    resumed.run(max_rounds=ROUNDS - 1)
+    assert resumed.crawl_order() == ranked.crawl_order()
+    assert resumed.seen_set() == ranked.seen_set()
+
+
+def test_trustrank_mode_requires_committed_seed_set(spark, tmp_path):
+    """A pre-seed_set store (bootstrapped by an older engine) must fail
+    LOUDLY in trustrank mode — a silent uniform-teleport fallback would
+    change the fetch order without a trace."""
+    import shutil
+
+    seeds_recs = pages_local(210)[200:202]
+    seeds = spark.createDataFrame(
+        [(r["url"], 0, r["warc_ts"]) for r in seeds_recs],
+        "url string, priority int, discovered_ts timestamp")
+    eng = CrawlEngine(spark, str(tmp_path / "t"), per_host_budget=20,
+                      discover_links=True, priority_mode="trustrank")
+    eng.bootstrap(seeds, make_robots(spark))
+    eng.run_round(0)   # round 0 ranks nothing (no committed links yet)
+    shutil.rmtree(str(tmp_path / "t" / "seed_set"))
+    with pytest.raises(RuntimeError, match="seed_set"):
+        eng.run_round(1)
+
+
 def test_fetch_history_due_ness_defers_revisits(spark, tmp_path):
     """The revisit component of the composed priority: frontier entries
     with fetch history sort AFTER never-fetched ones, mutually ordered by

@@ -37,6 +37,13 @@ MODES = {
     # window (the production cadence lever) — rounds 2-3 share one
     # persisted rank frame instead of re-ranking per round
     "pagerank_k2": {"priority_mode": "pagerank", "rank_refresh_every": 2},
+    # the alternative centralities on the same rank seam: OPIC
+    # (hist+cash, one src-join + one dst-sum + 1-row dangling agg per
+    # round — cheaper per iteration than pagerank's profile plus its
+    # dangling scalar) and seed-teleport TrustRank (adds the broadcast
+    # seed-flag join once per refresh basis)
+    "opic": {"priority_mode": "opic"},
+    "trustrank": {"priority_mode": "trustrank"},
     "dedup": {"dedup_index": True},
     "both": {"priority_mode": "pagerank", "dedup_index": True},
     # archival sink: per-round WARC+WET segment commits (gzip members)
