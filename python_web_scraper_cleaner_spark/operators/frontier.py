@@ -930,3 +930,127 @@ def revalidation_plan(history: DataFrame, pages: DataFrame, *,
                 .otherwise(F.lit(0)).cast("long"))
             .select("page_id", "n_fetches", "n_changes", "change_bp",
                     "mode", "page_bytes", "expected_bytes", "saved_bp"))
+
+
+def dust_param_rules(pages: DataFrame, *, url_col: str = "url",
+                     text_col: str = "text", min_support: int = 2,
+                     max_aliases_per_group: int = 8) -> DataFrame:
+    """DUST rule mining — learn which query parameters are
+    content-irrelevant per host from observed duplicate content
+    ("Do Not Crawl in the DUST: Different URLs with Similar Text",
+    Bar-Yossef/Keidar/Schonfeld, WWW'07). url_tracking_canonical strips
+    a FIXED lexicon (utm_*, session ids); this operator mines the
+    site-specific rest of that lexicon from the crawl's own evidence, so
+    the canonicalizer can be extended per host without hand-curation.
+    Reference analog: the reference's URL-seen skip is exact-string
+    (/root/reference/scripts/news.py:17-34) and refetches every alias;
+    a learned rule collapses the alias family before the fetch.
+
+    Semantics: group fetched pages by (host, path-base, content digest).
+    A group holding >= 2 distinct URLs is an ALIAS GROUP: same bytes,
+    different URLs, differing only in their query strings. Within an
+    alias group a parameter is content-irrelevant evidence iff it varies
+    across the aliases — present in some members but not all, or present
+    with more than one value — while the content stayed byte-identical.
+    Each alias group contributes 1 support to each such (host, param);
+    rules with support >= min_support are emitted. Params that never
+    vary inside any alias group (e.g. a ?page=N that selects content)
+    are never flagged, because differing content lands in different
+    digest groups by construction.
+
+    Output: (host, param, support, n_alias_urls) ordered by host, param.
+
+    Scale shape (100 TB corpus): the text column collapses to a 32-byte
+    md5 in the scan projection and never crosses an exchange. No pair
+    self-join — alias-group membership and per-param variance are both
+    aggregates over (host, base, digest[, param]) keys, so the whole
+    operator is two map-side-combined aggregates plus one group-sized
+    join; the hot-group guard (max_aliases_per_group) bounds pathological
+    digest groups (parked-domain farms) exactly like host_mirror_pairs'
+    hot-digest guard.
+    """
+    u = F.col(url_col)
+    host = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+    base = F.substring_index(u, "?", 1)
+    query = (F.when(F.instr(u, "?") > 0,
+                    F.expr(f"substring({url_col}, instr({url_col}, '?') + 1)"))
+             .otherwise(F.lit("")))
+    params = F.filter(F.split(query, "&"), lambda p: p != "")
+    g = pages.select(
+        host.alias("host"), base.alias("base"),
+        F.md5(F.col(text_col)).alias("digest"),
+        u.alias("_url"), params.alias("_params"))
+    # alias groups: >=2 distinct urls, same (host, base, digest); the
+    # upper cap is the hot-group guard
+    groups = (g.groupBy("host", "base", "digest")
+              .agg(F.countDistinct("_url").alias("n_aliases"))
+              .filter((F.col("n_aliases") >= 2)
+                      & (F.col("n_aliases") <= max_aliases_per_group)))
+    exploded = g.select(
+        "host", "base", "digest", "_url",
+        F.explode("_params").alias("_p")).select(
+        "host", "base", "digest", "_url",
+        F.substring_index(F.col("_p"), "=", 1).alias("param"),
+        F.col("_p").alias("_pv"))
+    per_param = (exploded.groupBy("host", "base", "digest", "param")
+                 .agg(F.countDistinct("_url").alias("n_urls_with"),
+                      F.countDistinct("_pv").alias("n_values")))
+    varies = (per_param.join(groups, ["host", "base", "digest"])
+              .filter((F.col("n_urls_with") < F.col("n_aliases"))
+                      | (F.col("n_values") > 1)))
+    return (varies.groupBy("host", "param")
+            .agg(F.count(F.lit(1)).cast("long").alias("support"),
+                 F.sum("n_aliases").cast("long").alias("n_alias_urls"))
+            .filter(F.col("support") >= min_support)
+            .orderBy("host", "param"))
+
+
+def ip_politeness_groups(frontier: DataFrame, hostmap: DataFrame, *,
+                         host_col: str = "host",
+                         per_ip_budget: int = 16) -> DataFrame:
+    """Per-IP politeness grouping: hosts that resolve to the same address
+    share one politeness budget (Heritrix's ip-based queue-assignment
+    policy). Virtual hosting means a thousand vanity domains can live on
+    one server; per-host budgets alone would multiply the server's load a
+    thousandfold. The reference never meets this (its 10 seed URLs are
+    distinct hosts), but any discovery crawl does.
+
+    Inputs: the frontier (or any per-host demand frame) and a
+    ``hostmap`` of (host, ip) — in production the resolver cache table,
+    here a deterministic fixture. Hosts absent from the map keep their
+    own budget (ip = host sentinel), matching Heritrix's fallback.
+
+    Output per host: ip, n_hosts_on_ip, host demand (n_urls), ip_budget,
+    host_budget (the ip budget split evenly, remainder to the
+    lexicographically-first hosts — deterministic, no arrival order),
+    and throttled = demand exceeds the host's share.
+
+    Scale shape (10^10-URL frontier): demand is one map-side-combined
+    count per host; the hostmap join is host-cardinality (broadcast —
+    the resolver cache is millions of rows, not billions); the per-ip
+    rollup shuffles only (ip, host, n_urls) rows. No url-cardinality
+    exchange anywhere past the first count.
+    """
+    demand = (frontier.groupBy(F.col(host_col).alias("host"))
+              .agg(F.count(F.lit(1)).cast("long").alias("n_urls")))
+    mapped = (demand.join(F.broadcast(hostmap.select(
+        F.col(host_col).alias("host"), "ip")), "host", "left")
+        .withColumn("ip", F.coalesce(F.col("ip"),
+                                     F.concat(F.lit("self:"),
+                                              F.col("host")))))
+    w = Window.partitionBy("ip")
+    rank = F.row_number().over(w.orderBy("host"))
+    n_on_ip = F.count(F.lit(1)).over(w)
+    staged = (mapped.withColumn("n_hosts_on_ip", n_on_ip.cast("long"))
+              .withColumn("_rk", rank))
+    # even split, remainder to the first (host-ordered) hosts
+    share = F.expr(f"{per_ip_budget} div n_hosts_on_ip") + \
+        F.when(F.col("_rk") <= F.expr(f"{per_ip_budget} % n_hosts_on_ip"),
+               F.lit(1)).otherwise(F.lit(0))
+    return (staged.withColumn("ip_budget",
+                              F.lit(per_ip_budget).cast("long"))
+            .withColumn("host_budget", share.cast("long"))
+            .withColumn("throttled", F.col("n_urls") > F.col("host_budget"))
+            .select("host", "ip", "n_hosts_on_ip", "n_urls",
+                    "ip_budget", "host_budget", "throttled")
+            .orderBy("host"))

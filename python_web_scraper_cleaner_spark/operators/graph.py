@@ -463,3 +463,63 @@ def bfs_seed_distance(edges: DataFrame, seeds: DataFrame, *,
         labels = labels.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return labels
+
+
+def focused_priority(anchors: DataFrame, source_scores: DataFrame,
+                     topic: tuple, *, src_col: str = "src",
+                     target_col: str = "target",
+                     anchor_col: str = "anchor",
+                     score_col: str = "score_bp") -> DataFrame:
+    """Focused-crawl frontier scoring (Chakrabarti/van den Berg/Dom '99):
+    rank UNFETCHED frontier candidates by how topical the web says they
+    are — the anchor text of their in-links plus the topical score of
+    the pages those links come from. PageRank/OPIC rank by popularity;
+    a focused crawl ranks by topic, which is how a 10^10-URL frontier
+    is steered toward a domain-specific corpus (medical, legal, code)
+    without fetching the whole web first.
+
+    Inputs: ``anchors`` (src, target, anchor) edge rows from the link
+    extractor; ``source_scores`` (src, score_bp) — the topical
+    relevance of already-FETCHED pages in basis points (quality_linear
+    or a lang/keyword gate supplies this upstream). ``topic`` is the
+    query lexicon; per edge, hits = number of topic terms appearing
+    word-bounded in the anchor text.
+
+    Output per target: n_inlinks, anchor_hits (summed over in-edges),
+    mean_src_bp (integer div), priority_fp = 10000*anchor_hits +
+    mean_src_bp — the anchor weight sits above the bp ceiling, so ONE
+    topical anchor outranks any source score: anchors describe the
+    TARGET; source score only tiebreaks within equally-described
+    candidates. Integer math throughout, bit-deterministic.
+
+    Scale shape: per-edge hits are a fixed sum of word-boundary rlikes
+    inside one codegen projection (topic lexicons are tens of terms);
+    the only exchange is the target-keyed map-side-combined aggregate;
+    source_scores joins on src BEFORE that aggregate (broadcast — the
+    fetched set's score table is host/page-cardinality, and only
+    (src, score) columns ship). No window, no explode.
+    """
+    hits = None
+    for t in topic:
+        h = F.when(F.lower(F.col(anchor_col)).rlike(rf"\b{t}\b"),
+                   F.lit(1)).otherwise(F.lit(0))
+        hits = h if hits is None else hits + h
+    scored = (anchors.select(
+        F.col(src_col).alias("src"), F.col(target_col).alias("target"),
+        hits.cast("long").alias("_hits"))
+        .join(F.broadcast(source_scores.select(
+            F.col(src_col).alias("src"),
+            F.col(score_col).cast("long").alias("_sbp"))), "src", "left")
+        .withColumn("_sbp", F.coalesce(F.col("_sbp"), F.lit(0))))
+    agg = (scored.groupBy("target")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_inlinks"),
+                F.sum("_hits").cast("long").alias("anchor_hits"),
+                F.sum("_sbp").cast("long").alias("_sbp_sum")))
+    return (agg.withColumn("mean_src_bp",
+                           F.expr("_sbp_sum div n_inlinks").cast("long"))
+            .withColumn("priority_fp",
+                        (F.lit(10000) * F.col("anchor_hits")
+                         + F.col("mean_src_bp")).cast("long"))
+            .select("target", "n_inlinks", "anchor_hits", "mean_src_bp",
+                    "priority_fp")
+            .orderBy(F.desc("priority_fp"), "target"))

@@ -841,3 +841,51 @@ def vocab_coverage(docs: DataFrame, *, text_col: str = "text",
                     F.expr("10000 * sum(n) over (order by n desc, token "
                            "rows between unbounded preceding and current "
                            "row) div _tot").cast("long").alias("cum_bp")))
+
+
+# Word-boundary toxicity/NSFW lexicon for document-level filtering — a
+# deliberately small deterministic stand-in for the UT1/LDNOOBW lists the
+# real pipelines ship (the operator takes any list; tests and fixtures
+# use this one). Lowercase entries, matched as whole words.
+TOXIC_LEXICON = ("slur0", "slur1", "gore", "explicit", "nsfw",
+                 "hateword", "obscenity")
+
+
+def toxicity_score(docs: DataFrame, *, id_col: str = "id",
+                   text_col: str = "text",
+                   lexicon: tuple = TOXIC_LEXICON,
+                   max_hits_bp: int = 50) -> DataFrame:
+    """Document-level toxicity gating (the C4/RefinedWeb "bad words"
+    stage): count word-boundary lexicon hits per document, normalize by
+    token count into basis points, and emit keep/flag verdicts —
+    ``flagged`` (any hit) and ``dropped`` (hit density above
+    max_hits_bp, the curated-list-but-keep-medical-text compromise C4
+    famously got wrong by hard-dropping; both signals are emitted so the
+    mixer chooses). Complements url_prefilter (URL-lexical, pre-fetch)
+    and quality_linear (generic quality): this is the content-policy
+    axis, post-extraction.
+
+    Scale shape (100 TB corpus): hits come from ONE compiled alternation
+    regex evaluated inside whole-stage codegen (regexp_count, no UDF, no
+    explode — the token array is never materialized); token counts reuse
+    token_count_col. Zero shuffles: the operator is a pure projection,
+    so it fuses into whatever scan or filter surrounds it and Parquet
+    row-group pruning above it still applies.
+    """
+    alt = "|".join(lexicon)
+    pat = rf"(?i)\b({alt})\b"
+    t = F.col(text_col)
+    n_tokens = token_count_col(t)
+    hits = F.coalesce(F.regexp_count(F.lower(t), F.lit(pat)),
+                      F.lit(0)).cast("long")
+    hits_bp = F.expr("(10000 * _hits) div greatest(_nt, 1)")
+    staged = docs.select(
+        F.col(id_col), n_tokens.alias("_nt"), hits.alias("_hits"))
+    return (staged
+            .withColumn("hits_bp", hits_bp.cast("long"))
+            .select(F.col(id_col),
+                    F.col("_nt").alias("n_tokens"),
+                    F.col("_hits").alias("n_hits"),
+                    "hits_bp",
+                    (F.col("_hits") > 0).alias("flagged"),
+                    (F.col("hits_bp") > max_hits_bp).alias("dropped")))

@@ -6815,6 +6815,311 @@ from w order by rank
 """
 
 
+def _alias_url_corpus(docs):
+    """Deterministic URL-alias corpus for DUST mining: per doc a base
+    alias (?id=), a session-tracked alias (&sess=, varies), for doc%3 a
+    referrer alias (&ref=, varies), and for doc%4 a CONTENT-COUPLED
+    ?page=2 alias whose text differs — the negative case a correct
+    miner must never flag (it lands in its own digest group)."""
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    base = F.concat(F.lit("http://"), F.col("source"), F.lit("/p"), ds)
+    a = docs.select(F.concat(base, F.lit("?id="), ds).alias("url"), "text")
+    b = docs.select(
+        F.concat(base, F.lit("?id="), ds, F.lit("&sess=s"),
+                 ((d * 7) % 97).cast("string")).alias("url"), "text")
+    c = (docs.filter(d % 3 == 0)
+         .select(F.concat(base, F.lit("?ref=r"), (d % 5).cast("string"),
+                          F.lit("&id="), ds).alias("url"), "text"))
+    p = (docs.filter(d % 4 == 0)
+         .select(F.concat(base, F.lit("?id="), ds,
+                          F.lit("&page=2")).alias("url"),
+                 F.concat(F.col("text"), F.lit(" page2")).alias("text")))
+    return a.unionByName(b).unionByName(c).unionByName(p)
+
+
+_ALIAS_SQL = """aliases as (
+  select 'http://' || source || '/p' || doc_id || '?id=' || doc_id
+           as url, text from documents
+  union all
+  select 'http://' || source || '/p' || doc_id || '?id=' || doc_id
+           || '&sess=s' || ((doc_id * 7) % 97), text from documents
+  union all
+  select 'http://' || source || '/p' || doc_id || '?ref=r'
+           || (doc_id % 5) || '&id=' || doc_id, text
+  from documents where doc_id % 3 = 0
+  union all
+  select 'http://' || source || '/p' || doc_id || '?id=' || doc_id
+           || '&page=2', text || ' page2'
+  from documents where doc_id % 4 = 0)"""
+
+
+def q_dust_rules(spark, sf_dir):
+    """DUST rule mining (operators/frontier.dust_param_rules): learn
+    per-host content-irrelevant query parameters from duplicate-content
+    URL alias groups. Over the alias corpus the miner must flag 'sess'
+    (varies within every alias group) and 'ref' (present on a subset),
+    never 'id' (constant within each group) and never 'page' (content-
+    coupled — its alias has different text, so it never shares a digest
+    group). Scale shape: operator docstring (no pair self-join; text
+    collapses to md5 map-side; two map-combined aggregates)."""
+    aliases = _alias_url_corpus(_t(spark, sf_dir, "documents"))
+    return FR.dust_param_rules(aliases, min_support=2,
+                               max_aliases_per_group=8)
+
+
+SQL_DUST_RULES = f"""
+with {_ALIAS_SQL},
+g as (select regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1)
+         as host,
+       split_part(url, '?', 1) as base, md5(text) as digest, url,
+       string_split(split_part(url, '?', 2), '&') as params
+      from aliases),
+grp as (select host, base, digest,
+               cast(count(distinct url) as bigint) as n_aliases
+        from g group by 1, 2, 3
+        having count(distinct url) between 2 and 8),
+ex as (select host, base, digest, url,
+              split_part(p, '=', 1) as param, p as pv
+       from (select host, base, digest, url, unnest(params) as p from g)
+       where p <> ''),
+pp as (select host, base, digest, param,
+              count(distinct url) as n_urls_with,
+              count(distinct pv) as n_values
+       from ex group by 1, 2, 3, 4),
+v as (select pp.host, pp.param, grp.n_aliases
+      from pp join grp using (host, base, digest)
+      where pp.n_urls_with < grp.n_aliases or pp.n_values > 1)
+select host, param, cast(count(*) as bigint) as support,
+       cast(sum(n_aliases) as bigint) as n_alias_urls
+from v group by host, param
+having count(*) >= 2
+order by host, param
+"""
+
+
+def q_warc_revisit_plan(spark, sf_dir):
+    """Archival payload dedup (sources/warc.revisit_dedup_plan): ISO
+    28500 revisit-record planning over a three-epoch recrawl fixture —
+    an initial fetch of every doc, an unchanged Feb refetch (doc%3,
+    must become a revisit stub of the Jan response), a CHANGED March
+    refetch (doc%5, new digest — must stay a response), and a cross-URL
+    mirror copy (doc%7, revisit pointing at the ORIGINAL url). Winner
+    election is min(struct(ts,url)) — deterministic under ts ties.
+    Scale shape: operator docstring (payload never crosses an exchange;
+    one digest-keyed aggregate + join-back)."""
+    from ..sources.warc import revisit_dedup_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(F.lit("http://"), F.col("source"), F.lit("/p"),
+                   d.cast("string"))
+    r1 = docs.select(url.alias("url"),
+                     F.lit("2026-01-01T00:00:00Z").alias("ts"),
+                     F.col("text").alias("payload"))
+    r2 = (docs.filter(d % 3 == 0)
+          .select(url.alias("url"),
+                  F.lit("2026-02-01T00:00:00Z").alias("ts"),
+                  F.col("text").alias("payload")))
+    r3 = (docs.filter(d % 5 == 0)
+          .select(url.alias("url"),
+                  F.lit("2026-03-01T00:00:00Z").alias("ts"),
+                  F.concat(F.col("text"), F.lit(" v2")).alias("payload")))
+    rm = (docs.filter(d % 7 == 0)
+          .select(F.concat(F.lit("http://mirror/p"),
+                           d.cast("string")).alias("url"),
+                  F.lit("2026-01-15T00:00:00Z").alias("ts"),
+                  F.col("text").alias("payload")))
+    rec = r1.unionByName(r2).unionByName(r3).unionByName(rm)
+    return (revisit_dedup_plan(rec, url_col="url", ts_col="ts",
+                               payload_col="payload")
+            .orderBy("url", "warc_ts"))
+
+
+SQL_WARC_REVISIT = """
+with rec as (
+  select 'http://' || source || '/p' || doc_id as url,
+         '2026-01-01T00:00:00Z' as ts, text as payload from documents
+  union all
+  select 'http://' || source || '/p' || doc_id,
+         '2026-02-01T00:00:00Z', text from documents where doc_id % 3 = 0
+  union all
+  select 'http://' || source || '/p' || doc_id,
+         '2026-03-01T00:00:00Z', text || ' v2' from documents
+  where doc_id % 5 = 0
+  union all
+  select 'http://mirror/p' || doc_id,
+         '2026-01-15T00:00:00Z', text from documents where doc_id % 7 = 0),
+slim as (select url, ts as warc_ts, md5(payload) as digest,
+                cast(length(payload) as bigint) as payload_bytes from rec),
+w as (select *, row_number() over (partition by digest
+                                   order by warc_ts, url) as rk from slim),
+win as (select digest, url as wu, warc_ts as wt from w where rk = 1)
+select s.url, s.warc_ts, s.digest,
+       case when s.url = win.wu and s.warc_ts = win.wt
+            then 'response' else 'revisit' end as record_type,
+       case when s.url = win.wu and s.warc_ts = win.wt
+            then null else win.wu end as refers_to_url,
+       case when s.url = win.wu and s.warc_ts = win.wt
+            then null else win.wt end as refers_to_ts,
+       s.payload_bytes,
+       cast(case when s.url = win.wu and s.warc_ts = win.wt
+            then 0 else s.payload_bytes end as bigint) as saved_bytes
+from slim s join win using (digest)
+order by url, warc_ts
+"""
+
+
+def q_ip_politeness(spark, sf_dir):
+    """Per-IP politeness grouping (operators/frontier.
+    ip_politeness_groups): hosts sharing a (fixture) resolver IP split
+    one politeness budget — hosts with source-number % 5 == 0 are
+    deliberately absent from the resolver map and keep a solo budget
+    via the self: sentinel. Scale shape: operator docstring (demand is
+    one map-combined count; resolver map broadcasts; post-count frames
+    are host-cardinality)."""
+    docs = _t(spark, sf_dir, "documents")
+    frontier = docs.select(F.col("source").alias("host"))
+    num = F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("long")
+    hostmap = (docs.select("source").distinct()
+               .filter(num % 5 != 0)
+               .select(F.col("source").alias("host"),
+                       F.concat(F.lit("ip-"),
+                                (num % 4).cast("string")).alias("ip")))
+    return FR.ip_politeness_groups(frontier, hostmap, per_ip_budget=64)
+
+
+SQL_IP_POLITENESS = """
+with demand as (select source as host, cast(count(*) as bigint) as n_urls
+                from documents group by 1),
+hm as (select source as host,
+              'ip-' || (cast(regexp_extract(source, '(\\d+)', 1) as bigint)
+                        % 4) as ip
+       from (select distinct source from documents)
+       where cast(regexp_extract(source, '(\\d+)', 1) as bigint) % 5 <> 0),
+m as (select d.host, coalesce(hm.ip, 'self:' || d.host) as ip, d.n_urls
+      from demand d left join hm using (host)),
+w as (select *,
+             cast(count(*) over (partition by ip) as bigint)
+               as n_hosts_on_ip,
+             row_number() over (partition by ip order by host) as rk
+      from m)
+select host, ip, n_hosts_on_ip, n_urls, cast(64 as bigint) as ip_budget,
+       cast(64 // n_hosts_on_ip
+            + case when rk <= 64 % n_hosts_on_ip then 1 else 0 end
+            as bigint) as host_budget,
+       n_urls > (64 // n_hosts_on_ip
+                 + case when rk <= 64 % n_hosts_on_ip then 1 else 0 end)
+         as throttled
+from w order by host
+"""
+
+
+def q_focused_priority(spark, sf_dir):
+    """Focused-crawl frontier scoring (operators/graph.
+    focused_priority): topic = ('spark', 'learning') over the
+    deterministic doc link graph with case-synthesized anchor text —
+    anchors carrying topic terms dominate; fetched-source topical
+    scores (id*37 % 10000 bp) tiebreak. Top 25 by priority_fp.
+    Scale shape: operator docstring (per-edge hits in one codegen
+    projection; one target-keyed aggregate; source scores broadcast)."""
+    nodes, edges, _ = _doc_graph(spark, sf_dir)
+    anchor = F.expr(
+        "case (src + dst) % 5 "
+        "when 0 then 'distributed spark engine docs' "
+        "when 1 then 'cat pictures gallery' "
+        "when 2 then 'machine learning tutorial' "
+        "when 3 then 'home page' "
+        "else 'spark learning notes' end")
+    anchors = edges.select("src", F.col("dst").alias("target"),
+                           anchor.alias("anchor"))
+    scores = nodes.select(F.col("id").alias("src"),
+                          ((F.col("id") * 37) % 10000).cast("long")
+                          .alias("score_bp"))
+    return (G.focused_priority(anchors, scores, ("spark", "learning"))
+            .limit(25))
+
+
+SQL_FOCUSED_PRIORITY = f"""
+with {_GRAPH_CTES},
+anch as (select src, dst as target,
+                case (src + dst) % 5
+                  when 0 then 'distributed spark engine docs'
+                  when 1 then 'cat pictures gallery'
+                  when 2 then 'machine learning tutorial'
+                  when 3 then 'home page'
+                  else 'spark learning notes' end as anchor
+         from edges),
+sc as (select id as src, cast((id * 37) % 10000 as bigint) as score_bp
+       from nodes),
+e as (select a.target,
+             cast((case when regexp_matches(lower(a.anchor),
+                                            '\\bspark\\b')
+                        then 1 else 0 end)
+                  + (case when regexp_matches(lower(a.anchor),
+                                              '\\blearning\\b')
+                          then 1 else 0 end) as bigint) as hits,
+             coalesce(sc.score_bp, 0) as sbp
+      from anch a left join sc using (src)),
+agg as (select target, cast(count(*) as bigint) as n_inlinks,
+               cast(sum(hits) as bigint) as anchor_hits,
+               cast(sum(sbp) as bigint) as sbp_sum
+        from e group by target)
+select target, n_inlinks, anchor_hits,
+       cast(sbp_sum // n_inlinks as bigint) as mean_src_bp,
+       cast(10000 * anchor_hits + sbp_sum // n_inlinks as bigint)
+         as priority_fp
+from agg
+order by priority_fp desc, target
+limit 25
+"""
+
+
+def q_toxicity(spark, sf_dir):
+    """Content-policy lexicon gate (operators/textstats.toxicity_score):
+    word-boundary toxic-term density in basis points with flag/drop
+    verdicts — doc%17 is replaced by a saturated toxic stub (must be
+    dropped: density over the 50 bp line), doc%7 gets one appended hit
+    (flagged, kept), everything else is verified hit-free in the base
+    fixture. Scale shape: operator docstring (one alternation regex in
+    codegen; pure projection, zero shuffles)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    text = (F.when(d % 17 == 0,
+                   F.lit("nsfw gore explicit nsfw gore stub"))
+            .when(d % 7 == 0,
+                  F.concat(F.col("text"), F.lit(" some explicit content")))
+            .otherwise(F.col("text")))
+    staged = docs.select(d.alias("id"), text.alias("text"))
+    return TS.toxicity_score(staged, id_col="id",
+                             max_hits_bp=50).orderBy("id")
+
+
+SQL_TOXICITY = r"""
+with staged as (
+  select doc_id as id,
+         case when doc_id % 17 = 0
+                then 'nsfw gore explicit nsfw gore stub'
+              when doc_id % 7 = 0 then text || ' some explicit content'
+              else text end as text
+  from documents),
+f as (select id,
+             cast(case when trim(text) = '' then 0
+                  else len(regexp_split_to_array(lower(trim(text)),
+                                                 '\s+')) end as bigint)
+               as n_tokens,
+             cast(len(regexp_extract_all(lower(text),
+                  '\b(slur0|slur1|gore|explicit|nsfw|hateword|obscenity)\b'))
+                  as bigint) as n_hits
+      from staged)
+select id, n_tokens, n_hits,
+       cast((10000 * n_hits) // greatest(n_tokens, 1) as bigint) as hits_bp,
+       n_hits > 0 as flagged,
+       (10000 * n_hits) // greatest(n_tokens, 1) > 50 as dropped
+from f order by id
+"""
+
+
 def registry():
     """name → (spark_fn, oracle_sql | None).
 
@@ -6833,6 +7138,11 @@ def registry():
     """
     return {
         # -- 1. never driver-checked (new in round 5) --
+        "dust_rules": (q_dust_rules, SQL_DUST_RULES),
+        "warc_revisit_plan": (q_warc_revisit_plan, SQL_WARC_REVISIT),
+        "ip_politeness": (q_ip_politeness, SQL_IP_POLITENESS),
+        "focused_priority": (q_focused_priority, SQL_FOCUSED_PRIORITY),
+        "toxicity_lexicon": (q_toxicity, SQL_TOXICITY),
         "token_vocab_coverage": (q_token_vocab_coverage, SQL_TOKEN_VOCAB),
         "link_trustrank": (q_link_trustrank, SQL_LINK_TRUSTRANK),
         "frontier_opic": (q_frontier_opic, SQL_FRONTIER_OPIC),

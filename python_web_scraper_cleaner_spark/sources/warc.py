@@ -429,3 +429,76 @@ def wat_links(records: DataFrame) -> DataFrame:
             .select("segment_id", F.col("url").alias("src"),
                     F.explode(links).alias("l"))
             .select("segment_id", "src", F.col("l")["url"].alias("target")))
+
+
+def build_revisit_record(url: str, ts: str, refers_to_url: str,
+                         refers_to_ts: str, digest: str) -> bytes:
+    """One WARC/1.0 ``revisit`` record (ISO 28500 §6.7.2, the
+    identical-payload-digest profile) — how Common Crawl and Heritrix
+    store a re-fetch whose payload digest was already archived: a stub
+    pointing at the original response instead of the bytes again. The
+    payload is empty; WARC-Refers-To-Target-URI/-Date name the archived
+    copy and WARC-Payload-Digest carries the matching digest."""
+    head = (f"WARC/1.0\r\n"
+            f"WARC-Type: revisit\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {ts}\r\n"
+            f"WARC-Profile: identical-payload-digest\r\n"
+            f"WARC-Refers-To-Target-URI: {refers_to_url}\r\n"
+            f"WARC-Refers-To-Date: {refers_to_ts}\r\n"
+            f"WARC-Payload-Digest: md5:{digest}\r\n"
+            f"Content-Length: 0\r\n\r\n").encode("ascii")
+    return head + b"\r\n\r\n"
+
+
+def revisit_dedup_plan(records: DataFrame, *, url_col: str = "url",
+                       ts_col: str = "warc_ts",
+                       payload_col: str = "html") -> DataFrame:
+    """Archival payload dedup: decide, per record, whether the archive
+    stores a full ``response`` or a digest-``revisit`` stub (ISO 28500
+    §6.7.2; the dedup Common Crawl runs at write time — upwards of half
+    of a recrawl's payload bytes are unchanged). The FIRST record per
+    payload digest — ordered (warc_ts, url), never arrival order — is
+    the archived response; every later record with the same digest
+    becomes a revisit stub pointing at it, and its payload bytes are the
+    saving. Content dedup of the CORPUS is dedup_exact's job; this is
+    dedup of the ARCHIVE, where every record must remain addressable.
+
+    Output per record: url, warc_ts, digest, record_type
+    ('response'|'revisit'), refers_to_url/refers_to_ts (null on
+    responses), payload_bytes, saved_bytes (payload_bytes on revisits,
+    0 on responses).
+
+    Scale shape (100 TB archive): digest and byte length are computed in
+    the scan projection and the payload column is dropped BEFORE any
+    exchange — only (url, ts, 32-byte digest, length) rows shuffle. One
+    digest-keyed map-side-combined min(struct) aggregate elects winners;
+    the plan is that aggregate joined back on digest (AQE broadcasts the
+    winner side when digests are few). No window over the full archive,
+    no payload bytes in motion.
+    """
+    slim = records.select(
+        F.col(url_col).alias("url"), F.col(ts_col).alias("warc_ts"),
+        F.md5(F.col(payload_col).cast("string")).alias("digest"),
+        F.length(F.col(payload_col)).cast("long").alias("payload_bytes"))
+    winners = (slim.groupBy("digest")
+               .agg(F.min(F.struct("warc_ts", "url")).alias("_w"))
+               .select("digest", F.col("_w.url").alias("_wu"),
+                       F.col("_w.warc_ts").alias("_wt")))
+    is_resp = (F.col("url") == F.col("_wu")) & \
+        (F.col("warc_ts") == F.col("_wt"))
+    return (slim.join(winners, "digest")
+            .withColumn("record_type", F.when(is_resp, F.lit("response"))
+                        .otherwise(F.lit("revisit")))
+            .withColumn("refers_to_url",
+                        F.when(is_resp, F.lit(None).cast("string"))
+                        .otherwise(F.col("_wu")))
+            .withColumn("refers_to_ts",
+                        F.when(is_resp, F.lit(None).cast("string"))
+                        .otherwise(F.col("_wt")))
+            .withColumn("saved_bytes",
+                        F.when(is_resp, F.lit(0)).otherwise(
+                            F.col("payload_bytes")).cast("long"))
+            .select("url", "warc_ts", "digest", "record_type",
+                    "refers_to_url", "refers_to_ts", "payload_bytes",
+                    "saved_bytes"))

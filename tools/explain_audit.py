@@ -255,6 +255,31 @@ AUDITED = [
      "pair self-join is hot-digest-capped; min-label propagation runs "
      "on the host-cardinality graph; sizes via aggregate+join, no "
      "window"),
+    ("dust_rules",
+     "DUST mining without a pair self-join: text collapses to md5 in "
+     "the scan projection; alias-group election and per-param variance "
+     "are both map-side-combined aggregates on (host, base, digest[, "
+     "param]); the rule rollup joins group-sized frames only"),
+    ("warc_revisit_plan",
+     "archival dedup: payload length+digest computed map-side, payload "
+     "column dropped before any exchange; ONE digest-keyed partial-min "
+     "(struct) aggregate elects winners; plan = aggregate joined back "
+     "on digest (broadcast-eligible winner side)"),
+    ("ip_politeness",
+     "per-IP budgets: demand is a map-side-combined per-host count; "
+     "the resolver map joins via BroadcastHashJoin; the ip window runs "
+     "over host-cardinality rows only (no url-cardinality exchange "
+     "past the first count)"),
+    ("focused_priority",
+     "focused-crawl scoring: per-edge topic hits in one codegen "
+     "projection (no explode, no UDF); source scores broadcast; the "
+     "only wide exchange is the target-keyed map-side-combined "
+     "aggregate; TakeOrderedAndProject for the head"),
+    ("toxicity_lexicon",
+     "content-policy gate: one alternation regexp_count inside "
+     "whole-stage codegen — the operator is a pure projection (the "
+     "plan's only exchange is the registry entry's display orderBy); "
+     "token counts share the same projection"),
 ]
 
 KEEP = re.compile(
