@@ -23,8 +23,10 @@ html_cleaner_core.py:run_batch), re-expressed as north_rule demands:
       only kept docs' bands appended — corpus never re-shingled)
     transactional commits: pages+r, warc_segments+r (optional,
       archive=True: WARC capture + WET extracted-text twins — the pair
-      of files Common Crawl ships), sig_index+r, links+r, url_seen+r,
-      crawl_log+r, frontier−batch
+      of files Common Crawl ships; archive_dedup=True additionally
+      maintains archive_digests+r and writes ISO 28500 revisit stubs
+      instead of already-archived payload bytes), sig_index+r, links+r,
+      url_seen+r, crawl_log+r, frontier−batch
 
 Every table commit is one TableIO snapshot per round, so a killed job
 resumes at the last committed round and — because every ordering derives
@@ -167,6 +169,23 @@ def simulated_fetch(batch: DataFrame) -> DataFrame:
     return batch.groupBy("host").applyInPandas(fetch_host, schema=out_schema)
 
 
+@F.pandas_udf(T.StringType())
+def _capture_md5(urls: pd.Series) -> pd.Series:
+    """md5 hex of the CAPTURE payload per url — the archival-dedup key.
+    In this sandbox the capture regenerates from the url via the same
+    deterministic seam _build_segments uses (sources/pages.page_record);
+    a real deployment hashes the fetched bytes inside the fetch task and
+    commits the digest into pages. Arrow-batched, never per-row udf()."""
+    import hashlib
+
+    out = []
+    for url in urls:
+        m = _DOCID_RE.search(url)
+        blob = page_record(int(m.group(1)))["html"] if m else b""
+        out.append(hashlib.md5(blob).hexdigest())
+    return pd.Series(out)
+
+
 def _observed_latency_ms(url_hash_col, host_col):
     """The fetch clock's simulated stand-in: per-fetch latency as a pure
     function of (host, url_hash) — hosts get distinct base latencies
@@ -203,6 +222,7 @@ class CrawlEngine:
                  archive: bool = False,
                  archive_pages_per_segment: int = 50,
                  archive_gzip: bool = True,
+                 archive_dedup: bool = False,
                  revisit: bool = False,
                  revisit_base_hours: int = 1,
                  trap_variant_cap: int | None = None,
@@ -297,6 +317,17 @@ class CrawlEngine:
             raise ValueError("archive_pages_per_segment must be >= 1")
         self.archive_pages_per_segment = archive_pages_per_segment
         self.archive_gzip = archive_gzip
+        # Archival payload dedup (ISO 28500 §6.7.2, what Common Crawl
+        # does at write time): maintain an `archive_digests` table of
+        # every payload digest ever archived; a re-capture whose digest
+        # is already committed is written as a `revisit` stub pointing
+        # at the first archived copy instead of the bytes again
+        # (sources/warc.revisit_dedup_plan semantics, inside the engine's
+        # transactional round commit set). Matters most with revisit=True
+        # — unchanged re-crawls stop paying payload storage.
+        if archive_dedup and not archive:
+            raise ValueError("archive_dedup=True requires archive=True")
+        self.archive_dedup = archive_dedup
         # Re-crawl loop: revisit=True makes the engine MAINTAIN the
         # fetch_history table (per-fetch content-change observations —
         # the substrate _apply_priority's due-ness ordering and
@@ -704,11 +735,71 @@ class CrawlEngine:
         T.StructField("seg_block", T.IntegerType(), nullable=False),
         T.StructField("n_warc", T.IntegerType(), nullable=False),
         T.StructField("n_wet", T.IntegerType(), nullable=False),
+        T.StructField("n_revisit", T.IntegerType(), nullable=False),
         T.StructField("warc", T.BinaryType(), nullable=False),
         T.StructField("wet", T.BinaryType(), nullable=False),
     ])
 
-    def _build_segments(self, pages: DataFrame, round_id: int) -> DataFrame:
+    def _archive_plan(self, pages: DataFrame,
+                      round_id: int) -> tuple:
+        """(per-url record plan, new digest rows) for archive_dedup=True —
+        a PURE FUNCTION of (this round's pages rows, archive_digests
+        rounds < round_id), so a crash anywhere in the commit set replays
+        to the identical plan. A capture whose digest is already
+        committed becomes a revisit stub pointing at the FIRST archived
+        copy (min(struct(ts, url)) — never arrival order); among digests
+        new THIS round the same election picks the one response, and the
+        rest of the round's copies refer to it. Only the winners' rows
+        enter archive_digests.
+
+        Scale shape: digests are md5 inside the Arrow fetch-seam UDF and
+        only (url, ts, 32-byte digest) rows reach the two digest-keyed
+        aggregates + join-backs; the archive_digests probe side carries
+        three narrow columns per UNIQUE payload ever archived, and the
+        payload bytes themselves never enter the plan at all."""
+        fetched = (pages.filter("fetch_ok")
+                   .select("url",
+                           F.date_format("warc_ts",
+                                         "yyyy-MM-dd'T'HH:mm:ss'Z'")
+                           .alias("ts"))
+                   .withColumn("digest", _capture_md5(F.col("url"))))
+        if self.io.exists("archive_digests"):
+            prior = (self.io.read("archive_digests")
+                     .filter(F.col("round") < round_id)
+                     .groupBy("digest")
+                     .agg(F.min(F.struct("ts", "url")).alias("_p"))
+                     .select("digest", F.col("_p.url").alias("_pu"),
+                             F.col("_p.ts").alias("_pt")))
+            j = fetched.join(prior, "digest", "left")
+        else:
+            j = (fetched.withColumn("_pu", F.lit(None).cast("string"))
+                 .withColumn("_pt", F.lit(None).cast("string")))
+        rw = (j.filter(F.col("_pu").isNull())
+              .groupBy("digest")
+              .agg(F.min(F.struct("ts", "url")).alias("_w"))
+              .select("digest", F.col("_w.url").alias("_wu"),
+                      F.col("_w.ts").alias("_wt")))
+        j2 = j.join(rw, "digest", "left")
+        is_resp = (F.col("_pu").isNull()
+                   & (F.col("url") == F.col("_wu"))
+                   & (F.col("ts") == F.col("_wt")))
+        ref_url = F.coalesce(F.col("_pu"), F.col("_wu"))
+        ref_ts = F.coalesce(F.col("_pt"), F.col("_wt"))
+        plan = j2.select(
+            "url", "digest",
+            F.when(is_resp, F.lit("response")).otherwise(F.lit("revisit"))
+            .alias("record_type"),
+            F.when(is_resp, F.lit(None).cast("string")).otherwise(ref_url)
+            .alias("refers_to_url"),
+            F.when(is_resp, F.lit(None).cast("string")).otherwise(ref_ts)
+            .alias("refers_to_ts"))
+        new_digests = (j2.filter(is_resp)
+                       .select("digest", "url", "ts",
+                               F.lit(round_id).cast("int").alias("round")))
+        return plan, new_digests
+
+    def _build_segments(self, pages: DataFrame, round_id: int,
+                        plan: DataFrame | None = None) -> DataFrame:
         """The round's archival output: one WARC segment (response records,
         raw capture) + its WET twin (conversion records, the committed
         extracted text — failed extractions absent, real WET semantics)
@@ -726,8 +817,9 @@ class CrawlEngine:
         (sources/pages.page_record — same seam simulated_fetch uses); in
         a real deployment the capture is taken inside the fetch task and
         this builder consumes the fetch cache instead."""
-        from ..sources.warc import (build_warc_record, build_warcinfo,
-                                    build_wet_record, gzip_member)
+        from ..sources.warc import (build_revisit_record, build_warc_record,
+                                    build_warcinfo, build_wet_record,
+                                    gzip_member)
 
         pps = self.archive_pages_per_segment
         frame = gzip_member if self.archive_gzip else (lambda b: b)
@@ -737,28 +829,43 @@ class CrawlEngine:
                .select("host", "seg_block", "fetch_slot", "url",
                        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
                        .alias("ts"), "ok", "text"))
+        if plan is not None:
+            # archive_dedup: per-url record plan (response vs revisit
+            # stub) joined on the round-unique url key
+            src = src.join(plan, "url", "left")
+        else:
+            src = (src.withColumn("record_type", F.lit("response"))
+                   .withColumn("digest", F.lit(None).cast("string"))
+                   .withColumn("refers_to_url", F.lit(None).cast("string"))
+                   .withColumn("refers_to_ts", F.lit(None).cast("string")))
 
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values("fetch_slot").reset_index(drop=True)
             host, block = pdf["host"][0], int(pdf["seg_block"][0])
             warc_parts = [frame(build_warcinfo(block))]
             wet_parts = [frame(build_warcinfo(block))]
-            n_warc = n_wet = 0
+            n_warc = n_wet = n_revisit = 0
             for row in pdf.itertuples():
-                m = _DOCID_RE.search(row.url)
-                html = page_record(int(m.group(1)))["html"]
-                warc_parts.append(frame(
-                    build_warc_record(row.url, row.ts, html)))
-                n_warc += 1
+                if row.record_type == "revisit":
+                    warc_parts.append(frame(build_revisit_record(
+                        row.url, row.ts, row.refers_to_url,
+                        row.refers_to_ts, row.digest)))
+                    n_revisit += 1
+                else:
+                    m = _DOCID_RE.search(row.url)
+                    html = page_record(int(m.group(1)))["html"]
+                    warc_parts.append(frame(
+                        build_warc_record(row.url, row.ts, html)))
+                    n_warc += 1
                 if row.ok:
                     wet_parts.append(frame(
                         build_wet_record(row.url, row.ts, row.text)))
                     n_wet += 1
             return pd.DataFrame(
-                [(round_id, host, block, n_warc, n_wet,
+                [(round_id, host, block, n_warc, n_wet, n_revisit,
                   b"".join(warc_parts), b"".join(wet_parts))],
                 columns=["round", "host", "seg_block", "n_warc", "n_wet",
-                         "warc", "wet"])
+                         "n_revisit", "warc", "wet"])
 
         return (src.groupBy("host", "seg_block")
                 .applyInPandas(build, schema=self.ARCHIVE_SCHEMA))
@@ -1084,15 +1191,29 @@ class CrawlEngine:
             if not replay:
                 io.append_round(pages, "pages", round_id)
 
-            if self.archive and not self._committed("warc_segments",
-                                                    round_id):
+            if self.archive:
                 # archival capture: WARC + WET segment blobs, a pure
                 # function of the committed pages rows (see
                 # _build_segments) — guarded like every other member of
                 # the commit set, so a crash between the pages and
-                # warc_segments commits replays to identical bytes
-                io.append_round(self._build_segments(pages, round_id),
-                                "warc_segments", round_id)
+                # warc_segments commits replays to identical bytes.
+                # With archive_dedup the per-url plan (and the digest
+                # rows it elects) derives from archive_digests rounds
+                # < round_id, so BOTH commits replay identically no
+                # matter where the crash landed between them.
+                seg_plan = new_digests = None
+                if self.archive_dedup:
+                    seg_plan, new_digests = self._archive_plan(pages,
+                                                               round_id)
+                if not self._committed("warc_segments", round_id):
+                    io.append_round(
+                        self._build_segments(pages, round_id, seg_plan),
+                        "warc_segments", round_id)
+                if (self.archive_dedup
+                        and not self._committed("archive_digests",
+                                                round_id)):
+                    io.append_round(new_digests, "archive_digests",
+                                    round_id)
 
             if self.dedup_index and not self._committed("sig_index",
                                                         round_id):

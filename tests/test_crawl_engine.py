@@ -1785,3 +1785,102 @@ def test_honor_directives_kill_resume_identical(spark, tmp_path):
                       .collect())
 
     assert snap(full) == snap(resumed)
+
+
+def test_archive_dedup_writes_revisit_stubs(spark, tmp_path):
+    """archive_dedup=True + revisit=True: the first crawl archives full
+    response records and commits their digests; every unchanged re-fetch
+    in later refresh cycles is archived as an ISO 28500 revisit stub
+    (empty payload, WARC-Refers-To naming the round-0 copy) — the
+    payload bytes are stored exactly once."""
+    from python_web_scraper_cleaner_spark.sources.warc import (
+        _gunzip_members, parse_warc_segment)
+
+    eng = CrawlEngine(spark, str(tmp_path / "ad"), per_host_budget=10,
+                      revisit=True, archive=True, archive_dedup=True,
+                      archive_pages_per_segment=3)
+    eng.bootstrap(_one_host_seeds(spark, list(range(6))),
+                  _hostq_robots(spark))
+    eng.run(max_rounds=20, refresh_cycles=2)
+
+    segs = eng.io.read("warc_segments").collect()
+    per_round: dict = {}
+    for s in segs:
+        resp = parse_warc_segment(bytes(s["warc"]))
+        rev = parse_warc_segment(bytes(s["warc"]), record_type="revisit")
+        assert len(resp) == s["n_warc"] and len(rev) == s["n_revisit"]
+        a, b = per_round.get(s["round"], (0, 0))
+        per_round[s["round"]] = (a + len(resp), b + len(rev))
+        plain = _gunzip_members(bytes(s["warc"]))
+        for _i, url, _ts, _st, payload in rev:
+            assert payload == b""
+            # the stub names its archived copy (same url re-fetched)
+            assert (f"WARC-Refers-To-Target-URI: {url}"
+                    .encode() in plain)
+    # round 0 archives the 6 payloads; both refresh cycles archive only
+    # stubs (content never changes in the deterministic corpus)
+    assert per_round[0] == (6, 0)
+    later = [v for k, v in per_round.items() if k > 0]
+    assert later and all(v == (0, 6) for v in later)
+
+    dg = eng.io.read("archive_digests").collect()
+    assert len(dg) == 6 and all(r["round"] == 0 for r in dg)
+    assert len({r["digest"] for r in dg}) == 6
+
+    # WET twins are unaffected: every ok extraction still present
+    pages = eng.io.read("pages")
+    n_ok = pages.filter("ok").count()
+    n_wet = sum(s["n_wet"] for s in segs)
+    assert n_wet == n_ok
+
+
+def test_archive_dedup_heals_digest_commit_crash(spark, tmp_path):
+    """Crash BETWEEN the warc_segments and archive_digests commits of a
+    re-fetch round: resume replays the round from the committed pages +
+    archive_digests < r and the healed store matches an uninterrupted
+    run table-for-table (including the empty digest commit an
+    all-revisit round produces)."""
+    seeds = _one_host_seeds(spark, list(range(6)))
+
+    def mk(root):
+        e = CrawlEngine(spark, str(root), per_host_budget=10,
+                        revisit=True, archive=True, archive_dedup=True,
+                        archive_pages_per_segment=3)
+        e.bootstrap(seeds, _hostq_robots(spark))
+        return e
+
+    full = mk(tmp_path / "full")
+    full.run(max_rounds=20, refresh_cycles=1)
+    refetch_round = max(r["round"]
+                        for r in full.io.read("pages").collect())
+    assert refetch_round > 0
+
+    crashed = mk(tmp_path / "c")
+    crashed.run(max_rounds=20, refresh_cycles=1)
+    # crash window inside the re-fetch round: pages + warc_segments
+    # committed, archive_digests and every later commit lost — the
+    # frontier is still at the transition's commit (frontier−batch is
+    # the round's LAST commit)
+    _rollback_to_round(crashed.io, "archive_digests", 0)
+    _rollback_to_round(crashed.io, "fetch_history", 0)
+    for t in ("url_seen", "bloom", "crawl_log", "frontier"):
+        _rollback_to_round(crashed.io, t, refetch_round - 1)
+    del crashed
+
+    resumed = CrawlEngine(spark, str(tmp_path / "c"), per_host_budget=10,
+                          revisit=True, archive=True, archive_dedup=True,
+                          archive_pages_per_segment=3)
+    assert resumed.last_round() == refetch_round - 1
+    resumed.run(max_rounds=20, refresh_cycles=0)
+
+    def blob_set(eng):
+        return sorted(
+            (r["round"], r["host"], r["seg_block"], r["n_warc"],
+             r["n_revisit"], bytes(r["warc"]), bytes(r["wet"]))
+            for r in eng.io.read("warc_segments").collect())
+
+    assert blob_set(resumed) == blob_set(full)
+    digs = lambda e: sorted(map(tuple, e.io.read("archive_digests")
+                                .collect()))
+    assert digs(resumed) == digs(full)
+    assert resumed.crawl_order() == full.crawl_order()
