@@ -259,3 +259,38 @@ def mixture_weights(df: DataFrame, *, strata_cols: list[str],
                .otherwise(F.lit(0)).cast("long")))
     return out.select(*strata_cols, "n_docs", "n_tokens", "weight",
                       "share_bp", "alloc_tokens", "epochs_bp")
+
+
+def cluster_balanced_sample(assigned: DataFrame, *, id_col: str = "id",
+                            cluster_col: str = "cid",
+                            cap_per_cluster: int = 5) -> DataFrame:
+    """Diversity sampling over an embedding clustering (the SemDeDup /
+    cluster-balanced curation stage): keep AT MOST cap_per_cluster docs
+    per cluster, chosen by a content-independent hash of the id — so
+    mega-clusters (boilerplate, templates, near-dup families the
+    verbatim dedup tiers missed) stop dominating the training mix while
+    the long tail of small clusters survives intact. Input is any
+    (id, cluster) assignment — similarity.ivf_assign over a
+    kmeans_centroids codebook is the canonical producer.
+
+    Output: input row + n_in_cluster, sample_rank (1-based hash rank
+    within the cluster), kept.
+
+    Scale shape: the rank and the cluster size share ONE
+    hashpartitioning(cluster) exchange (window + count over the same
+    partitioning). The window sorts per cluster, so a pathological
+    mega-cluster serializes through one task — at 10^9-vector scale
+    either pre-split hot clusters by a salt (rank within (cluster,
+    salt), cap//n_salts each, exact and parallel) or switch to
+    stratified_sample's rate-based pure-filter shape when an
+    approximate cap suffices; for the typical k-means codebook
+    (bounded k, clusters ~corpus/k) the single exchange is the right
+    trade."""
+    w = Window.partitionBy(cluster_col)
+    rank = F.row_number().over(
+        w.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col)))
+    return (assigned
+            .withColumn("n_in_cluster",
+                        F.count(F.lit(1)).over(w).cast("long"))
+            .withColumn("sample_rank", rank.cast("long"))
+            .withColumn("kept", F.col("sample_rank") <= cap_per_cluster))

@@ -6898,6 +6898,117 @@ order by host, param
 """
 
 
+def q_dust_collapse(spark, sf_dir):
+    """Composed DUST pipeline: mine per-host content-irrelevant params
+    (dust_param_rules) and APPLY them — strip learned params from every
+    alias url, rebuild the canonical, and report per-host frontier
+    collapse (n_urls → n_canonical). This is the learned counterpart of
+    url_tracking_canonical's fixed lexicon: the miner's rules drive the
+    canonicalizer, so ?sess/?ref alias families fold to one frontier
+    row while content-coupled ?page urls survive untouched. Scale
+    shape: the mined rule table is (host × param)-cardinality and
+    BROADCASTS into a left_anti join on the posexploded params; the
+    canonical rebuild is an order-preserving sort_array(struct(pos,p))
+    aggregate — one url-keyed exchange; counts are map-side-combined
+    per host."""
+    aliases = _alias_url_corpus(_t(spark, sf_dir, "documents"))
+    rules = FR.dust_param_rules(aliases, min_support=2,
+                                max_aliases_per_group=8)
+    u = F.col("url")
+    urls = aliases.select("url").distinct()
+    staged = urls.select(
+        "url",
+        F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+        .alias("host"),
+        F.substring_index(u, "?", 1).alias("base"),
+        F.filter(F.split(
+            F.when(F.instr(u, "?") > 0,
+                   F.expr("substring(url, instr(url, '?') + 1)"))
+            .otherwise(F.lit("")), "&"), lambda p: p != "")
+        .alias("params"))
+    ex = (staged.select("url", "host", "base",
+                        F.posexplode("params").alias("pos", "p"))
+          .withColumn("pname", F.substring_index(F.col("p"), "=", 1)))
+    kept = ex.join(F.broadcast(rules.select(
+        "host", F.col("param").alias("pname"))), ["host", "pname"],
+        "left_anti")
+    rebuilt = (kept.groupBy("url")
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("pos", "p"))),
+                       lambda s: s["p"]), "&").alias("_q")))
+    canon = (staged.join(rebuilt, "url", "left")
+             .withColumn("canon_url",
+                         F.when(F.coalesce(F.col("_q"), F.lit("")) == "",
+                                F.col("base"))
+                         .otherwise(F.concat(F.col("base"), F.lit("?"),
+                                             F.col("_q")))))
+    return (canon.groupBy("host")
+            .agg(F.countDistinct("url").cast("long").alias("n_urls"),
+                 F.countDistinct("canon_url").cast("long")
+                 .alias("n_canonical"))
+            .withColumn("collapsed",
+                        (F.col("n_urls") - F.col("n_canonical"))
+                        .cast("long"))
+            .orderBy("host"))
+
+
+SQL_DUST_COLLAPSE = f"""
+with {_ALIAS_SQL},
+g as (select regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1)
+         as host,
+       split_part(url, '?', 1) as base, md5(text) as digest, url,
+       string_split(split_part(url, '?', 2), '&') as params
+      from aliases),
+grp as (select host, base, digest,
+               cast(count(distinct url) as bigint) as n_aliases
+        from g group by 1, 2, 3
+        having count(distinct url) between 2 and 8),
+ex0 as (select host, base, digest, url,
+               split_part(p, '=', 1) as param, p as pv
+        from (select host, base, digest, url, unnest(params) as p from g)
+        where p <> ''),
+pp as (select host, base, digest, param,
+              count(distinct url) as n_urls_with,
+              count(distinct pv) as n_values
+       from ex0 group by 1, 2, 3, 4),
+rules as (select host, param
+          from (select pp.host, pp.param
+                from pp join grp using (host, base, digest)
+                where pp.n_urls_with < grp.n_aliases
+                   or pp.n_values > 1)
+          group by host, param having count(*) >= 2),
+urls as (select distinct url, host, base, params
+         from (select url,
+                      regexp_extract(url,
+                        '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) as host,
+                      split_part(url, '?', 1) as base,
+                      string_split(split_part(url, '?', 2), '&') as params
+               from (select distinct url from aliases))),
+expl as (select * from (
+           select url, host, base, unnest(params) as p,
+                  generate_subscripts(params, 1) as pos
+           from urls) where p <> ''),
+keptp as (select e.url, e.host, e.base, e.p, e.pos
+          from expl e
+          where not exists (select 1 from rules r
+                            where r.host = e.host
+                              and r.param = split_part(e.p, '=', 1))),
+reb as (select url, string_agg(p, '&' order by pos) as q
+        from keptp group by url),
+canon as (select u.host, u.url,
+                 case when coalesce(reb.q, '') = '' then u.base
+                      else u.base || '?' || reb.q end as canon_url
+          from urls u left join reb using (url))
+select host, cast(count(distinct url) as bigint) as n_urls,
+       cast(count(distinct canon_url) as bigint) as n_canonical,
+       cast(count(distinct url) - count(distinct canon_url) as bigint)
+         as collapsed
+from canon group by host order by host
+"""
+
+
 def q_warc_revisit_plan(spark, sf_dir):
     """Archival payload dedup (sources/warc.revisit_dedup_plan): ISO
     28500 revisit-record planning over a three-epoch recrawl fixture —
@@ -7075,6 +7186,82 @@ limit 25
 """
 
 
+def q_sample_cluster_balanced(spark, sf_dir):
+    """Cluster-balanced diversity sampling (operators/sampling.
+    cluster_balanced_sample) over a REAL k-means clustering of the
+    embeddings table (similarity.kmeans_centroids k=8 ×2 Lloyd
+    iterations + ivf_assign): at most 5 docs kept per cluster by
+    content-independent hash rank — mega-clusters stop dominating the
+    mix, singleton clusters survive whole. Fully oracle-checkable
+    because every centroid update is exact integer math (the
+    ann_ivf_kmeans convention); the final assignment cosine rounds to
+    4 decimals for cross-engine argmax determinism. Scale shape:
+    operator + kmeans docstrings (centroids broadcast; argmax via
+    map-side max_by; rank+size share one cluster-keyed exchange)."""
+    from ..operators.sampling import cluster_balanced_sample
+
+    emb = _emb(spark, sf_dir)
+    cents = SIM.kmeans_centroids(emb, k=8, iters=2)
+    cvec = cents.select(
+        "cid", F.transform("cv", lambda x: x.cast("double")).alias("cvec"))
+    asg = SIM.ivf_assign(
+        emb.select("id", F.col("vec").cast("array<double>").alias("v")),
+        cvec, id_col="id", vec_col="v")
+    return (cluster_balanced_sample(asg.select("id", "cid"),
+                                    cap_per_cluster=5)
+            .select("id", F.col("cid").cast("int").alias("cid"),
+                    "n_in_cluster", "sample_rank", "kept")
+            .orderBy("id"))
+
+
+@lru_cache(maxsize=None)
+def _sql_cluster_balanced(k: int = 8, iters: int = 2,
+                          cap: int = 5) -> str:
+    """Unrolled k-means over ALL embeddings (same integer-exact Lloyd
+    chain as _sql_ann_ivf_kmeans, corpus = everything) + ivf_assign's
+    rounded-cosine argmax + the hash-rank cap."""
+    parts = [
+        "e as (select vec_id as id, embedding::DOUBLE[] as v "
+        "from embeddings)",
+        ("fx as (select id, v, list_transform(v, "
+         "x -> cast(floor(x*1000000 + 0.5) as bigint)) as fv from e)"),
+        (f"cent0 as (select cast(id as int) as cid, fv as cv from fx "
+         f"order by id limit {k})"),
+    ]
+    for i in range(iters):
+        cos = _cosfix_sql("c.fv", "k.cv")
+        parts.append(
+            f"asg{i} as (select id, fv, cid from ("
+            f"select c.id, c.fv, k.cid, row_number() over ("
+            f"partition by c.id order by {cos} desc, k.cid asc) as rn "
+            f"from fx c, cent{i} k) t where rn = 1)")
+        parts.append(
+            f"sums{i} as (select cid, i as pos, "
+            f"cast(sum(fv[i]) as bigint) as s, count(*) as n "
+            f"from asg{i}, range(1, 65) t(i) group by cid, i)")
+        parts.append(
+            f"cent{i + 1} as (select cid, "
+            f"list(cast(floor(s / n + 0.5) as bigint) order by pos) as cv "
+            f"from sums{i} group by cid)")
+    fin = f"cent{iters}"
+    cosd = _cos_sql("c.v",
+                    "list_transform(k.cv, x -> cast(x as double))")
+    parts.append(
+        f"fa as (select id, cid from ("
+        f"select c.id, k.cid, row_number() over (partition by c.id "
+        f"order by round({cosd}, 4) desc, k.cid asc) as rn "
+        f"from e c, {fin} k) t where rn = 1)")
+    parts.append(
+        "ranked as (select id, cid, "
+        "cast(count(*) over (partition by cid) as bigint) as n_in_cluster, "
+        "cast(row_number() over (partition by cid "
+        "order by md5(cast(id as varchar)), id) as bigint) as sample_rank "
+        "from fa)")
+    return ("with " + ",\n".join(parts)
+            + f"\nselect id, cid, n_in_cluster, sample_rank, "
+              f"sample_rank <= {cap} as kept from ranked order by id")
+
+
 def q_toxicity(spark, sf_dir):
     """Content-policy lexicon gate (operators/textstats.toxicity_score):
     word-boundary toxic-term density in basis points with flag/drop
@@ -7139,10 +7326,13 @@ def registry():
     return {
         # -- 1. never driver-checked (new in round 5) --
         "dust_rules": (q_dust_rules, SQL_DUST_RULES),
+        "dust_collapse": (q_dust_collapse, SQL_DUST_COLLAPSE),
         "warc_revisit_plan": (q_warc_revisit_plan, SQL_WARC_REVISIT),
         "ip_politeness": (q_ip_politeness, SQL_IP_POLITENESS),
         "focused_priority": (q_focused_priority, SQL_FOCUSED_PRIORITY),
         "toxicity_lexicon": (q_toxicity, SQL_TOXICITY),
+        "sample_cluster_balanced": (q_sample_cluster_balanced,
+                                    _sql_cluster_balanced()),
         "token_vocab_coverage": (q_token_vocab_coverage, SQL_TOKEN_VOCAB),
         "link_trustrank": (q_link_trustrank, SQL_LINK_TRUSTRANK),
         "frontier_opic": (q_frontier_opic, SQL_FRONTIER_OPIC),

@@ -173,3 +173,22 @@ def test_toxicity_word_boundary(spark):
     r = TS.toxicity_score(docs).first()
     # 'gorefest'/'nsfwish' contain lexicon entries but not word-bounded
     assert r.n_hits == 0 and not r.flagged
+
+
+# ------------------------------------------------------- cluster sampling
+
+def test_cluster_balanced_cap_and_tail_survival(spark):
+    from python_web_scraper_cleaner_spark.operators.sampling import (
+        cluster_balanced_sample)
+
+    rows = [(i, 0) for i in range(40)] + [(100, 1)]  # mega + singleton
+    asg = spark.createDataFrame(rows, "id long, cid int")
+    out = cluster_balanced_sample(asg, cap_per_cluster=5).collect()
+    mega = [r for r in out if r.cid == 0]
+    assert sum(r.kept for r in mega) == 5
+    assert all(r.n_in_cluster == 40 for r in mega)
+    single = [r for r in out if r.cid == 1]
+    assert len(single) == 1 and single[0].kept  # tail survives whole
+    # deterministic: two runs agree exactly
+    again = cluster_balanced_sample(asg, cap_per_cluster=5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

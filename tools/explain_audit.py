@@ -260,6 +260,16 @@ AUDITED = [
      "the scan projection; alias-group election and per-param variance "
      "are both map-side-combined aggregates on (host, base, digest[, "
      "param]); the rule rollup joins group-sized frames only"),
+    ("dust_collapse",
+     "mined rules applied: the (host × param) rule table broadcasts "
+     "into a left_anti join on the posexploded params; canonical "
+     "rebuild is one url-keyed order-preserving aggregate; per-host "
+     "counts map-side-combine — the url frame never self-joins"),
+    ("sample_cluster_balanced",
+     "k-means diversity sampling: centroids broadcast (codebook rows), "
+     "assignment argmax via partial_max_by (no corpus×k window); the "
+     "hash rank and the cluster size share ONE hashpartitioning(cid) "
+     "exchange"),
     ("warc_revisit_plan",
      "archival dedup: payload length+digest computed map-side, payload "
      "column dropped before any exchange; ONE digest-keyed partial-min "
