@@ -361,3 +361,43 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, *, k: int = 3,
     return (sim.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cos_sim", "rank"))
+
+
+def semantic_decontaminate(corpus: DataFrame, probes: DataFrame, *,
+                           threshold: float = 0.99,
+                           round_digits: int = 4,
+                           id_col: str = "id",
+                           vec_col: str = "vec") -> DataFrame:
+    """Embedding-space benchmark decontamination: flag corpus docs whose
+    max cosine against any held-out benchmark probe clears the
+    threshold. dedup.contamination_check catches VERBATIM 8-gram overlap;
+    this tier catches the paraphrased/reformatted contamination n-gram
+    methods structurally miss (the training-data-hygiene companion every
+    modern corpus pipeline runs beside exact decontamination).
+
+    Output per corpus doc: max_cos (rounded for cross-engine argmax
+    determinism), nearest_probe (argmax id, ties to the lower id),
+    contaminated.
+
+    Scale shape (100 TB corpus): the probe side is benchmark-sized and
+    BROADCASTS; the corpus scans once through a codegen projection of
+    |probes| dot products and collapses per doc via map-side max_by —
+    no corpus shuffle at all (the aggregate's partial runs in the scan
+    stage; only (id, max) rows reach the final agg). For probe sets too
+    large to broadcast, bucket both sides with projection_bucket (the
+    lsh_topk shape) first."""
+    c = corpus.select(F.col(id_col).alias("_cid"),
+                      F.col(vec_col).alias("_cv"))
+    p = probes.select(F.col(id_col).alias("_pid"),
+                      F.col(vec_col).alias("_pv"))
+    sim = (c.crossJoin(F.broadcast(p))
+           .withColumn("_cos", F.round(cosine(F.col("_cv"), F.col("_pv")),
+                                       round_digits)))
+    agg = (sim.groupBy("_cid")
+           .agg(F.max_by(F.struct("_pid", "_cos"),
+                         F.struct(F.col("_cos"), -F.col("_pid")))
+                .alias("_b")))
+    return (agg.select(F.col("_cid").alias(id_col),
+                       F.col("_b._cos").alias("max_cos"),
+                       F.col("_b._pid").alias("nearest_probe"))
+            .withColumn("contaminated", F.col("max_cos") >= threshold))

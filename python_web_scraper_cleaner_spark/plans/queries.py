@@ -7262,6 +7262,50 @@ def _sql_cluster_balanced(k: int = 8, iters: int = 2,
               f"sample_rank <= {cap} as kept from ranked order by id")
 
 
+def q_decontaminate_semantic(spark, sf_dir):
+    """Embedding-space benchmark decontamination (operators/similarity.
+    semantic_decontaminate): probes = the vec_id%10==2 slice standing in
+    for an eval benchmark; the corpus re-hosts perturbed copies of a
+    probe subset (+0.01 on dim 1 — a paraphrase stand-in that verbatim
+    8-gram decontamination cannot see, cos ≈ 0.9999) plus the clean
+    rest. Exactly the planted copies must flag. Companion tier to
+    `decontaminate_ngram`. Scale shape: operator docstring (probes
+    broadcast; per-doc max via map-side max_by; zero corpus shuffle)."""
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("id") % 10 == 2)
+    pert = (probes.filter(F.col("id") % 50 == 2)
+            .select((F.col("id") + 10000).alias("id"),
+                    F.concat(
+                        F.array(F.element_at("vec", 1)
+                                + F.lit(0.01).cast("float")),
+                        F.slice("vec", 2, 63)).alias("vec")))
+    corpus = emb.filter(F.col("id") % 10 != 2).unionByName(pert)
+    return (SIM.semantic_decontaminate(corpus, probes, threshold=0.99)
+            .orderBy("id"))
+
+
+SQL_DECON_SEMANTIC = f"""
+with base as (select vec_id as id, embedding as v from embeddings),
+probes as (select id, v::DOUBLE[] as v from base where id % 10 = 2),
+pert as (select id + 10000 as id,
+                (list_prepend((v[1]::FLOAT + 0.01::FLOAT),
+                              v[2:64]))::DOUBLE[] as v
+         from base where id % 50 = 2),
+corpus as (select id, v::DOUBLE[] as v from base where id % 10 <> 2
+           union all select * from pert),
+sims as (select c.id, p.id as pid,
+                {_cos_sql('c.v', 'p.v')} as cos
+         from corpus c, probes p),
+best as (select id, pid, cos from (
+           select id, pid, cos, row_number() over (partition by id
+             order by cos desc, pid asc) as rn from sims)
+         where rn = 1)
+select id, cos as max_cos, pid as nearest_probe,
+       cos >= 0.99 as contaminated
+from best order by id
+"""
+
+
 def q_toxicity(spark, sf_dir):
     """Content-policy lexicon gate (operators/textstats.toxicity_score):
     word-boundary toxic-term density in basis points with flag/drop
@@ -7333,6 +7377,8 @@ def registry():
         "toxicity_lexicon": (q_toxicity, SQL_TOXICITY),
         "sample_cluster_balanced": (q_sample_cluster_balanced,
                                     _sql_cluster_balanced()),
+        "decontaminate_semantic": (q_decontaminate_semantic,
+                                   SQL_DECON_SEMANTIC),
         "token_vocab_coverage": (q_token_vocab_coverage, SQL_TOKEN_VOCAB),
         "link_trustrank": (q_link_trustrank, SQL_LINK_TRUSTRANK),
         "frontier_opic": (q_frontier_opic, SQL_FRONTIER_OPIC),

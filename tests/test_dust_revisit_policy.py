@@ -192,3 +192,19 @@ def test_cluster_balanced_cap_and_tail_survival(spark):
     # deterministic: two runs agree exactly
     again = cluster_balanced_sample(asg, cap_per_cluster=5).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_semantic_decontaminate_flags_only_near_copies(spark):
+    from python_web_scraper_cleaner_spark.operators import similarity as SIM
+
+    probes = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])], "id long, vec array<double>")
+    corpus = spark.createDataFrame(
+        [(10, [0.999, 0.01, 0.0]),   # near-copy of probe 1
+         (11, [0.5, 0.5, 0.7]),      # unrelated
+         (12, [0.0, 0.0, 1.0])],     # orthogonal
+        "id long, vec array<double>")
+    rows = {r.id: r for r in SIM.semantic_decontaminate(
+        corpus, probes, threshold=0.99).collect()}
+    assert rows[10].contaminated and rows[10].nearest_probe == 1
+    assert not rows[11].contaminated and not rows[12].contaminated

@@ -270,6 +270,11 @@ AUDITED = [
      "assignment argmax via partial_max_by (no corpus×k window); the "
      "hash rank and the cluster size share ONE hashpartitioning(cid) "
      "exchange"),
+    ("decontaminate_semantic",
+     "embedding decontamination: probe side BroadcastExchange into a "
+     "codegen dot-product projection; per-doc max via partial_max_by "
+     "in the scan stage — only post-combine (id, max) rows cross the "
+     "one hash exchange, vectors never shuffle"),
     ("warc_revisit_plan",
      "archival dedup: payload length+digest computed map-side, payload "
      "column dropped before any exchange; ONE digest-keyed partial-min "
