@@ -188,6 +188,77 @@ def main() -> None:
                  "compact re-scans ONLY affected tokens via broadcast "
                  "semi-join above the tokenizer explode")}
 
+    # -- DUST rule mining, 2M alias urls over 500k pages -------------------
+    from python_web_scraper_cleaner_spark.operators.frontier import (
+        dust_param_rules)
+    d = F.col("id")
+    base_url = F.concat(F.lit("http://h"), (d % 5_000).cast("string"),
+                        F.lit("/p"), d.cast("string"))
+    pg = spark.range(500_000)
+    dtext = F.concat(F.lit("page body "), d.cast("string"))
+    aliases = (pg.select(F.concat(base_url, F.lit("?id="),
+                                  d.cast("string")).alias("url"),
+                         dtext.alias("text"))
+               .unionByName(pg.select(
+                   F.concat(base_url, F.lit("?id="), d.cast("string"),
+                            F.lit("&sess=s"),
+                            ((d * 7) % 997).cast("string")).alias("url"),
+                   dtext.alias("text")))
+               .unionByName(pg.select(
+                   F.concat(base_url, F.lit("?id="), d.cast("string"),
+                            F.lit("&utm=u"),
+                            (d % 13).cast("string")).alias("url"),
+                   dtext.alias("text")))
+               .unionByName(pg.filter(d % 2 == 0).select(
+                   F.concat(base_url, F.lit("?id="), d.cast("string"),
+                            F.lit("&page=2")).alias("url"),
+                   F.concat(dtext, F.lit(" p2")).alias("text"))))
+    dust = best_of(lambda: (
+        dust_param_rules(aliases, min_support=2)
+        .agg(F.count("*"), F.sum("support")).collect()), n=2)
+    out["dust_rules_2m_aliases_500k_pages"] = {
+        "sec": dust,
+        "note": ("3.5M alias rows, 5k hosts, sess+utm vary per group -> "
+                 "10k (host, param) rules; no pair self-join — two "
+                 "map-combined aggregates on (host, base, digest)")}
+
+    # -- WARC revisit dedup plan, 5M records, ~33% re-captures -------------
+    from python_web_scraper_cleaner_spark.sources.warc import (
+        revisit_dedup_plan)
+    rec = (spark.range(5_000_000)
+           .select(F.concat(F.lit("http://h"), (d % 10_000).cast("string"),
+                            F.lit("/p"), (d % 3_300_000).cast("string"))
+                   .alias("url"),
+                   F.concat(F.lit("t"),
+                            F.lpad(d.cast("string"), 9, "0")).alias("ts"),
+                   F.concat(F.lit("payload "),
+                            (d % 3_300_000).cast("string")).alias("html")))
+    revp = best_of(lambda: (
+        revisit_dedup_plan(rec, ts_col="ts")
+        .agg(F.sum("saved_bytes"),
+             F.sum(F.when(F.col("record_type") == "revisit", 1)
+                   .otherwise(0))).collect()), n=2)
+    out["warc_revisit_plan_5m_records"] = {
+        "sec": revp,
+        "note": ("~1.7M re-captures become revisit stubs; payload never "
+                 "crosses an exchange — one digest-keyed partial-min agg "
+                 "+ join-back")}
+
+    # -- cluster-balanced sampling, 5M assigned vectors, 4k clusters -------
+    from python_web_scraper_cleaner_spark.operators.sampling import (
+        cluster_balanced_sample)
+    asg = (spark.range(5_000_000)
+           .select(F.col("id"), ((F.col("id") * 2654435761) % 4_096)
+                   .cast("int").alias("cid")))
+    cbs = best_of(lambda: (
+        cluster_balanced_sample(asg, cap_per_cluster=100)
+        .agg(F.sum(F.col("kept").cast("long")),
+             F.count("*")).collect()), n=2)
+    out["cluster_balanced_5m_rows_4k_clusters"] = {
+        "sec": cbs,
+        "note": ("rank + cluster size share ONE hashpartitioning(cid) "
+                 "exchange; ~1.2k rows/cluster sort per task")}
+
     out["loadavg_1m_end"] = round(os.getloadavg()[0], 2)
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH_CORPUS_OPS.json")

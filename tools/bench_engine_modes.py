@@ -78,6 +78,12 @@ MODES = {
     # meta-robots directives: two regexps over fetched html in the
     # extract projection (noindex/nofollow stamps + link-harvest gate)
     "directives": {"honor_directives": True},
+    # archival payload dedup on top of the archive sink: per-round
+    # capture-digest UDF + one digest-keyed agg/join against the
+    # committed archive_digests table + the digests commit (a fresh
+    # crawl re-captures nothing, so this prices pure bookkeeping; the
+    # payoff lands in revisit re-crawls, where stubs replace payloads)
+    "archive_dedup": {"archive": True, "archive_dedup": True},
 }
 
 
