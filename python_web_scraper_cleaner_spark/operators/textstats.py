@@ -889,3 +889,77 @@ def toxicity_score(docs: DataFrame, *, id_col: str = "id",
                     "hits_bp",
                     (F.col("_hits") > 0).alias("flagged"),
                     (F.col("hits_bp") > max_hits_bp).alias("dropped")))
+
+
+def polyglot_segments(docs: DataFrame, *, id_col: str = "id",
+                      text_col: str = "text", window_tokens: int = 40,
+                      dominant_bp: int = 7000) -> DataFrame:
+    """Per-segment language consistency (the CCNet move of scoring
+    PARAGRAPHS, not documents): split each doc into fixed token windows,
+    language-ID every window with the marker heuristic, and roll up a
+    per-doc verdict — boilerplate-sandwiched translations, comment
+    sections in a second language, and template chrome around foreign
+    content all look monolingual to doc-level lang_id and show up here
+    as a low dominant-language share. ``mixed`` docs are what a
+    monolingual corpus filter should route to segment-level extraction
+    instead of dropping whole.
+
+    Output per doc: n_segments (all windows), n_langs (distinct
+    identified languages — 'und' excluded), dom_lang (most frequent
+    IDENTIFIED window language, ties to the alphabetically-first;
+    'und' when no window identifies), dom_bp (dominant share in basis
+    points of the identified windows — marker-free windows don't
+    dilute the verdict), mixed (identified windows exist and dom_bp <
+    dominant_bp).
+
+    Scale shape (100 TB corpus): window slicing + per-window marker
+    intersection is ONE codegen projection over a posexploded sequence
+    (segments leave the stage as narrow (id, lang) rows — text never
+    survives the projection); the rollup is two map-side-combined
+    aggregates ((id, lang) counts, then per-id min_by election). No
+    window functions, no joins except the final doc-keyed agg."""
+    toks = ws_tokens(F.col(text_col))
+    w = window_tokens
+    staged = docs.select(F.col(id_col).alias("id"), toks.alias("_t"),
+                         F.size(toks).alias("_n"))
+    segs = (staged.filter(F.col("_n") > 0)
+            .select("id", "_t",
+                    F.explode(F.sequence(
+                        F.lit(0),
+                        F.expr(f"(_n - 1) div {w}"))).alias("_g"))
+            .select("id", F.slice(F.col("_t"),
+                                  F.col("_g") * w + 1, w).alias("_st")))
+    langs = sorted(LANG_MARKERS)
+    pred, best = F.lit("und"), F.lit(0).cast("long")
+    for lang in langs:
+        markers = F.array(*[F.lit(x) for x in sorted(LANG_MARKERS[lang])])
+        s = (F.size(F.filter(F.col("_st"),
+                             lambda t: F.array_contains(markers, t)))
+             .cast("long"))
+        pred = F.when(s > best, F.lit(lang)).otherwise(pred)
+        best = F.when(s > best, s).otherwise(best)
+    seg_lang = segs.select("id", pred.alias("seg_lang"))
+    per_lang = (seg_lang.groupBy("id", "seg_lang")
+                .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    ident = F.col("seg_lang") != "und"
+    agg = (per_lang.groupBy("id")
+           .agg(F.sum("n").cast("long").alias("n_segments"),
+                F.sum(F.when(ident, 1).otherwise(0)).cast("long")
+                .alias("n_langs"),
+                F.sum(F.when(ident, F.col("n")).otherwise(0)).cast("long")
+                .alias("_ni"),
+                # min over (−count, lang) among identified rows only —
+                # `when` yields null on 'und' rows and min skips nulls
+                F.min(F.when(ident,
+                             F.struct((-F.col("n")).alias("neg"),
+                                      F.col("seg_lang").alias("lang"))))
+                .alias("_d")))
+    dom_bp = F.when(F.col("_ni") > 0,
+                    F.expr("(10000 * -(_d.neg)) div _ni")).otherwise(0)
+    return (agg.withColumn("dom_lang",
+                           F.coalesce(F.col("_d.lang"), F.lit("und")))
+            .withColumn("dom_bp", dom_bp.cast("long"))
+            .withColumn("mixed", (F.col("_ni") > 0)
+                        & (F.col("dom_bp") < dominant_bp))
+            .select("id", "n_segments", "n_langs", "dom_lang", "dom_bp",
+                    "mixed"))

@@ -7306,6 +7306,82 @@ from best order by id
 """
 
 
+_DE_BLOCK = " der die das ein eine den dem auf" * 8  # 64 de tokens
+
+
+def q_polyglot_segments(spark, sf_dir):
+    """Per-segment language consistency (operators/textstats.
+    polyglot_segments — the CCNet paragraph-level move): docs split
+    into 40-token windows, each window language-ID'd by the marker
+    heuristic, per-doc dominant-share verdict. doc%9 gets a 64-token
+    German block appended (a comment-section / translation-sandwich
+    stand-in), so at least one full window flips language and the doc's
+    dominant share drops — doc-level lang_id cannot see this. Scale
+    shape: operator docstring (one codegen projection to narrow
+    (id, lang) rows; two map-combined aggregates; no window fns)."""
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("doc_id") % 9 == 0,
+               F.concat(F.col("text"), F.lit(_DE_BLOCK)))
+        .otherwise(F.col("text")).alias("text"))
+    return (TS.polyglot_segments(staged, window_tokens=40,
+                                 dominant_bp=7000)
+            .orderBy("id"))
+
+
+def _sql_polyglot() -> str:
+    from ..functions.kernel import LANG_MARKERS
+    langs = sorted(LANG_MARKERS)
+    score_cols = []
+    for lang in langs:
+        arr = ("[" + ",".join(f"'{w}'" for w in sorted(LANG_MARKERS[lang]))
+               + "]")
+        score_cols.append(
+            f"cast(len(list_filter(st, x -> list_contains({arr}, x))) "
+            f"as bigint) as s_{lang}")
+    m = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = ("case when " + m + " <= 0 then 'und' "
+            + " ".join(f"when s_{lang} = {m} then '{lang}'"
+                       for lang in langs[:-1])
+            + f" else '{langs[-1]}' end")
+    return f"""
+with staged as (
+  select doc_id as id,
+         case when doc_id % 9 = 0 then text || '{_DE_BLOCK}'
+              else text end as text
+  from documents),
+tok as (select id, regexp_split_to_array(lower(trim(text)), '\\s+') as t
+        from staged),
+segs as (select id, t[g*40+1 : (g+1)*40] as st
+         from (select id, t,
+                      unnest(range(0, ((len(t) - 1) // 40) + 1)) as g
+               from tok where len(t) > 0)),
+scored as (select id, {', '.join(score_cols)} from segs),
+segl as (select id, {case} as seg_lang from scored),
+pl as (select id, seg_lang, cast(count(*) as bigint) as n
+       from segl group by 1, 2),
+agg as (select id, cast(sum(n) as bigint) as n_segments,
+               cast(sum(case when seg_lang <> 'und' then 1 else 0 end)
+                    as bigint) as n_langs,
+               cast(sum(case when seg_lang <> 'und' then n else 0 end)
+                    as bigint) as ni
+        from pl group by id),
+dom as (select id, seg_lang as dlang, n as dom_n from (
+          select id, seg_lang, n, row_number() over (partition by id
+            order by n desc, seg_lang asc) as rn
+          from pl where seg_lang <> 'und')
+        where rn = 1)
+select a.id, a.n_segments, a.n_langs,
+       coalesce(d.dlang, 'und') as dom_lang,
+       cast(case when a.ni > 0 then (10000 * d.dom_n) // a.ni
+            else 0 end as bigint) as dom_bp,
+       a.ni > 0 and (10000 * d.dom_n) // a.ni < 7000 as mixed
+from agg a left join dom d using (id)
+order by a.id
+"""
+
+
 def q_toxicity(spark, sf_dir):
     """Content-policy lexicon gate (operators/textstats.toxicity_score):
     word-boundary toxic-term density in basis points with flag/drop
@@ -7379,6 +7455,7 @@ def registry():
                                     _sql_cluster_balanced()),
         "decontaminate_semantic": (q_decontaminate_semantic,
                                    SQL_DECON_SEMANTIC),
+        "polyglot_segments": (q_polyglot_segments, _sql_polyglot()),
         "token_vocab_coverage": (q_token_vocab_coverage, SQL_TOKEN_VOCAB),
         "link_trustrank": (q_link_trustrank, SQL_LINK_TRUSTRANK),
         "frontier_opic": (q_frontier_opic, SQL_FRONTIER_OPIC),

@@ -208,3 +208,20 @@ def test_semantic_decontaminate_flags_only_near_copies(spark):
         corpus, probes, threshold=0.99).collect()}
     assert rows[10].contaminated and rows[10].nearest_probe == 1
     assert not rows[11].contaminated and not rows[12].contaminated
+
+
+def test_polyglot_segments_flags_language_sandwich(spark):
+    en = "the and is of it for on are this that with from " * 10  # 120 tok
+    de = "der die das ein eine den dem auf und nicht mit von " * 10
+    docs = spark.createDataFrame(
+        [(1, en), (2, en + " " + de), (3, "zz qq ww " * 20)],
+        "id long, text string")
+    from python_web_scraper_cleaner_spark.operators.textstats import (
+        polyglot_segments)
+    rows = {r.id: r for r in polyglot_segments(
+        docs, window_tokens=40, dominant_bp=7000).collect()}
+    assert rows[1].dom_lang == "en" and not rows[1].mixed
+    assert rows[2].n_langs == 2 and rows[2].mixed  # 3 en + 3 de windows
+    # marker-free text: nothing identified -> und, NOT "mixed"
+    assert rows[3].dom_lang == "und" and not rows[3].mixed
+    assert rows[3].n_langs == 0

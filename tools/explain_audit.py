@@ -275,6 +275,10 @@ AUDITED = [
      "codegen dot-product projection; per-doc max via partial_max_by "
      "in the scan stage — only post-combine (id, max) rows cross the "
      "one hash exchange, vectors never shuffle"),
+    ("polyglot_segments",
+     "per-segment lang-ID: window slicing + marker intersection in one "
+     "codegen projection (text dies in the stage, only (id, lang) rows "
+     "exit); two map-side-combined aggregates, no window functions"),
     ("warc_revisit_plan",
      "archival dedup: payload length+digest computed map-side, payload "
      "column dropped before any exchange; ONE digest-keyed partial-min "
