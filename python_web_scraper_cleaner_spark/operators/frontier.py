@@ -482,6 +482,65 @@ def robots_sitemap_urls(robots_txt: DataFrame, *, host_col: str = "host",
                              sm.alias("sitemap_url"))
 
 
+def parse_feeds(feeds: DataFrame, *, xml_col: str = "feed_xml") -> DataFrame:
+    """RSS-2.0 / Atom-1.0 feed parse: one input row per fetched feed
+    document → one output row per listed entry, columns ``url``,
+    ``published`` ('' when the optional date tag is absent) and
+    ``feed_format`` ('rss' | 'atom') appended. Feeds are the OTHER
+    standard discovery channel beside sitemaps (sites publish new-page
+    URLs there first — news, blogs, changelogs), and the reference has
+    neither (its seed list is an external API, scripts/news.py:1-9).
+
+    Same block-scoped pure-JVM parse as :func:`parse_sitemaps` (codegen
+    regexp_extract_all + explode, zero UDFs), with the format-specific
+    hazards kept structural:
+
+    - RSS ``<item>`` blocks carry ``<link>url</link>`` — but the CHANNEL
+      header carries a ``<link>`` too (the site homepage, required by the
+      RSS spec). Extracting blocks FIRST means the channel link can never
+      leak into the entry list (a naive global ``<link>`` scan
+      overcounts every feed by one).
+    - Atom ``<entry>`` blocks carry ``<link ... href="url"/>`` with
+      arbitrary attributes (``rel="alternate"`` etc.) before the href,
+      and the FEED header carries self/alternate links outside any
+      entry — excluded the same way.
+    - ``<pubDate>`` / ``<updated>`` are optional per entry; block-level
+      parsing cannot misalign a positional zip when they're absent.
+
+    Both branches parse every document; a row yields entries only for
+    blocks its format actually contains, so mixed inputs need no
+    per-document format sniff (union of two narrow codegen projections).
+    Date normalization is the CALLER's seam (bootstrap uses
+    try_to_timestamp so one malformed date degrades to the epoch instead
+    of ANSI-aborting the job) — real RSS pubDates also arrive RFC-822;
+    normalizing them is a to_timestamp format list, not a parser change.
+
+    Scale shape: feed documents are small per-host files; blocks explode
+    without a shuffle and everything downstream (canonicalize, seen
+    anti-join) joins on the url key — identical to the sitemap path."""
+    def _blocks(tag: str) -> F.Column:
+        return F.explode(F.regexp_extract_all(
+            F.col(xml_col), F.lit(rf"<{tag}>(.*?)</{tag}>"), F.lit(1)))
+
+    rss = (feeds.withColumn("_b", _blocks("item")).drop(xml_col)
+           .withColumn("url",
+                       F.regexp_extract("_b", r"<link>([^<]*)</link>", 1))
+           .withColumn("published",
+                       F.regexp_extract("_b",
+                                        r"<pubDate>([^<]*)</pubDate>", 1))
+           .withColumn("feed_format", F.lit("rss")))
+    atom = (feeds.withColumn("_b", _blocks("entry")).drop(xml_col)
+            .withColumn("url",
+                        F.regexp_extract("_b",
+                                         r'<link[^>]*href="([^"]*)"', 1))
+            .withColumn("published",
+                        F.regexp_extract("_b",
+                                         r"<updated>([^<]*)</updated>", 1))
+            .withColumn("feed_format", F.lit("atom")))
+    return (rss.unionByName(atom).drop("_b")
+            .filter(F.col("url") != ""))
+
+
 def url_trap_signals(urls: DataFrame, *, host_col: str = "host",
                      path_col: str = "path", query_col: str = "query",
                      min_variants: int = 50) -> DataFrame:

@@ -450,7 +450,9 @@ class CrawlEngine:
                   robots: DataFrame | None = None,
                   *, robots_txt: DataFrame | None = None,
                   sitemap_docs: DataFrame | None = None,
-                  sitemap_priority: int = 9) -> None:
+                  sitemap_priority: int = 9,
+                  feed_docs: DataFrame | None = None,
+                  feed_priority: int = 8) -> None:
         """Seed the frontier and robots tables. ``robots`` is a pre-parsed
         rules table (host, crawl_delay_ms, disallow_prefixes[,
         allow_prefixes]); alternatively pass ``robots_txt`` as raw
@@ -467,13 +469,23 @@ class CrawlEngine:
         ``seeds`` and sitemap entries landing on the same canonical URL
         collapse in canonicalize_seeds (min priority / earliest ts win —
         an explicit priority-0 seed beats its sitemap twin
-        deterministically)."""
+        deterministically).
+
+        ``feed_docs`` seeds the same way from fetched RSS/Atom feed
+        documents (rows with a ``feed_xml`` column — see
+        operators/frontier.parse_feeds): entry URLs enter at
+        ``feed_priority`` (default 8 — BELOW sitemap's 9 because a feed
+        lists what the site just published, the freshness channel) with
+        ``discovered_ts`` from the optional pubDate/updated via the same
+        try_to_timestamp degrade-to-epoch seam (RFC-822 pubDates a real
+        feed may carry parse as NULL → epoch, never an ANSI abort). All
+        three channels merge by canonical key in canonicalize_seeds."""
         if robots is None:
             if robots_txt is None:
                 raise ValueError("pass robots or robots_txt")
             robots = FR.parse_robots_table(robots_txt)
-        if seeds is None and sitemap_docs is None:
-            raise ValueError("pass seeds and/or sitemap_docs")
+        if seeds is None and sitemap_docs is None and feed_docs is None:
+            raise ValueError("pass seeds and/or sitemap_docs/feed_docs")
         if sitemap_docs is not None:
             parsed = FR.parse_sitemaps(sitemap_docs)
             sm_seeds = parsed.select(
@@ -489,6 +501,18 @@ class CrawlEngine:
             seeds = (sm_seeds if seeds is None
                      else seeds.select("url", "priority", "discovered_ts")
                      .unionByName(sm_seeds))
+        if feed_docs is not None:
+            fd_seeds = FR.parse_feeds(feed_docs).select(
+                "url",
+                F.lit(int(feed_priority)).alias("priority"),
+                F.coalesce(
+                    F.try_to_timestamp(F.when(F.col("published") != "",
+                                              F.col("published"))),
+                    F.to_timestamp(F.lit("1970-01-01")),
+                ).alias("discovered_ts"))
+            seeds = (fd_seeds if seeds is None
+                     else seeds.select("url", "priority", "discovered_ts")
+                     .unionByName(fd_seeds))
         frontier = self._ingest_gate(
             canonicalize_seeds(self._strip_tracking(seeds)))
         self.io.overwrite(frontier, "frontier", round_id=-1)

@@ -804,6 +804,160 @@ from flagged group by sm_host order by sm_host
 """
 
 
+def q_feed_seed_extract(spark, sf_dir):
+    """RSS/Atom feed seed ingestion (operators/frontier.py:parse_feeds):
+    per-host feed documents → listed entry URLs with optional
+    pubDate/updated → canonicalize (F10) → anti-join vs the url_seen set
+    → per-host (n_listed, n_new, n_rss, latest_published) — the 'what
+    did this site publish since my last visit' decision. Feeds are the
+    standard freshness-discovery channel beside sitemaps (news/blog URLs
+    appear there FIRST); the reference seeds only from an external API
+    (scripts/news.py:1-9).
+
+    The fixture makes every parse hazard live: even hosts publish RSS,
+    odd hosts Atom (both branches exercised in one frame); ~1/4 of
+    entries omit the optional date tag (block-level parsing must not
+    misalign); the RSS CHANNEL header carries the spec-required site
+    ``<link>`` and the Atom FEED header a ``rel="self"`` link — both
+    outside entry blocks, so a leak would overcount n_listed by one per
+    feed; Atom entry links bury the href behind a ``rel`` attribute;
+    URLs carry mixed case, ports and #fragments (canonicalization
+    collapses).
+
+    Scale shape: everything is JVM regex/explode inside codegen (zero
+    UDFs); the only exchanges are the fixture-only per-host XML assembly
+    groupBy (real feeds arrive as fetched files), the seen anti-join on
+    the canonical key, and the final per-host rollup — identical to the
+    sitemap path."""
+    from ..operators.frontier import parse_feeds
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 4000)
+    urls = _doc_urls(docs)
+    d = F.col("doc_id")
+    pub = F.concat(F.lit("2026-0"), ((d % 6) + 1).cast("string"),
+                   F.lit("-0"), ((d % 9) + 1).cast("string"))
+    rss_item = F.concat(
+        F.lit("<item><title>t"), d.cast("string"),
+        F.lit("</title><link>"), F.col("url"), F.lit("</link>"),
+        F.when(d % 4 != 1, F.concat(F.lit("<pubDate>"), pub,
+                                    F.lit("</pubDate>")))
+        .otherwise(F.lit("")),
+        F.lit("</item>"))
+    atom_entry = F.concat(
+        F.lit("<entry><title>t"), d.cast("string"),
+        F.lit('</title><link rel="alternate" href="'), F.col("url"),
+        F.lit('"/>'),
+        F.when(d % 4 != 1, F.concat(F.lit("<updated>"), pub,
+                                    F.lit("T00:00:00Z</updated>")))
+        .otherwise(F.lit("")),
+        F.lit("</entry>"))
+    entry = F.when((d % 7) % 2 == 0, rss_item).otherwise(atom_entry)
+    body = (urls
+            .select((d % 7).cast("string").alias("feed_host"), "doc_id",
+                    entry.alias("e"))
+            .groupBy("feed_host")
+            .agg(F.array_join(F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "e"))),
+                lambda s: s["e"]), "").alias("_body")))
+    fh = F.col("feed_host")
+    xml = F.when(
+        fh.cast("int") % 2 == 0,
+        F.concat(F.lit("<rss><channel><title>chan</title>"
+                       "<link>https://feedhost"), fh,
+                 F.lit(".example/</link>"), F.col("_body"),
+                 F.lit("</channel></rss>"))).otherwise(
+        F.concat(F.lit('<feed><title>chan</title>'
+                       '<link rel="self" href="https://feedhost'), fh,
+                 F.lit('.example/feed.xml"/>'), F.col("_body"),
+                 F.lit("</feed>")))
+    feeds = body.select("feed_host", xml.alias("feed_xml"))
+    parsed = _canonicalize(parse_feeds(feeds))
+    seen = (_canonicalize(_doc_urls(docs.filter(d % 3 == 0)))
+            .select("canonical_url").distinct()
+            .withColumn("_s", F.lit(True)))
+    flagged = parsed.join(seen, "canonical_url", "left")
+    return (flagged.groupBy("feed_host")
+            .agg(F.count("*").alias("n_listed"),
+                 F.sum(F.col("_s").isNull().cast("int")).cast("long")
+                 .alias("n_new"),
+                 F.sum((F.col("feed_format") == "rss").cast("int"))
+                 .cast("long").alias("n_rss"),
+                 F.max(F.when(F.col("published") != "",
+                              F.col("published")))
+                 .alias("latest_published"))
+            .orderBy("feed_host"))
+
+
+SQL_FEED_SEEDS = f"""
+with urls as ({_DOC_URLS_SQL.replace('from documents', 'from (select * from documents where doc_id < 4000)')}),
+entries as (
+  select cast(doc_id % 7 as varchar) as feed_host, doc_id,
+         case when (doc_id % 7) % 2 = 0 then
+           '<item><title>t' || cast(doc_id as varchar)
+           || '</title><link>' || url || '</link>'
+           || case when doc_id % 4 <> 1
+                   then '<pubDate>2026-0' || cast(doc_id % 6 + 1 as varchar)
+                        || '-0' || cast(doc_id % 9 + 1 as varchar)
+                        || '</pubDate>'
+                   else '' end
+           || '</item>'
+         else
+           '<entry><title>t' || cast(doc_id as varchar)
+           || '</title><link rel="alternate" href="' || url || '"/>'
+           || case when doc_id % 4 <> 1
+                   then '<updated>2026-0' || cast(doc_id % 6 + 1 as varchar)
+                        || '-0' || cast(doc_id % 9 + 1 as varchar)
+                        || 'T00:00:00Z</updated>'
+                   else '' end
+           || '</entry>'
+         end as e
+  from urls),
+feeds as (
+  select feed_host,
+         case when cast(feed_host as int) % 2 = 0 then
+           '<rss><channel><title>chan</title><link>https://feedhost'
+           || feed_host || '.example/</link>'
+           || string_agg(e, '' order by doc_id) || '</channel></rss>'
+         else
+           '<feed><title>chan</title><link rel="self" href="https://feedhost'
+           || feed_host || '.example/feed.xml"/>'
+           || string_agg(e, '' order by doc_id) || '</feed>'
+         end as xml
+  from entries group by feed_host),
+parsed0 as (
+  select feed_host,
+         regexp_extract(b, '<link>([^<]*)</link>', 1) as url,
+         regexp_extract(b, '<pubDate>([^<]*)</pubDate>', 1) as published,
+         'rss' as feed_format
+  from (select feed_host,
+               unnest(regexp_extract_all(xml, '<item>(.*?)</item>', 1)) as b
+        from feeds)
+  union all
+  select feed_host,
+         regexp_extract(b, '<link[^>]*href="([^"]*)"', 1) as url,
+         regexp_extract(b, '<updated>([^<]*)</updated>', 1) as published,
+         'atom' as feed_format
+  from (select feed_host,
+               unnest(regexp_extract_all(xml, '<entry>(.*?)</entry>', 1)) as b
+        from feeds)),
+parsed_urls as (select * from parsed0 where url <> ''),
+canon as ({_CANON_SQL.replace("from urls", "from parsed_urls")}),
+seen_urls as (select url from urls where doc_id % 3 = 0),
+seen as (select distinct canonical_url
+         from ({_CANON_SQL.replace("from urls", "from seen_urls")})),
+flagged as (
+  select c.feed_host, c.published, c.feed_format,
+         s.canonical_url is not null as is_seen
+  from canon c left join seen s using (canonical_url))
+select feed_host,
+       count(*) as n_listed,
+       cast(sum(case when is_seen then 0 else 1 end) as bigint) as n_new,
+       cast(sum(case when feed_format = 'rss' then 1 else 0 end) as bigint)
+         as n_rss,
+       max(case when published <> '' then published end) as latest_published
+from flagged group by feed_host order by feed_host
+"""
+
+
 def q_robots_sitemap_discovery(spark, sf_dir):
     """The full sitemap DISCOVERY bootstrap a production crawler runs
     before its first fetch, composed end-to-end (operators/frontier.py:
@@ -7445,6 +7599,7 @@ def registry():
     """
     return {
         # -- 1. never driver-checked (new in round 5) --
+        "feed_seed_extract": (q_feed_seed_extract, SQL_FEED_SEEDS),
         "dust_rules": (q_dust_rules, SQL_DUST_RULES),
         "dust_collapse": (q_dust_collapse, SQL_DUST_COLLAPSE),
         "warc_revisit_plan": (q_warc_revisit_plan, SQL_WARC_REVISIT),

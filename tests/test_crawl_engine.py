@@ -1195,6 +1195,82 @@ def test_robots_sitemap_discovery_operators(spark):
                     ("https://a.example/u1.xml", "")]
 
 
+def test_parse_feeds_rss_atom_block_scoped(spark):
+    """parse_feeds: RSS <item><link> and Atom <entry><link href=.../> both
+    parse; the RSS channel-header <link> and the Atom feed-header
+    rel="self" link sit OUTSIDE entry blocks and must not leak; optional
+    pubDate/updated come back '' without misaligning; a feed with no
+    entries emits no rows."""
+    from python_web_scraper_cleaner_spark.operators.frontier import (
+        parse_feeds)
+
+    rss = ("<rss><channel><title>c</title>"
+           "<link>https://r.example/</link>"            # channel link: skip
+           "<item><title>a</title><link>https://r.example/a</link>"
+           "<pubDate>2026-03-02</pubDate></item>"
+           "<item><link>https://r.example/b</link></item>"   # no pubDate
+           "</channel></rss>")
+    atom = ('<feed><title>f</title>'
+            '<link rel="self" href="https://a.example/feed.xml"/>'
+            '<entry><link rel="alternate" href="https://a.example/x"/>'
+            '<updated>2026-03-04T05:06:07Z</updated></entry>'
+            '<entry><link href="https://a.example/y"/></entry>'
+            '</feed>')
+    feeds = spark.createDataFrame(
+        [("r", rss), ("a", atom), ("e", "<feed><title>empty</title></feed>")],
+        "fid string, feed_xml string")
+    got = sorted((r["fid"], r["url"], r["published"], r["feed_format"])
+                 for r in parse_feeds(feeds).collect())
+    assert got == [
+        ("a", "https://a.example/x", "2026-03-04T05:06:07Z", "atom"),
+        ("a", "https://a.example/y", "", "atom"),
+        ("r", "https://r.example/a", "2026-03-02", "rss"),
+        ("r", "https://r.example/b", "", "rss"),
+    ]
+
+
+def test_feed_bootstrap_seeds_frontier(spark, tmp_path):
+    """bootstrap(feed_docs=...) seeds the frontier from RSS/Atom feed
+    documents: entry URLs enter at feed_priority with discovered_ts from
+    the optional date tag (ISO parses; an RFC-822 pubDate degrades to
+    the epoch via the try_to_timestamp seam instead of aborting), an
+    explicit seed for the same canonical URL wins the merge, and the
+    engine crawls the feed-seeded frontier normally."""
+    recs = pages_local(10)
+    items = []
+    for i, r in enumerate(recs):
+        date = ("<pubDate>2026-02-0%d</pubDate>" % ((i % 8) + 1)
+                if i % 3 == 0 else
+                "<pubDate>Mon, 02 Feb 2026 00:00:00 GMT</pubDate>"
+                if i % 3 == 1 else "")            # RFC-822 and absent
+        items.append(f"<item><link>{r['url']}</link>{date}</item>")
+    xml = ("<rss><channel><link>https://chan.example/</link>"
+           + "".join(items) + "</channel></rss>")
+    docs = spark.createDataFrame([(xml,)], "feed_xml string")
+    explicit = spark.createDataFrame(
+        [(recs[0]["url"], 0, dt.datetime(2026, 1, 1))],
+        "url string, priority int, discovered_ts timestamp")
+
+    eng = CrawlEngine(spark, str(tmp_path / "f"), per_host_budget=50)
+    eng.bootstrap(explicit, make_robots(spark), feed_docs=docs,
+                  feed_priority=8)
+    rows = {r["url"]: r for r in eng.io.read("frontier").collect()}
+    assert len(rows) == 10                        # canonical twin collapsed
+    assert rows[recs[0]["url"]]["priority"] == 0  # explicit seed wins merge
+    assert rows[recs[0]["url"]]["warc_ts"] == dt.datetime(2026, 1, 1)
+    for i, r in enumerate(recs[1:], start=1):
+        row = rows[r["url"]]
+        assert row["priority"] == 8
+        if i % 3 == 0:                            # ISO date parses
+            assert row["warc_ts"] == dt.datetime(2026, 2, (i % 8) + 1)
+        else:                                     # RFC-822 / absent → epoch
+            assert row["warc_ts"] == dt.datetime(1970, 1, 1)
+
+    eng.run(max_rounds=1)
+    fetched = {r["url"] for r in eng.io.read("pages").collect()}
+    assert fetched == {r["url"] for r in recs}
+
+
 def test_fetch_history_change_detection(spark, tmp_path):
     """_build_fetch_history: first-ever fetch counts as a change; later
     fetches compare text digests against the LAST committed digest
