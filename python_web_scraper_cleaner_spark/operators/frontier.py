@@ -541,6 +541,80 @@ def parse_feeds(feeds: DataFrame, *, xml_col: str = "feed_xml") -> DataFrame:
             .filter(F.col("url") != ""))
 
 
+def robots_failure_policy(fetches: DataFrame,
+                          cached: DataFrame | None = None, *,
+                          now_ts: int,
+                          max_cache_age_s: int = 30 * 24 * 3600,
+                          user_agent: str = "*") -> DataFrame:
+    """RFC 9309 §2.3.1 robots.txt FETCH-FAILURE semantics — the policy
+    layer between fetching /robots.txt and applying rules, which the
+    parse/apply operators alone cannot express (the reference never
+    fetches robots at all):
+
+    - 2xx with a body → ``parsed``: the body's rules apply.
+    - "unavailable" (4xx — including the overwhelmingly-common 404 — or
+      a terminal 3xx after the fetch layer exhausts its redirect budget)
+      → ``allow_all``: the spec says crawlers MAY access everything.
+    - "unreachable" (5xx, or a network timeout = NULL status) →
+      ``cached`` when a previously-good parse exists and is younger than
+      ``max_cache_age_s`` (the spec's MAY-use-cached clause; 30 days is
+      the widely-documented crawler default), else ``deny_all``
+      (disallow ``/`` — the spec's MUST for newly-unreachable hosts).
+
+    Input ``fetches``: one row per host — (host, status int|NULL,
+    robots_txt). ``cached``: optional last-good rules (host,
+    disallow_prefixes, allow_prefixes, crawl_delay_ms, cached_ts seconds).
+    ``now_ts`` is EXPLICIT (seconds) — determinism is the engine-wide
+    contract, nothing reads a wall clock.
+
+    Output: one row per host with ``policy`` plus effective
+    (disallow_prefixes, allow_prefixes, crawl_delay_ms) — directly
+    consumable by :func:`apply_robots` / ``CrawlEngine.bootstrap(robots=…)``
+    (the composition seam: policy resolution happens once at robots-fetch
+    time, the engine sees only effective rules).
+
+    Scale shape: the robots surface is per-host tiny (this whole table is
+    the broadcast side downstream); only the 2xx subset pays the
+    pandas-UDF parse, the rest is codegen CASE logic over a host-keyed
+    left join."""
+    st = F.col("status")
+    ok = st.isNotNull() & (st >= 200) & (st < 300) & \
+        F.col("robots_txt").isNotNull()
+    parsed = parse_robots_table(
+        fetches.filter(ok).select("host", "robots_txt"),
+        user_agent=user_agent).withColumn("policy", F.lit("parsed"))
+
+    rest = fetches.filter(~ok).select("host", "status")
+    if cached is None:
+        cached = fetches.sparkSession.createDataFrame(
+            [], f"host string, {ROBOTS_RULES_SCHEMA}, cached_ts long")
+    fresh = (F.col("cached_ts").isNotNull()
+             & (F.lit(int(now_ts)) - F.col("cached_ts")
+                <= F.lit(int(max_cache_age_s))))
+    unreachable = st.isNull() | (st >= 500)
+    empty = F.array().cast("array<string>")
+    policy = (F.when(~unreachable, F.lit("allow_all"))
+              .when(fresh, F.lit("cached"))
+              .otherwise(F.lit("deny_all")))
+    resolved = (rest.join(F.broadcast(cached), "host", "left")
+                .withColumn("policy", policy)
+                .select(
+                    "host",
+                    F.when(F.col("policy") == "cached",
+                           F.col("disallow_prefixes"))
+                    .when(F.col("policy") == "deny_all",
+                          F.array(F.lit("/"))).otherwise(empty)
+                    .alias("disallow_prefixes"),
+                    F.when(F.col("policy") == "cached",
+                           F.col("allow_prefixes")).otherwise(empty)
+                    .alias("allow_prefixes"),
+                    F.when(F.col("policy") == "cached",
+                           F.col("crawl_delay_ms"))
+                    .cast("long").alias("crawl_delay_ms"),
+                    "policy"))
+    return parsed.select(*resolved.columns).unionByName(resolved)
+
+
 def url_trap_signals(urls: DataFrame, *, host_col: str = "host",
                      path_col: str = "path", query_col: str = "query",
                      min_variants: int = 50) -> DataFrame:

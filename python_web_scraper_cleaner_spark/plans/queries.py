@@ -958,6 +958,100 @@ from flagged group by feed_host order by feed_host
 """
 
 
+_ROBOTS_NOW = 1_700_000_000          # explicit clock — engine-wide contract
+
+
+def _robots_fetch_fixture():
+    """Per-host robots.txt FETCH outcomes + cache state covering every
+    RFC 9309 §2.3.1 policy branch: 2xx-with-body (parsed), 404 and a
+    terminal 301 (unavailable → allow_all), 5xx with a fresh cached
+    parse (cached), 5xx with a stale cache (deny_all), network timeout
+    with no cache (deny_all), and a 2xx with a missing body
+    (unavailable → allow_all)."""
+    fetch, cache = [], []
+    base = _robots_fixture_rows()
+    for i in range(15):
+        host = f"fp{i:02d}.example"
+        case = i % 5
+        if case == 0:
+            fetch.append((host, 200, base[i % len(base)][1]))
+        elif case == 1:
+            fetch.append((host, 301 if i == 11 else 404, None))
+        elif case == 2:
+            fetch.append((host, 503, None))
+            cache.append((host, [f"/old{i}/"], [f"/old{i}/ok/"],
+                          1500 + i, _ROBOTS_NOW - 3600))
+        elif case == 3:
+            fetch.append((host, 500, None))
+            cache.append((host, [f"/old{i}/"], [], None,
+                          _ROBOTS_NOW - 40 * 24 * 3600))
+        else:
+            fetch.append((host, None, None))
+    fetch.append(("fp15.example", 200, None))
+    return fetch, cache
+
+
+def q_robots_failure_policy(spark, sf_dir):
+    """RFC 9309 §2.3.1 robots fetch-failure policy (operators/frontier.py:
+    robots_failure_policy): per-host /robots.txt fetch outcomes → the
+    EFFECTIVE rule set a polite crawler must apply — 2xx parses, 4xx /
+    terminal-3xx / bodyless-2xx allow everything ("unavailable"), 5xx or
+    timeout ("unreachable") falls back to a cached parse when younger
+    than 30 days, else disallows everything. The reference never fetches
+    robots at all; real crawlers hit this branch table on day one (404
+    is by far the most common robots outcome on the web).
+
+    Scale shape: the robots surface is per-host tiny — this whole table
+    is the downstream broadcast side (apply_robots / bootstrap(robots=…)
+    consume it directly); only the 2xx subset pays the pandas-UDF parse,
+    the failure branches are codegen CASE logic over one host-keyed
+    broadcast left join. Oracle: the kernel parser twin plus the spec's
+    literal branch table, as a VALUES oracle (same convention as
+    robots_parse_rules)."""
+    from ..operators.frontier import robots_failure_policy
+    fetch, cache = _robots_fetch_fixture()
+    fdf = spark.createDataFrame(
+        fetch, "host string, status int, robots_txt string")
+    cdf = spark.createDataFrame(
+        cache, "host string, disallow_prefixes array<string>, "
+               "allow_prefixes array<string>, crawl_delay_ms long, "
+               "cached_ts long")
+    out = robots_failure_policy(fdf, cdf, now_ts=_ROBOTS_NOW)
+    return (out.select(
+        "host", "policy",
+        F.array_join("disallow_prefixes", "|").alias("disallow"),
+        F.array_join("allow_prefixes", "|").alias("allow"),
+        "crawl_delay_ms")
+        .orderBy("host"))
+
+
+@lru_cache(maxsize=None)
+def _sql_robots_failure():
+    from ..functions.kernel import parse_robots_txt
+    fetch, cache = _robots_fetch_fixture()
+    cmap = {c[0]: c for c in cache}
+    rows = []
+    for host, status, txt in fetch:
+        if status is not None and 200 <= status < 300 and txt is not None:
+            r = parse_robots_txt(txt, "*")
+            rows.append((host, "parsed", "|".join(r["disallow_prefixes"]),
+                         "|".join(r["allow_prefixes"]),
+                         r["crawl_delay_ms"]))
+        elif status is not None and status < 500:
+            rows.append((host, "allow_all", "", "", None))
+        else:
+            c = cmap.get(host)
+            if c is not None and _ROBOTS_NOW - c[4] <= 30 * 24 * 3600:
+                rows.append((host, "cached", "|".join(c[1]),
+                             "|".join(c[2]), c[3]))
+            else:
+                rows.append((host, "deny_all", "/", "", None))
+    return _values_sql(rows,
+                       ["host", "policy", "disallow", "allow",
+                        "crawl_delay_ms"],
+                       bigint_cols={"crawl_delay_ms"}, order_by="host")
+
+
 def q_robots_sitemap_discovery(spark, sf_dir):
     """The full sitemap DISCOVERY bootstrap a production crawler runs
     before its first fetch, composed end-to-end (operators/frontier.py:
@@ -7600,6 +7694,8 @@ def registry():
     return {
         # -- 1. never driver-checked (new in round 5) --
         "feed_seed_extract": (q_feed_seed_extract, SQL_FEED_SEEDS),
+        "robots_failure_policy": (q_robots_failure_policy,
+                                  _sql_robots_failure()),
         "dust_rules": (q_dust_rules, SQL_DUST_RULES),
         "dust_collapse": (q_dust_collapse, SQL_DUST_COLLAPSE),
         "warc_revisit_plan": (q_warc_revisit_plan, SQL_WARC_REVISIT),

@@ -1271,6 +1271,65 @@ def test_feed_bootstrap_seeds_frontier(spark, tmp_path):
     assert fetched == {r["url"] for r in recs}
 
 
+def test_robots_failure_policy_branches(spark):
+    """robots_failure_policy: every RFC 9309 §2.3.1 branch — 2xx parses,
+    404 / terminal 301 / bodyless 2xx allow all, 5xx uses a fresh cached
+    parse, 5xx with a stale cache and a timeout with no cache disallow
+    everything; the output feeds apply_robots directly (composition
+    seam) so a deny_all host's URLs never pass the gate."""
+    from python_web_scraper_cleaner_spark.operators.frontier import (
+        apply_robots, robots_failure_policy)
+
+    fetches = spark.createDataFrame(
+        [("ok.example", 200,
+          "User-agent: *\nDisallow: /x/\nCrawl-delay: 2\n"),
+         ("gone.example", 404, None),
+         ("moved.example", 301, None),
+         ("empty.example", 200, None),
+         ("down-cached.example", 503, None),
+         ("down-stale.example", 503, None),
+         ("dark.example", None, None)],
+        "host string, status int, robots_txt string")
+    cached = spark.createDataFrame(
+        [("down-cached.example", ["/a/"], ["/a/ok/"], 1000, 9000),
+         ("down-stale.example", ["/b/"], [], None, 1000)],
+        "host string, disallow_prefixes array<string>, "
+        "allow_prefixes array<string>, crawl_delay_ms long, cached_ts long")
+    out = {r["host"]: r for r in robots_failure_policy(
+        fetches, cached, now_ts=10_000, max_cache_age_s=5_000).collect()}
+
+    assert out["ok.example"]["policy"] == "parsed"
+    assert out["ok.example"]["disallow_prefixes"] == ["/x/"]
+    assert out["ok.example"]["crawl_delay_ms"] == 2000
+    for h in ("gone.example", "moved.example", "empty.example"):
+        assert out[h]["policy"] == "allow_all"
+        assert out[h]["disallow_prefixes"] == []
+        assert out[h]["crawl_delay_ms"] is None
+    assert out["down-cached.example"]["policy"] == "cached"
+    assert out["down-cached.example"]["disallow_prefixes"] == ["/a/"]
+    assert out["down-cached.example"]["allow_prefixes"] == ["/a/ok/"]
+    assert out["down-cached.example"]["crawl_delay_ms"] == 1000
+    for h in ("down-stale.example", "dark.example"):
+        assert out[h]["policy"] == "deny_all"
+        assert out[h]["disallow_prefixes"] == ["/"]
+
+    frontier = spark.createDataFrame(
+        [("https://ok.example/x/p", "ok.example"),
+         ("https://ok.example/y/p", "ok.example"),
+         ("https://gone.example/any", "gone.example"),
+         ("https://dark.example/any", "dark.example"),
+         ("https://down-cached.example/a/p", "down-cached.example"),
+         ("https://down-cached.example/a/ok/p", "down-cached.example")],
+        "canonical_url string, host string")
+    rules = robots_failure_policy(fetches, cached, now_ts=10_000,
+                                  max_cache_age_s=5_000).drop("policy")
+    kept = {r["canonical_url"] for r in
+            apply_robots(frontier, rules).collect()}
+    assert kept == {"https://ok.example/y/p",        # /x/ disallowed
+                    "https://gone.example/any",      # allow_all
+                    "https://down-cached.example/a/ok/p"}  # allow wins
+
+
 def test_fetch_history_change_detection(spark, tmp_path):
     """_build_fetch_history: first-ever fetch counts as a change; later
     fetches compare text digests against the LAST committed digest
