@@ -299,6 +299,17 @@ AUDITED = [
      "whole-stage codegen — the operator is a pure projection (the "
      "plan's only exchange is the registry entry's display orderBy); "
      "token counts share the same projection"),
+    ("feed_seed_extract",
+     "RSS/Atom discovery: feed XML → entry URLs entirely in JVM "
+     "regex/explode codegen (zero UDFs); the seen-set anti-join is "
+     "BroadcastHashJoin (LeftAnti-shaped via null flag) on the "
+     "canonical key; exchanges = fixture XML assembly + final per-host "
+     "rollup only"),
+    ("robots_failure_policy",
+     "RFC 9309 fetch-failure semantics: the per-host decision table is "
+     "a tiny broadcast side; verdict classification is a pure codegen "
+     "CASE projection — the frontier side never shuffles on anything "
+     "but its pre-existing host key"),
 ]
 
 KEEP = re.compile(
