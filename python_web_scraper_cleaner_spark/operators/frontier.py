@@ -427,9 +427,11 @@ def parse_sitemaps(sitemaps: DataFrame, *,
     is a narrow per-row regex inside codegen, the explode multiplies
     rows without a shuffle, and everything downstream (canonicalize,
     seen anti-join) joins on the url key."""
+    # (?s): published sitemaps are pretty-printed — <url> blocks span
+    # lines, and Java-regex '.' does not match \n without DOTALL
     block = F.explode(
         F.regexp_extract_all(F.col(xml_col),
-                             F.lit(rf"<{block_tag}>(.*?)</{block_tag}>"),
+                             F.lit(rf"(?s)<{block_tag}>(.*?)</{block_tag}>"),
                              F.lit(1)))
     out = sitemaps.withColumn("_block", block).drop(xml_col)
     return (out
@@ -519,8 +521,10 @@ def parse_feeds(feeds: DataFrame, *, xml_col: str = "feed_xml") -> DataFrame:
     without a shuffle and everything downstream (canonicalize, seen
     anti-join) joins on the url key — identical to the sitemap path."""
     def _blocks(tag: str) -> F.Column:
+        # (?s): real feeds are pretty-printed — entry blocks SPAN LINES,
+        # and without DOTALL the block regex silently yields zero entries
         return F.explode(F.regexp_extract_all(
-            F.col(xml_col), F.lit(rf"<{tag}>(.*?)</{tag}>"), F.lit(1)))
+            F.col(xml_col), F.lit(rf"(?s)<{tag}>(.*?)</{tag}>"), F.lit(1)))
 
     rss = (feeds.withColumn("_b", _blocks("item")).drop(xml_col)
            .withColumn("url",
@@ -588,6 +592,19 @@ def robots_failure_policy(fetches: DataFrame,
     if cached is None:
         cached = fetches.sparkSession.createDataFrame(
             [], f"host string, {ROBOTS_RULES_SCHEMA}, cached_ts long")
+    # a production robots cache accretes GENERATIONS per host; elect the
+    # newest (max cached_ts, remaining fields as deterministic tiebreak)
+    # or the host-keyed left join below fans out duplicate rule rows and
+    # every downstream URL of that host duplicates
+    cached = (cached.groupBy("host")
+              .agg(F.max(F.struct("cached_ts", "crawl_delay_ms",
+                                  "disallow_prefixes", "allow_prefixes"))
+                   .alias("_g"))
+              .select("host", F.col("_g.disallow_prefixes")
+                      .alias("disallow_prefixes"),
+                      F.col("_g.allow_prefixes").alias("allow_prefixes"),
+                      F.col("_g.crawl_delay_ms").alias("crawl_delay_ms"),
+                      F.col("_g.cached_ts").alias("cached_ts")))
     fresh = (F.col("cached_ts").isNotNull()
              & (F.lit(int(now_ts)) - F.col("cached_ts")
                 <= F.lit(int(max_cache_age_s))))
@@ -991,10 +1008,14 @@ def extract_meta_refresh(pages: DataFrame, *, url_col: str = "url",
     html = F.col(html_col).cast("string")
     pat_a = r'(?i)<meta\s+http-equiv="refresh"\s+content="(\d+);\s*url=([^"]*)"'
     pat_b = r'(?i)<meta\s+content="(\d+);\s*url=([^"]*)"\s+http-equiv="refresh"'
-    delay = F.concat(F.regexp_extract(html, pat_a, 1),
-                     F.regexp_extract(html, pat_b, 1))
-    target = F.concat(F.regexp_extract(html, pat_a, 2),
-                      F.regexp_extract(html, pat_b, 2))
+    # a page can carry BOTH attribute orders (templated heads duplicate
+    # meta tags); prefer pattern A's pair wholesale — concatenating the
+    # two extractions would weld '5'+'0' into delay 50 and a garbage url
+    a_hit = F.regexp_extract(html, pat_a, 1) != ""
+    delay = F.when(a_hit, F.regexp_extract(html, pat_a, 1)) \
+        .otherwise(F.regexp_extract(html, pat_b, 1))
+    target = F.when(a_hit, F.regexp_extract(html, pat_a, 2)) \
+        .otherwise(F.regexp_extract(html, pat_b, 2))
     return (pages.select(
         F.col(url_col).alias("src"),
         target.alias("dst"),

@@ -499,11 +499,18 @@ def focused_priority(anchors: DataFrame, source_scores: DataFrame,
     fetched set's score table is host/page-cardinality, and only
     (src, score) columns ship). No window, no explode.
     """
-    hits = None
+    import re as _re
+
+    # empty lexicon ⇒ zero hits (not a crash); terms are regex-ESCAPED
+    # ('c++', 'node.js' are legitimate topics) and bounded by word-char
+    # lookarounds — equivalent to \b for word-edged terms but correct
+    # when a term starts/ends on a non-word char (where \b inverts)
+    hits = F.lit(0)
     for t in topic:
-        h = F.when(F.lower(F.col(anchor_col)).rlike(rf"\b{t}\b"),
+        h = F.when(F.lower(F.col(anchor_col))
+                   .rlike(rf"(?<!\w){_re.escape(t)}(?!\w)"),
                    F.lit(1)).otherwise(F.lit(0))
-        hits = h if hits is None else hits + h
+        hits = hits + h
     scored = (anchors.select(
         F.col(src_col).alias("src"), F.col(target_col).alias("target"),
         hits.cast("long").alias("_hits"))

@@ -393,11 +393,15 @@ def semantic_decontaminate(corpus: DataFrame, probes: DataFrame, *,
     sim = (c.crossJoin(F.broadcast(p))
            .withColumn("_cos", F.round(cosine(F.col("_cv"), F.col("_pv")),
                                        round_digits)))
+    # min(struct(-cos, pid)) = highest similarity, ties to the LOWEST
+    # probe id — and unlike negating the id column, this works for ANY
+    # orderable id type (urls/string ids would cast-to-double under a
+    # unary minus: ANSI abort or silent NULL)
     agg = (sim.groupBy("_cid")
-           .agg(F.max_by(F.struct("_pid", "_cos"),
-                         F.struct(F.col("_cos"), -F.col("_pid")))
+           .agg(F.min(F.struct((-F.col("_cos")).alias("neg"),
+                               F.col("_pid").alias("pid")))
                 .alias("_b")))
     return (agg.select(F.col("_cid").alias(id_col),
-                       F.col("_b._cos").alias("max_cos"),
-                       F.col("_b._pid").alias("nearest_probe"))
+                       (-F.col("_b.neg")).alias("max_cos"),
+                       F.col("_b.pid").alias("nearest_probe"))
             .withColumn("contaminated", F.col("max_cos") >= threshold))

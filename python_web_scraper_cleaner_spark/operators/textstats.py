@@ -920,8 +920,13 @@ def polyglot_segments(docs: DataFrame, *, id_col: str = "id",
     window functions, no joins except the final doc-keyed agg."""
     toks = ws_tokens(F.col(text_col))
     w = window_tokens
+    # token_count_col's zero-guard convention: NULL/empty/whitespace
+    # text is ZERO tokens (split('') yields [''], which would otherwise
+    # count a phantom 'und' segment)
+    n_tok = F.when(F.coalesce(F.trim(F.col(text_col)), F.lit("")) == "",
+                   F.lit(0)).otherwise(F.size(toks))
     staged = docs.select(F.col(id_col).alias("id"), toks.alias("_t"),
-                         F.size(toks).alias("_n"))
+                         n_tok.alias("_n"))
     segs = (staged.filter(F.col("_n") > 0)
             .select("id", "_t",
                     F.explode(F.sequence(
@@ -956,10 +961,23 @@ def polyglot_segments(docs: DataFrame, *, id_col: str = "id",
                 .alias("_d")))
     dom_bp = F.when(F.col("_ni") > 0,
                     F.expr("(10000 * -(_d.neg)) div _ni")).otherwise(0)
-    return (agg.withColumn("dom_lang",
-                           F.coalesce(F.col("_d.lang"), F.lit("und")))
-            .withColumn("dom_bp", dom_bp.cast("long"))
-            .withColumn("mixed", (F.col("_ni") > 0)
-                        & (F.col("dom_bp") < dominant_bp))
-            .select("id", "n_segments", "n_langs", "dom_lang", "dom_bp",
-                    "mixed"))
+    verdicts = (agg.withColumn("dom_lang",
+                               F.coalesce(F.col("_d.lang"), F.lit("und")))
+                .withColumn("dom_bp", dom_bp.cast("long"))
+                .withColumn("mixed", (F.col("_ni") > 0)
+                            & (F.col("dom_bp") < dominant_bp))
+                .select("id", "n_segments", "n_langs", "dom_lang",
+                        "dom_bp", "mixed"))
+    # contract is ONE verdict per input doc: NULL/empty-text docs have
+    # no windows (the _n > 0 filter above) but must not VANISH from the
+    # rollup — join the full id set back with the empty-doc verdict
+    return (staged.select("id").join(verdicts, "id", "left")
+            .select("id",
+                    F.coalesce("n_segments", F.lit(0)).cast("long")
+                    .alias("n_segments"),
+                    F.coalesce("n_langs", F.lit(0)).cast("long")
+                    .alias("n_langs"),
+                    F.coalesce("dom_lang", F.lit("und")).alias("dom_lang"),
+                    F.coalesce("dom_bp", F.lit(0)).cast("long")
+                    .alias("dom_bp"),
+                    F.coalesce("mixed", F.lit(False)).alias("mixed")))

@@ -781,42 +781,35 @@ class CrawlEngine:
         aggregates + join-backs; the archive_digests probe side carries
         three narrow columns per UNIQUE payload ever archived, and the
         payload bytes themselves never enter the plan at all."""
+        from ..sources.warc import elect_archive_winners
         fetched = (pages.filter("fetch_ok")
                    .select("url",
                            F.date_format("warc_ts",
                                          "yyyy-MM-dd'T'HH:mm:ss'Z'")
                            .alias("ts"))
                    .withColumn("digest", _capture_md5(F.col("url"))))
+        prior = None
         if self.io.exists("archive_digests"):
             prior = (self.io.read("archive_digests")
                      .filter(F.col("round") < round_id)
                      .groupBy("digest")
                      .agg(F.min(F.struct("ts", "url")).alias("_p"))
-                     .select("digest", F.col("_p.url").alias("_pu"),
-                             F.col("_p.ts").alias("_pt")))
-            j = fetched.join(prior, "digest", "left")
-        else:
-            j = (fetched.withColumn("_pu", F.lit(None).cast("string"))
-                 .withColumn("_pt", F.lit(None).cast("string")))
-        rw = (j.filter(F.col("_pu").isNull())
-              .groupBy("digest")
-              .agg(F.min(F.struct("ts", "url")).alias("_w"))
-              .select("digest", F.col("_w.url").alias("_wu"),
-                      F.col("_w.ts").alias("_wt")))
-        j2 = j.join(rw, "digest", "left")
-        is_resp = (F.col("_pu").isNull()
-                   & (F.col("url") == F.col("_wu"))
-                   & (F.col("ts") == F.col("_wt")))
-        ref_url = F.coalesce(F.col("_pu"), F.col("_wu"))
-        ref_ts = F.coalesce(F.col("_pt"), F.col("_wt"))
+                     .select("digest", F.col("_p.url").alias("url"),
+                             F.col("_p.ts").alias("ts")))
+        # shared election (sources/warc.elect_archive_winners) — the
+        # ONE implementation of the §6.7.2 winner semantics, so the
+        # engine sink and the standalone revisit_dedup_plan operator
+        # cannot drift apart
+        j2 = elect_archive_winners(fetched, prior=prior)
+        is_resp = F.col("_is_resp")
         plan = j2.select(
             "url", "digest",
             F.when(is_resp, F.lit("response")).otherwise(F.lit("revisit"))
             .alias("record_type"),
-            F.when(is_resp, F.lit(None).cast("string")).otherwise(ref_url)
-            .alias("refers_to_url"),
-            F.when(is_resp, F.lit(None).cast("string")).otherwise(ref_ts)
-            .alias("refers_to_ts"))
+            F.when(is_resp, F.lit(None).cast("string"))
+            .otherwise(F.col("_ref_url")).alias("refers_to_url"),
+            F.when(is_resp, F.lit(None).cast("string"))
+            .otherwise(F.col("_ref_ts")).alias("refers_to_ts"))
         new_digests = (j2.filter(is_resp)
                        .select("digest", "url", "ts",
                                F.lit(round_id).cast("int").alias("round")))

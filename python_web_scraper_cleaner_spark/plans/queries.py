@@ -979,6 +979,11 @@ def _robots_fetch_fixture():
             fetch.append((host, 301 if i == 11 else 404, None))
         elif case == 2:
             fetch.append((host, 503, None))
+            # TWO cache generations for the same host (older first):
+            # production caches accrete generations and the policy layer
+            # must elect the newest — a bare host join would fan out
+            cache.append((host, [f"/ancient{i}/"], [], None,
+                          _ROBOTS_NOW - 90 * 24 * 3600))
             cache.append((host, [f"/old{i}/"], [f"/old{i}/ok/"],
                           1500 + i, _ROBOTS_NOW - 3600))
         elif case == 3:
@@ -1029,7 +1034,10 @@ def q_robots_failure_policy(spark, sf_dir):
 def _sql_robots_failure():
     from ..functions.kernel import parse_robots_txt
     fetch, cache = _robots_fetch_fixture()
-    cmap = {c[0]: c for c in cache}
+    cmap = {}          # newest generation per host (max cached_ts)
+    for c in cache:
+        if c[0] not in cmap or c[4] > cmap[c[0]][4]:
+            cmap[c[0]] = c
     rows = []
     for host, status, txt in fetch:
         if status is not None and 200 <= status < 300 and txt is not None:

@@ -451,6 +451,47 @@ def build_revisit_record(url: str, ts: str, refers_to_url: str,
     return head + b"\r\n\r\n"
 
 
+def elect_archive_winners(slim: DataFrame, *,
+                          prior: DataFrame | None = None) -> DataFrame:
+    """Shared ISO 28500 §6.7.2 winner election + response/revisit
+    classification over a slim ``(url, ts, digest, …)`` frame,
+    optionally probed against ``prior`` winners ``(digest, url, ts)``
+    from earlier rounds. The single source of truth for the election
+    semantics — used by :func:`revisit_dedup_plan` (standalone archive
+    dedup) AND ``CrawlEngine._archive_plan`` (the engine's incremental
+    variant), so the two can never diverge.
+
+    Election: a digest already in ``prior`` refers every new capture to
+    the archived copy; among unseen digests the ``min(struct(ts, url))``
+    capture — never arrival order — is the response, the rest refer to
+    it. Adds ``_is_resp`` / ``_ref_url`` / ``_ref_ts`` (refs NULL on
+    responses' own winning row only after the caller's when(); here they
+    always carry the elected winner), preserving every input column.
+
+    Scale shape: one digest-keyed partial-min aggregate + join-backs on
+    digest; only (url, ts, 32-byte digest) columns participate."""
+    if prior is not None:
+        probe = prior.select("digest", F.col("url").alias("_pu"),
+                             F.col("ts").alias("_pt"))
+        j = slim.join(probe, "digest", "left")
+    else:
+        j = (slim.withColumn("_pu", F.lit(None).cast("string"))
+             .withColumn("_pt", F.lit(None).cast("string")))
+    rw = (j.filter(F.col("_pu").isNull())
+          .groupBy("digest")
+          .agg(F.min(F.struct("ts", "url")).alias("_w"))
+          .select("digest", F.col("_w.url").alias("_wu"),
+                  F.col("_w.ts").alias("_wt")))
+    j2 = j.join(rw, "digest", "left")
+    is_resp = (F.col("_pu").isNull()
+               & (F.col("url") == F.col("_wu"))
+               & (F.col("ts") == F.col("_wt")))
+    return (j2.withColumn("_is_resp", is_resp)
+            .withColumn("_ref_url", F.coalesce(F.col("_pu"), F.col("_wu")))
+            .withColumn("_ref_ts", F.coalesce(F.col("_pt"), F.col("_wt")))
+            .drop("_pu", "_pt", "_wu", "_wt"))
+
+
 def revisit_dedup_plan(records: DataFrame, *, url_col: str = "url",
                        ts_col: str = "warc_ts",
                        payload_col: str = "html") -> DataFrame:
@@ -478,27 +519,22 @@ def revisit_dedup_plan(records: DataFrame, *, url_col: str = "url",
     no payload bytes in motion.
     """
     slim = records.select(
-        F.col(url_col).alias("url"), F.col(ts_col).alias("warc_ts"),
+        F.col(url_col).alias("url"), F.col(ts_col).alias("ts"),
         F.md5(F.col(payload_col).cast("string")).alias("digest"),
         F.length(F.col(payload_col)).cast("long").alias("payload_bytes"))
-    winners = (slim.groupBy("digest")
-               .agg(F.min(F.struct("warc_ts", "url")).alias("_w"))
-               .select("digest", F.col("_w.url").alias("_wu"),
-                       F.col("_w.warc_ts").alias("_wt")))
-    is_resp = (F.col("url") == F.col("_wu")) & \
-        (F.col("warc_ts") == F.col("_wt"))
-    return (slim.join(winners, "digest")
-            .withColumn("record_type", F.when(is_resp, F.lit("response"))
-                        .otherwise(F.lit("revisit")))
+    e = elect_archive_winners(slim)
+    is_resp = F.col("_is_resp")
+    return (e.withColumn("record_type", F.when(is_resp, F.lit("response"))
+                         .otherwise(F.lit("revisit")))
             .withColumn("refers_to_url",
                         F.when(is_resp, F.lit(None).cast("string"))
-                        .otherwise(F.col("_wu")))
+                        .otherwise(F.col("_ref_url")))
             .withColumn("refers_to_ts",
                         F.when(is_resp, F.lit(None).cast("string"))
-                        .otherwise(F.col("_wt")))
+                        .otherwise(F.col("_ref_ts")))
             .withColumn("saved_bytes",
                         F.when(is_resp, F.lit(0)).otherwise(
                             F.col("payload_bytes")).cast("long"))
-            .select("url", "warc_ts", "digest", "record_type",
-                    "refers_to_url", "refers_to_ts", "payload_bytes",
-                    "saved_bytes"))
+            .select("url", F.col("ts").alias("warc_ts"), "digest",
+                    "record_type", "refers_to_url", "refers_to_ts",
+                    "payload_bytes", "saved_bytes"))

@@ -2019,3 +2019,65 @@ def test_archive_dedup_heals_digest_commit_crash(spark, tmp_path):
                                 .collect()))
     assert digs(resumed) == digs(full)
     assert resumed.crawl_order() == full.crawl_order()
+
+
+def test_parse_feeds_and_sitemaps_pretty_printed_multiline(spark):
+    """Review regression: real feeds/sitemaps are pretty-printed — entry
+    blocks SPAN LINES. Without (?s) the block regex silently parses to
+    zero entries and the whole discovery channel goes dark."""
+    from python_web_scraper_cleaner_spark.operators.frontier import (
+        parse_feeds, parse_sitemaps)
+
+    rss = ("<rss>\n<channel>\n<title>c</title>\n"
+           "<link>https://r.example/</link>\n"
+           "<item>\n  <title>a</title>\n"
+           "  <link>https://r.example/a</link>\n"
+           "  <pubDate>2026-03-02</pubDate>\n</item>\n"
+           "<item>\n  <link>https://r.example/b</link>\n</item>\n"
+           "</channel>\n</rss>")
+    atom = ('<feed>\n<entry>\n'
+            '  <link rel="alternate" href="https://a.example/x"/>\n'
+            '  <updated>2026-03-04T05:06:07Z</updated>\n'
+            '</entry>\n</feed>')
+    feeds = spark.createDataFrame([("r", rss), ("a", atom)],
+                                  "fid string, feed_xml string")
+    got = sorted((r["url"], r["feed_format"])
+                 for r in parse_feeds(feeds).collect())
+    assert got == [("https://a.example/x", "atom"),
+                   ("https://r.example/a", "rss"),
+                   ("https://r.example/b", "rss")]
+
+    sm = ("<urlset>\n<url>\n  <loc>https://s.example/p1</loc>\n"
+          "  <lastmod>2026-01-01</lastmod>\n</url>\n"
+          "<url>\n  <loc>https://s.example/p2</loc>\n</url>\n</urlset>")
+    sms = spark.createDataFrame([("h", sm)], "host string, sitemap_xml string")
+    rows = sorted((r["url"], r["lastmod"])
+                  for r in parse_sitemaps(sms).collect())
+    assert rows == [("https://s.example/p1", "2026-01-01"),
+                    ("https://s.example/p2", "")]
+
+
+def test_robots_failure_policy_elects_newest_cache_generation(spark):
+    """Review regression: a robots cache with several GENERATIONS per
+    host must resolve to exactly one output row per host, using the
+    newest generation's rules — a bare host join would fan out
+    duplicate rule rows and duplicate every downstream URL."""
+    from python_web_scraper_cleaner_spark.operators.frontier import (
+        robots_failure_policy)
+
+    fetches = spark.createDataFrame([("h.example", 503, None)],
+                                    "host string, status int, "
+                                    "robots_txt string")
+    cached = spark.createDataFrame(
+        [("h.example", ["/ancient/"], [], None, 1_000),
+         ("h.example", ["/new/"], ["/new/ok/"], 777, 5_000),
+         ("h.example", ["/mid/"], [], 5, 3_000)],
+        "host string, disallow_prefixes array<string>, "
+        "allow_prefixes array<string>, crawl_delay_ms long, cached_ts long")
+    out = robots_failure_policy(fetches, cached, now_ts=10_000).collect()
+    assert len(out) == 1                       # ONE row per host
+    r = out[0]
+    assert r.policy == "cached"
+    assert r.disallow_prefixes == ["/new/"]
+    assert r.allow_prefixes == ["/new/ok/"]
+    assert r.crawl_delay_ms == 777

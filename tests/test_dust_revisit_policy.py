@@ -225,3 +225,66 @@ def test_polyglot_segments_flags_language_sandwich(spark):
     # marker-free text: nothing identified -> und, NOT "mixed"
     assert rows[3].dom_lang == "und" and not rows[3].mixed
     assert rows[3].n_langs == 0
+
+
+def test_focused_priority_empty_topic_and_metachar_terms(spark):
+    """Review regressions: an empty topic lexicon must yield zero hits
+    (not an AttributeError), and topic terms carrying regex
+    metacharacters ('c++', 'node.js') must match literally instead of
+    raising PatternSyntaxException / false-matching '.' as any char."""
+    anchors = spark.createDataFrame(
+        [(1, 10, "learn c++ today"), (2, 10, "node.js guide"),
+         (3, 11, "nodexjs is not node.js spelled wrong"),
+         (4, 11, "mc++ is word-preceded and must not hit")],
+        "src long, target long, anchor string")
+    scores = spark.createDataFrame([(1, 100), (2, 200), (3, 300), (4, 400)],
+                                   "src long, score_bp long")
+    empty = {r.target: r for r in G.focused_priority(
+        anchors, scores, ()).collect()}
+    assert empty[10].anchor_hits == 0 and empty[11].anchor_hits == 0
+
+    got = {r.target: r for r in G.focused_priority(
+        anchors, scores, ("c++", "node.js")).collect()}
+    assert got[10].anchor_hits == 2          # one hit per anchor
+    # 'nodexjs' must NOT match 'node.js' ('.' escaped); trailing
+    # 'node.js' in the same anchor DOES; 'mc++' is word-preceded -> no
+    assert got[11].anchor_hits == 1
+
+
+def test_semantic_decontaminate_string_ids(spark):
+    """Review regression: the argmax tie-break must work for STRING ids
+    (urls) — negating a string column casts to double (NULL or ANSI
+    abort). Two identical probes tie on cosine; the lower id wins."""
+    from python_web_scraper_cleaner_spark.operators import similarity as SIM
+
+    probes = spark.createDataFrame(
+        [("bench/b", [1.0, 0.0]), ("bench/a", [1.0, 0.0])],
+        "id string, vec array<double>")
+    corpus = spark.createDataFrame(
+        [("doc/x", [1.0, 0.0]), ("doc/y", [0.0, 1.0])],
+        "id string, vec array<double>")
+    rows = {r.id: r for r in SIM.semantic_decontaminate(
+        corpus, probes, threshold=0.99).collect()}
+    assert rows["doc/x"].contaminated
+    assert rows["doc/x"].nearest_probe == "bench/a"   # tie -> lower id
+    assert not rows["doc/y"].contaminated
+
+
+def test_polyglot_segments_null_and_empty_text_survive(spark):
+    """Review regression: NULL-text and empty-text docs must appear in
+    the output with the empty-doc verdict (0 segments, 'und', not
+    mixed) — not silently vanish from the per-doc rollup."""
+    from python_web_scraper_cleaner_spark.operators.textstats import (
+        polyglot_segments)
+
+    en = "the and is of it for on are this that with from " * 10
+    docs = spark.createDataFrame(
+        [(1, en), (2, None), (3, ""), (4, "   ")],
+        "id long, text string")
+    rows = {r.id: r for r in polyglot_segments(docs).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    for i in (2, 3, 4):
+        r = rows[i]
+        assert r.n_segments == 0 and r.n_langs == 0
+        assert r.dom_lang == "und" and r.dom_bp == 0 and not r.mixed
+    assert rows[1].dom_lang == "en"

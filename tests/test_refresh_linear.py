@@ -98,3 +98,18 @@ def test_linear_quality_score_zero_exchange_plan(spark):
         docs, {"data": 10}, bias_bp=0)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_extract_meta_refresh_page_with_both_attribute_orders(spark):
+    """Review regression: a page carrying refresh tags in BOTH attribute
+    orders (templated heads duplicate meta tags) must yield ONE sane
+    edge — pattern A's pair wholesale — not a concatenation that welds
+    '5'+'0' into delay 50 and two urls into a garbage target."""
+    rows = [("https://a/both",
+             '<head><meta http-equiv="refresh" content="5; url=https://a/x">'
+             '<meta content="0; url=https://a/y" http-equiv="refresh">'
+             '</head>')]
+    out = {r.src: r for r in
+           FR.extract_meta_refresh(_pages(spark, rows)).collect()}
+    r = out["https://a/both"]
+    assert r.dst == "https://a/x" and r.refresh_delay == 5

@@ -272,9 +272,10 @@ AUDITED = [
      "exchange"),
     ("decontaminate_semantic",
      "embedding decontamination: probe side BroadcastExchange into a "
-     "codegen dot-product projection; per-doc max via partial_max_by "
-     "in the scan stage — only post-combine (id, max) rows cross the "
-     "one hash exchange, vectors never shuffle"),
+     "codegen dot-product projection; per-doc argmax via partial_min "
+     "over struct(-cos, pid) in the scan stage (string-id-safe "
+     "tie-break) — only post-combine (id, best) rows cross the one "
+     "hash exchange, vectors never shuffle"),
     ("polyglot_segments",
      "per-segment lang-ID: window slicing + marker intersection in one "
      "codegen projection (text dies in the stage, only (id, lang) rows "
@@ -315,7 +316,8 @@ AUDITED = [
 KEEP = re.compile(
     r"^\(\d+\) (Scan parquet|Filter|BroadcastHashJoin|SortMergeJoin|"
     r"ShuffledHashJoin|BroadcastNestedLoopJoin|Exchange|BroadcastExchange|"
-    r"HashAggregate|WindowGroupLimit|Window|TakeOrderedAndProject)")
+    r"HashAggregate|ObjectHashAggregate|SortAggregate|WindowGroupLimit|"
+    r"Window|TakeOrderedAndProject)")
 DETAIL = re.compile(r"PushedFilters|ReadSchema|^Arguments: |^Keys|^Functions")
 
 
