@@ -313,6 +313,68 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, *,
             .filter(F.col("jaccard") >= threshold))
 
 
+def containment_pairs(df: DataFrame, id_col: str, text_col: str, *,
+                      k: int = 3, threshold_bp: int = 8000,
+                      max_df: int | None = 1000) -> DataFrame:
+    """ASYMMETRIC near-dup detection: pairs where the smaller document's
+    shingle set is mostly CONTAINED in the larger one's.
+
+    Jaccard-based dedup (ngram_jaccard_pairs, MinHash-LSH) misses the
+    dominant web-duplication mode: syndication. A wire article republished
+    inside a much larger page (nav, comments, related-stories boilerplate)
+    has containment ≈ 1 but Jaccard = |A|/|B| — arbitrarily low as the
+    host page grows, so a symmetric threshold never fires. Broder's
+    original resemblance paper defines both measures for exactly this
+    reason; containment is what catches quote-inclusion and
+    article-in-portal duplication in an LLM corpus.
+
+    containment(A→B) = |S(A) ∩ S(B)| / |S(A)| with |S(A)| ≤ |S(B)|
+    (the smaller set into the larger). Reported in integer basis points
+    (floor(10000·inter/min)) so the decision is bit-deterministic and
+    DuckDB-oracle-checkable; jaccard_bp rides along for contrast.
+
+    Scale shape — identical to ngram_jaccard_pairs and inherits its
+    guards: per-doc distinct shingles (array_distinct before explode, no
+    global distinct shuffle), hot-shingle ``max_df`` cap so boilerplate
+    shingles can't go quadratic in the inverted-index self-join, and
+    candidate generation strictly via shared shingles (a pair with zero
+    intersection never materializes). Only (id, shingle-hash) pairs
+    shuffle; text never leaves the scan stage."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(par, F.col(id_col))
+    sh = exploded_shingles(df, id_col, text_col, k)
+    if max_df is not None:
+        hot = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+               .filter(F.col("df") > max_df).select("shingle"))
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    inter = (sh.withColumnRenamed("id", "id_a")
+             .join(sh.withColumnRenamed("id", "id_b"), "shingle")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count("*").alias("n_inter")))
+    n_min = F.least(F.col("n_a"), F.col("n_b"))
+    cont_bp = F.floor(10000 * F.col("n_inter") / n_min).cast("long")
+    jac_bp = F.floor(
+        10000 * F.col("n_inter")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).cast("long")
+    return (inter
+            .join(sizes.withColumnRenamed("id", "id_a")
+                  .withColumnRenamed("n_sh", "n_a"), "id_a")
+            .join(sizes.withColumnRenamed("id", "id_b")
+                  .withColumnRenamed("n_sh", "n_b"), "id_b")
+            .select("id_a", "id_b", F.col("n_inter").cast("long"),
+                    F.col("n_a").cast("long").alias("n_a"),
+                    F.col("n_b").cast("long").alias("n_b"),
+                    cont_bp.alias("containment_bp"),
+                    jac_bp.alias("jaccard_bp"),
+                    # which side is contained: the smaller shingle set
+                    F.when(F.col("n_a") <= F.col("n_b"),
+                           F.col("id_a")).otherwise(F.col("id_b"))
+                    .alias("contained_id"))
+            .filter(F.col("containment_bp") >= threshold_bp))
+
+
 # ---------------------------------------------------------------------------
 # SimHash (md5-derived — engine-portable integer math; 32-bit kernel-parity
 # signature for dedup_simhash, 64-bit signature for near-pair banding)

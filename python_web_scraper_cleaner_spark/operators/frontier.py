@@ -1208,3 +1208,84 @@ def ip_politeness_groups(frontier: DataFrame, hostmap: DataFrame, *,
             .select("host", "ip", "n_hosts_on_ip", "n_urls",
                     "ip_budget", "host_budget", "throttled")
             .orderBy("host"))
+
+
+def _hash32(col) -> F.Column:
+    """md5-derived 32-bit integer of a string column — the engine-portable
+    hash the oracle can reproduce (conv of the first 8 hex chars)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def rendezvous_shard(hosts: DataFrame, *, n_shards: int,
+                     host_col: str = "host",
+                     out_col: str = "shard") -> DataFrame:
+    """Rendezvous (highest-random-weight) host→shard assignment — how a
+    10^10-URL frontier is split across fetcher workers.
+
+    Each host scores every shard with hash(host + '#' + shard) and lands
+    on its argmax. Unlike ``hash(host) % n_shards`` (the naive split,
+    assign_fetch_slots' shape), rendezvous hashing has MINIMAL-DISRUPTION
+    resharding: removing one worker remaps ONLY that worker's hosts (each
+    surviving host's argmax among the remaining shards is unchanged),
+    instead of reshuffling ~(n-1)/n of all hosts the way mod-hashing
+    does. Politeness state (crawl-delay clocks, robots caches, per-host
+    budgets) is sticky per worker, so resharding cost IS fetch-state
+    migration cost — at web scale this is why crawlers (and consistent-
+    hash stores generally) don't mod-hash their frontier.
+
+    Pure per-row projection: the score array is built with transform over
+    sequence and folded with array_max/array_position — no shuffle, no
+    UDF; ties (p < n_shards·2^-32 per host) break to the lowest shard id
+    identically in Spark and the SQL oracle (first-match position).
+
+    Output: input row + ``out_col`` (0-based winning shard)."""
+    hc = F.col(host_col).cast("string")
+    scores = F.transform(
+        F.sequence(F.lit(0), F.lit(n_shards - 1)),
+        lambda s: _hash32(F.concat(hc, F.lit("#"), s.cast("string"))))
+    return (hosts.withColumn("_scores", scores)
+            .withColumn(out_col,
+                        (F.expr("array_position(_scores, "
+                                "array_max(_scores))") - 1).cast("long"))
+            .drop("_scores"))
+
+
+def distinct_linear_count(refs: DataFrame, *, key_col: str = "host",
+                          item_col: str = "url",
+                          m: int = 4096) -> DataFrame:
+    """Per-key distinct-item estimation with BOUNDED state: linear
+    (probabilistic) counting over an ``m``-bucket hash bitmap.
+
+    A frontier needs per-host distinct-URL counts constantly (trap
+    scoring, budget allocation, dedup-rate dashboards). Exact
+    count(distinct url) at 10^10 rows shuffles every distinct URL string;
+    the linear-counting sketch shuffles at most ``m`` small integers per
+    host, a fixed ceiling regardless of corpus size: bucket = hash(item)
+    % m, count the occupied buckets V, estimate n̂ = −m·ln(1 − V/m)
+    (Whang et al. 1990 — the standard-error sweet spot below ~10·m
+    distinct; beyond that HyperLogLog takes over, same plan shape with a
+    register max instead of a bucket set).
+
+    The estimate is fully deterministic: V and m are exact integers on
+    both engines, and ln of the identical double rounds identically at
+    the 4-decimal output precision. Output per key: n_refs (rows seen),
+    buckets_used (V), est_distinct (n̂ rounded to 4dp) — callers wanting
+    ground truth join an exact distinct at test scale, which is exactly
+    what the registry oracle does to expose the sketch error."""
+    bucket = _hash32(F.col(item_col).cast("string")) % m
+    per_bucket = (refs.groupBy(F.col(key_col).alias("key"),
+                               bucket.alias("_b"))
+                  .agg(F.count(F.lit(1)).alias("_n")))
+    return (per_bucket.groupBy("key")
+            .agg(F.sum("_n").cast("long").alias("n_refs"),
+                 F.count(F.lit(1)).cast("long").alias("buckets_used"))
+            .withColumn(
+                "est_distinct",
+                # V = m saturates the sketch (ln 0): report NULL — the
+                # caller's signal to fall back to HLL / a larger m
+                F.when(F.col("buckets_used") >= m,
+                       F.lit(None).cast("double"))
+                .otherwise(F.round(
+                    -F.lit(float(m))
+                    * F.log((F.lit(m) - F.col("buckets_used"))
+                            / F.lit(float(m))), 4))))

@@ -294,3 +294,39 @@ def cluster_balanced_sample(assigned: DataFrame, *, id_col: str = "id",
                         F.count(F.lit(1)).over(w).cast("long"))
             .withColumn("sample_rank", rank.cast("long"))
             .withColumn("kept", F.col("sample_rank") <= cap_per_cluster))
+
+
+def weighted_sample_keys(df: DataFrame, *, id_col: str,
+                         weight_col: str, max_weight: int = 16) -> DataFrame:
+    """Integer-exact weighted priority keys for top-k sampling WITHOUT
+    replacement: each row gets ``weight`` lottery tickets, ticket j's
+    value is the md5-derived 32-bit integer of ``id:j``, and the row's
+    key is the MIN ticket. Taking the k smallest keys yields a weighted
+    sample — higher-weight rows hold more tickets, so their minimum is
+    stochastically smaller (inclusion odds scale ~linearly with weight
+    for weights ≪ 2^32).
+
+    This is the bit-deterministic cousin of Efraimidis–Spirakis A-ES
+    sampling: A-ES keys are u^(1/w) — transcendental floats whose last
+    ulp can differ across engines/libm builds and silently flip ranks at
+    the k-boundary. Ticket-min keys are pure integer md5 arithmetic, so
+    the SAME sample falls out of Spark, the DuckDB oracle, a re-run, or
+    a different cluster size — the reproducibility property a corpus
+    build needs more than exact A-ES inclusion probabilities.
+
+    Scale shape: the ticket array is built and min-folded INSIDE the
+    row's projection (transform over sequence(0, w-1) + array_min — no
+    explode, no extra rows), so the corpus scan stays shuffle-free; the
+    only data movement is the final TakeOrderedAndProject for top-k.
+    ``max_weight`` bounds per-row hashing cost; weights are clamped into
+    [1, max_weight]."""
+    w = F.greatest(F.lit(1), F.least(F.lit(max_weight),
+                                     F.col(weight_col).cast("long")))
+    idc = F.col(id_col).cast("string")
+    tickets = F.transform(
+        F.sequence(F.lit(0), (w - 1).cast("int")),
+        lambda j: F.conv(
+            F.substring(F.md5(F.concat(idc, F.lit(":"), j.cast("string"))),
+                        1, 8), 16, 10).cast("long"))
+    return df.withColumn("weight", w).withColumn(
+        "ticket_key", F.array_min(tickets))

@@ -7683,6 +7683,238 @@ from f order by id
 """
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric containment detection (operators/dedup.py:
+    containment_pairs) over a syndication fixture: every doc_id%10==5
+    base doc (doc_id < 500) is republished inside a portal page wrapped
+    in nav + footer boilerplate. Symmetric Jaccard on such pairs is
+    |A|/|B| — dragged down by the wrapper — while containment of the
+    article INTO the portal page stays near 10000 bp; the output's
+    (containment_bp, jaccard_bp) columns show exactly that split, which
+    is why a corpus dedup needs BOTH measures (Broder's resemblance vs
+    containment). Same inverted-index scale shape as
+    dedup_ngram_jaccard: hot-shingle max_df guard, candidates only via
+    shared shingles, text never shuffles."""
+    base = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+            .select("doc_id", "text"))
+    portal = (base.filter(F.col("doc_id") % 10 == 5)
+              .select((F.col("doc_id") + 400000).alias("doc_id"),
+                      F.concat(F.lit(_PORTAL_HEAD), F.col("text"),
+                               F.lit(_PORTAL_FOOT)).alias("text")))
+    corpus = base.unionByName(portal)
+    return (D.containment_pairs(corpus, "doc_id", "text", k=3,
+                                threshold_bp=8000, max_df=100)
+            .orderBy("id_a", "id_b"))
+
+
+_PORTAL_HEAD = "portal navigation home news sports weather business "
+_PORTAL_FOOT = (" related stories trending now comments section footer "
+                "copyright notice all rights reserved")
+
+SQL_CONTAINMENT = f"""
+with corpus as (
+  select doc_id, text from documents where doc_id < 500
+  union all
+  select doc_id + 400000,
+         '{_PORTAL_HEAD}' || text || '{_PORTAL_FOOT}'
+  from documents where doc_id < 500 and doc_id % 10 = 5),
+toks as (select doc_id,
+               list_filter(string_split(lower(trim(text)), ' '), t -> t <> '') as l
+        from corpus),
+sh0 as (select doc_id,
+               unnest(case when len(l) <= 3 then [array_to_string(l, ' ')]
+                      else list_transform(range(1, len(l) - 1),
+                                          i -> array_to_string(l[i:i+2], ' '))
+                      end) as shingle
+        from toks),
+shall as (select distinct doc_id as id, shingle from sh0),
+hot as (select shingle from shall group by shingle having count(*) > 100),
+sh as (select * from shall where shingle not in (select shingle from hot)),
+sizes as (select id, count(*) as n_sh from sh group by id),
+inter as (select a.id as id_a, b.id as id_b, count(*) as n_inter
+          from sh a join sh b on a.shingle = b.shingle and a.id < b.id
+          group by a.id, b.id)
+select i.id_a, i.id_b, cast(i.n_inter as bigint) as n_inter,
+       cast(sa.n_sh as bigint) as n_a, cast(sb.n_sh as bigint) as n_b,
+       cast((10000 * i.n_inter) // least(sa.n_sh, sb.n_sh) as bigint)
+         as containment_bp,
+       cast((10000 * i.n_inter) // (sa.n_sh + sb.n_sh - i.n_inter)
+            as bigint) as jaccard_bp,
+       case when sa.n_sh <= sb.n_sh then i.id_a else i.id_b end
+         as contained_id
+from inter i
+join sizes sa on sa.id = i.id_a
+join sizes sb on sb.id = i.id_b
+where (10000 * i.n_inter) // least(sa.n_sh, sb.n_sh) >= 8000
+order by id_a, id_b
+"""
+
+
+def q_sample_weighted(spark, sf_dir):
+    """Integer-exact weighted top-k sampling (operators/sampling.py:
+    weighted_sample_keys): each doc holds weight = min(5, 1 + n_chars
+    div 200) lottery tickets (longer cleaned docs are costlier to
+    re-acquire, so they get better survival odds in a subsample); the
+    100 smallest min-ticket keys win. Bit-deterministic cousin of
+    Efraimidis–Spirakis u^(1/w) keys — pure md5 integer arithmetic, so
+    Spark, the DuckDB oracle, and any cluster size draw the SAME
+    sample. Scan is shuffle-free (ticket array folded in the
+    projection); the only movement is TakeOrderedAndProject."""
+    from ..operators.sampling import weighted_sample_keys
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("1 + n_chars div 200").alias("w0"))
+    keyed = weighted_sample_keys(docs, id_col="doc_id", weight_col="w0",
+                                 max_weight=5)
+    return (keyed.select("doc_id", F.col("weight").cast("long"),
+                         F.col("ticket_key").cast("long"))
+            .orderBy("ticket_key", "doc_id").limit(100))
+
+
+_TICKET_SQL = _hex_int_sql(
+    "md5(cast(doc_id as varchar) || ':' || cast(j as varchar))", 1)
+
+SQL_SAMPLE_WEIGHTED = f"""
+with w as (select doc_id,
+                  greatest(1, least(5, 1 + n_chars // 200)) as weight
+           from documents),
+k as (select doc_id, weight,
+             list_min(list_transform(range(0, weight),
+                                     j -> {_TICKET_SQL})) as ticket_key
+      from w)
+select doc_id, cast(weight as bigint) as weight,
+       cast(ticket_key as bigint) as ticket_key
+from k order by ticket_key, doc_id limit 100
+"""
+
+
+def q_distinct_sketch(spark, sf_dir):
+    """Bounded-state distinct estimation (operators/frontier.py:
+    distinct_linear_count): per-host distinct-URL counts from a
+    1024-bucket linear-counting sketch over a derived refetch stream
+    (each doc contributes one ref; url path keyed doc_id·37 mod 501 so
+    hosts see heavy re-reference at larger sf). The sketch shuffles at
+    most 1024 integers per host — a fixed ceiling a 10^10-row frontier
+    scan can afford, unlike exact count(distinct url) which ships every
+    distinct URL string. The oracle joins the EXACT distinct count back
+    so the sketch error is visible in the result itself."""
+    from ..operators.frontier import distinct_linear_count
+    d = F.col("doc_id")
+    refs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("host"), (d % 7).cast("string")).alias("host"),
+        F.concat(F.lit("https://host"), (d % 7).cast("string"),
+                 F.lit(".example.com/p/"),
+                 ((d * 37) % 501).cast("string")).alias("url"))
+    sk = distinct_linear_count(refs, key_col="host", item_col="url",
+                               m=1024)
+    exact = (refs.groupBy(F.col("host").alias("key"))
+             .agg(F.count_distinct("url").cast("long")
+                  .alias("n_distinct_exact")))
+    return (sk.join(exact, "key")
+            .select(F.col("key").alias("host"), "n_refs", "buckets_used",
+                    "est_distinct", "n_distinct_exact")
+            .orderBy("host"))
+
+
+_URLH_SQL = _hex_int_sql("md5(url)", 1)
+
+SQL_DISTINCT_SKETCH = f"""
+with refs as (
+  select 'host' || cast(doc_id % 7 as varchar) as host,
+         'https://host' || cast(doc_id % 7 as varchar)
+         || '.example.com/p/' || cast((doc_id * 37) % 501 as varchar)
+           as url
+  from documents),
+b as (select host, ({_URLH_SQL}) % 1024 as bucket, count(*) as n
+      from refs group by 1, 2),
+s as (select host, cast(sum(n) as bigint) as n_refs,
+             cast(count(*) as bigint) as buckets_used
+      from b group by host),
+e as (select host, cast(count(distinct url) as bigint) as n_distinct_exact
+      from refs group by host)
+select s.host, n_refs, buckets_used,
+       case when buckets_used >= 1024 then null
+            else round(-1024.0 * ln((1024 - buckets_used) / 1024.0), 4)
+       end as est_distinct,
+       n_distinct_exact
+from s join e using (host) order by host
+"""
+
+
+def q_frontier_shard(spark, sf_dir):
+    """Rendezvous-hash frontier sharding (operators/frontier.py:
+    rendezvous_shard): 101 hosts → 8 fetcher shards by
+    highest-random-weight, then the SAME hosts re-scored against shards
+    0..6 — which IS the assignment after shard 7 dies (HRW's defining
+    property: a survivor's argmax among the remaining candidates is
+    unchanged). The per-shard rollup proves minimal disruption in the
+    values: n_stayed == n_hosts for every surviving shard (nobody who
+    wasn't on shard 7 moved), while mod-hashing would remap ~7/8 of all
+    hosts and drag their politeness clocks / robots caches with them.
+    Pure projection per host; rollups are host-cardinality aggregates."""
+    from ..operators.frontier import rendezvous_shard
+    d = F.col("doc_id")
+    hosts = (_t(spark, sf_dir, "documents")
+             .groupBy(F.concat(F.lit("h"), (d % 101).cast("string"))
+                      .alias("host"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_urls")))
+    s8 = rendezvous_shard(hosts, n_shards=8)
+    per_host = rendezvous_shard(s8, n_shards=7,
+                                out_col="shard_after_loss")
+    orig = (per_host.groupBy("shard")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hosts"),
+                 F.sum("n_urls").cast("long").alias("n_urls"),
+                 F.sum((F.col("shard") == F.col("shard_after_loss"))
+                       .cast("long")).alias("n_stayed")))
+    after = (per_host.groupBy(F.col("shard_after_loss").alias("shard"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_after_loss")))
+    return (orig.join(after, "shard", "full_outer")
+            .select(F.col("shard").cast("long"),
+                    F.coalesce("n_hosts", F.lit(0)).cast("long")
+                    .alias("n_hosts"),
+                    F.coalesce("n_urls", F.lit(0)).cast("long")
+                    .alias("n_urls"),
+                    F.coalesce("n_stayed", F.lit(0)).cast("long")
+                    .alias("n_stayed"),
+                    F.coalesce("n_after_loss", F.lit(0)).cast("long")
+                    .alias("n_after_loss"))
+            .orderBy("shard"))
+
+
+_SHARD_SCORE_SQL = _hex_int_sql(
+    "md5(host || '#' || cast(s as varchar))", 1)
+
+SQL_FRONTIER_SHARD = f"""
+with hosts as (
+  select 'h' || cast(doc_id % 101 as varchar) as host,
+         cast(count(*) as bigint) as n_urls
+  from documents group by 1),
+scored as (
+  select host, n_urls,
+         list_transform(range(0, 8), s -> {_SHARD_SCORE_SQL}) as l
+  from hosts),
+assigned as (
+  select host, n_urls,
+         list_position(l, list_max(l)) - 1 as shard,
+         list_position(l[1:7], list_max(l[1:7])) - 1 as shard_after_loss
+  from scored),
+orig as (select shard, cast(count(*) as bigint) as n_hosts,
+                cast(sum(n_urls) as bigint) as n_urls,
+                cast(sum(case when shard = shard_after_loss then 1
+                         else 0 end) as bigint) as n_stayed
+         from assigned group by shard),
+after as (select shard_after_loss as shard,
+                 cast(count(*) as bigint) as n_after_loss
+          from assigned group by shard_after_loss)
+select cast(coalesce(o.shard, a.shard) as bigint) as shard,
+       coalesce(o.n_hosts, 0) as n_hosts,
+       coalesce(o.n_urls, 0) as n_urls,
+       coalesce(o.n_stayed, 0) as n_stayed,
+       coalesce(a.n_after_loss, 0) as n_after_loss
+from orig o full outer join after a on o.shard = a.shard
+order by shard
+"""
+
+
 def registry():
     """name → (spark_fn, oracle_sql | None).
 
@@ -7701,6 +7933,10 @@ def registry():
     """
     return {
         # -- 1. never driver-checked (new in round 5) --
+        "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT),
+        "sample_weighted": (q_sample_weighted, SQL_SAMPLE_WEIGHTED),
+        "distinct_sketch": (q_distinct_sketch, SQL_DISTINCT_SKETCH),
+        "frontier_shard": (q_frontier_shard, SQL_FRONTIER_SHARD),
         "feed_seed_extract": (q_feed_seed_extract, SQL_FEED_SEEDS),
         "robots_failure_policy": (q_robots_failure_policy,
                                   _sql_robots_failure()),

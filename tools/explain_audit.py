@@ -311,6 +311,29 @@ AUDITED = [
      "a tiny broadcast side; verdict classification is a pure codegen "
      "CASE projection — the frontier side never shuffles on anything "
      "but its pre-existing host key"),
+    ("containment_pairs",
+     "asymmetric containment: same inverted-index shape as ngram "
+     "jaccard (per-doc array_distinct, hot-shingle left_anti guard, "
+     "candidates only via shared shingles); containment/jaccard bp are "
+     "pure integer projections over the (sizes × inter) joins — no new "
+     "exchange beyond the jaccard plan"),
+    ("sample_weighted",
+     "weighted ticket sampling: the ticket array is built and "
+     "min-folded INSIDE the scan projection (transform+array_min, no "
+     "explode — row count never grows); the ONLY data movement is "
+     "TakeOrderedAndProject for the top-k"),
+    ("distinct_sketch",
+     "linear-counting distinct sketch: two map-side-combined "
+     "aggregates — (key, bucket) then key — so at most m=1024 integer "
+     "rows per key cross the exchange regardless of corpus size; no "
+     "distinct-URL strings ever shuffle (the exact-count join is the "
+     "test-scale oracle companion, not the production path)"),
+    ("frontier_shard",
+     "rendezvous sharding: per-host score array folded in the "
+     "projection (transform + array_max/array_position, zero UDFs); "
+     "both the 8-shard and the after-loss 7-shard assignment are pure "
+     "per-row exprs; rollups are host-cardinality aggregates with "
+     "map-side partials"),
 ]
 
 KEEP = re.compile(
