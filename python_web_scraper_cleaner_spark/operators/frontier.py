@@ -1289,3 +1289,70 @@ def distinct_linear_count(refs: DataFrame, *, key_col: str = "host",
                     -F.lit(float(m))
                     * F.log((F.lit(m) - F.col("buckets_used"))
                             / F.lit(float(m))), 4))))
+
+
+HLL_P = 8          # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+# Flajolet et al. 2007 bias constant for m ≥ 128
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def hll_registers(refs: DataFrame, *, key_col: str = "host",
+                  item_col: str = "url") -> DataFrame:
+    """Per-key HyperLogLog registers: (key, bucket, m_rho).
+
+    hash(item) splits into the top 8 bits (register index) and the low
+    24 bits w; the register keeps max over items of rho(w) = leading
+    zeros of w in a 24-bit window, plus one — computed EXACTLY as
+    25 − length(bin(w)) (25 for w = 0), never via floor(log2(w)) whose
+    last-ulp behavior at powers of two differs across libm builds.
+    Everything is md5-derived integer arithmetic, so Spark and the
+    DuckDB oracle materialize identical registers.
+
+    This is the register frame, not the estimate, on purpose: registers
+    MERGE by max — the property that makes HLL the distributed answer.
+    Per-partition sketches, per-day sketches, per-shard sketches all
+    combine with one more max-aggregate and lose nothing (proved by the
+    union-vs-merge test). State: ≤ 256 (key, bucket, rho≤25) rows per
+    key, a fixed ceiling at any corpus size."""
+    h = _hash32(F.col(item_col).cast("string"))
+    w = h % (1 << 24)
+    rho = F.when(w == 0, F.lit(25)).otherwise(
+        F.lit(25) - F.length(F.bin(w)))
+    return (refs.select(F.col(key_col).alias("key"),
+                        (h / (1 << 24)).cast("long").alias("bucket"),
+                        rho.cast("long").alias("rho"))
+            .groupBy("key", "bucket")
+            .agg(F.max("rho").alias("m_rho")))
+
+
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """(key, est_distinct) from a register frame (hll_registers output
+    or any max-merge of several). Raw estimate αm²/Σ2^(−M) with absent
+    registers contributing 2⁰ = 1; below 2.5m with empty registers the
+    standard small-range correction switches to linear counting over
+    the register bitmap (m·ln(m/V)). All summands are exact binary
+    fractions (2^−M, M ≤ 25), so the double sum is exact and the
+    estimate is bit-deterministic; rounded to 4dp at the output."""
+    m = HLL_M
+    agg = (regs.groupBy("key")
+           .agg(F.sum(F.pow(F.lit(2.0), -F.col("m_rho"))).alias("_s"),
+                F.count(F.lit(1)).alias("_present")))
+    raw = (F.lit(HLL_ALPHA * m * m)
+           / (F.col("_s") + (F.lit(m) - F.col("_present"))))
+    v = F.lit(m) - F.col("_present")  # empty registers
+    est = F.when((raw <= 2.5 * m) & (v > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / v)) \
+        .otherwise(raw)
+    return agg.select("key", F.round(est, 4).alias("est_distinct"))
+
+
+def distinct_hll(refs: DataFrame, *, key_col: str = "host",
+                 item_col: str = "url") -> DataFrame:
+    """Per-key HLL distinct estimate: hll_registers ∘ hll_estimate.
+    Two map-side-combined aggregates; at most 256 small integer rows
+    per key ever cross an exchange — the unbounded-cardinality sibling
+    of distinct_linear_count (which is more accurate below ~10·m but
+    saturates; HLL never does)."""
+    return hll_estimate(hll_registers(refs, key_col=key_col,
+                                      item_col=item_col))

@@ -7840,6 +7840,69 @@ from s join e using (host) order by host
 """
 
 
+def q_distinct_hll(spark, sf_dir):
+    """HyperLogLog distinct estimation (operators/frontier.py:
+    hll_registers + hll_estimate): the unbounded-cardinality sibling of
+    distinct_sketch — 256 max-merged registers per host, never
+    saturating. The url space here (doc_id·13 mod 4093) is wide enough
+    that small sf exercises the small-range linear-counting correction
+    while sf0.1 (≈4093 distinct per host) takes the raw αm²/Σ2^(−M)
+    path — both branches oracle-checked. Registers are md5-derived
+    integer arithmetic with rho from length(bin(w)) (never
+    floor(log2)), so both engines materialize identical registers and
+    the 4dp estimate matches bit-for-bit."""
+    from ..operators.frontier import distinct_hll
+    d = F.col("doc_id")
+    refs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("host"), (d % 7).cast("string")).alias("host"),
+        F.concat(F.lit("https://host"), (d % 7).cast("string"),
+                 F.lit(".example.com/p/"),
+                 ((d * 13) % 4093).cast("string")).alias("url"))
+    est = distinct_hll(refs, key_col="host", item_col="url")
+    exact = (refs.groupBy(F.col("host").alias("key"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_refs"),
+                  F.count_distinct("url").cast("long")
+                  .alias("n_distinct_exact")))
+    return (est.join(exact, "key")
+            .select(F.col("key").alias("host"), "n_refs", "est_distinct",
+                    "n_distinct_exact")
+            .orderBy("host"))
+
+
+def _sql_distinct_hll() -> str:
+    from ..operators.frontier import HLL_ALPHA, HLL_M
+    c = repr(HLL_ALPHA * HLL_M * HLL_M)  # same double as the Spark lit
+    urlh = _hex_int_sql("md5(url)", 1)
+    return f"""
+with refs as (
+  select 'host' || cast(doc_id % 7 as varchar) as host,
+         'https://host' || cast(doc_id % 7 as varchar)
+         || '.example.com/p/' || cast((doc_id * 13) % 4093 as varchar)
+           as url
+  from documents),
+hx as (select host, ({urlh}) as h from refs),
+regs as (select host, h // 16777216 as bucket,
+                max(case when h % 16777216 = 0 then 25
+                    else 25 - length(bin(h % 16777216)) end) as m_rho
+         from hx group by host, h // 16777216),
+agg as (select host, sum(pow(2.0, -m_rho)) as s,
+               count(*) as present
+        from regs group by host),
+est as (select host,
+               case when {c} / (s + (256 - present)) <= 640.0
+                         and present < 256
+                    then round(256.0 * ln(256.0 / (256 - present)), 4)
+                    else round({c} / (s + (256 - present)), 4)
+               end as est_distinct
+        from agg),
+n as (select host, cast(count(*) as bigint) as n_refs,
+             cast(count(distinct url) as bigint) as n_distinct_exact
+      from refs group by host)
+select n.host, n_refs, est_distinct, n_distinct_exact
+from n join est using (host) order by host
+"""
+
+
 def q_frontier_shard(spark, sf_dir):
     """Rendezvous-hash frontier sharding (operators/frontier.py:
     rendezvous_shard): 101 hosts → 8 fetcher shards by
@@ -7936,6 +7999,7 @@ def registry():
         "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT),
         "sample_weighted": (q_sample_weighted, SQL_SAMPLE_WEIGHTED),
         "distinct_sketch": (q_distinct_sketch, SQL_DISTINCT_SKETCH),
+        "distinct_hll": (q_distinct_hll, _sql_distinct_hll()),
         "frontier_shard": (q_frontier_shard, SQL_FRONTIER_SHARD),
         "feed_seed_extract": (q_feed_seed_extract, SQL_FEED_SEEDS),
         "robots_failure_policy": (q_robots_failure_policy,

@@ -196,3 +196,54 @@ def test_containment_hot_shingle_guard(spark):
         "doc_id long, text string")
     assert containment_pairs(df, "doc_id", "text", threshold_bp=0,
                              max_df=1).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# distinct_hll
+# ---------------------------------------------------------------------------
+
+
+def test_hll_estimates_large_cardinality(spark):
+    from python_web_scraper_cleaner_spark.operators.frontier import (
+        distinct_hll)
+    out = distinct_hll(_refs(spark, 2000, 2)).collect()
+    assert len(out) == 1
+    # σ ≈ 1.04/√256 ≈ 6.5%; 15% is a comfortable non-flaky bound
+    assert abs(out[0].est_distinct - 2000) / 2000 < 0.15
+
+
+def test_hll_small_range_correction(spark):
+    from python_web_scraper_cleaner_spark.operators.frontier import (
+        distinct_hll)
+    out = distinct_hll(_refs(spark, 30, 1)).collect()
+    assert abs(out[0].est_distinct - 30) / 30 < 0.20
+
+
+def test_hll_registers_merge_like_union(spark):
+    # THE distributed property: max-merging two streams' registers gives
+    # exactly the union stream's estimate
+    import pyspark.sql.functions as SF
+
+    from python_web_scraper_cleaner_spark.operators.frontier import (
+        hll_estimate, hll_registers)
+    a = spark.createDataFrame(
+        [("h", f"https://h/a/{i}") for i in range(400)],
+        "host string, url string")
+    b = spark.createDataFrame(
+        [("h", f"https://h/b/{i}") for i in range(300)]
+        + [("h", f"https://h/a/{i}") for i in range(100)],  # overlap
+        "host string, url string")
+    union_est = hll_estimate(hll_registers(a.union(b))).collect()[0]
+    merged = (hll_registers(a).union(hll_registers(b))
+              .groupBy("key", "bucket")
+              .agg(SF.max("m_rho").alias("m_rho")))
+    merge_est = hll_estimate(merged).collect()[0]
+    assert union_est.est_distinct == merge_est.est_distinct
+
+
+def test_hll_repetition_invariant(spark):
+    from python_web_scraper_cleaner_spark.operators.frontier import (
+        distinct_hll)
+    once = distinct_hll(_refs(spark, 500, 1)).collect()[0]
+    many = distinct_hll(_refs(spark, 500, 9)).collect()[0]
+    assert once.est_distinct == many.est_distinct
