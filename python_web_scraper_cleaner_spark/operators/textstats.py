@@ -981,3 +981,99 @@ def polyglot_segments(docs: DataFrame, *, id_col: str = "id",
                     F.coalesce("dom_bp", F.lit(0)).cast("long")
                     .alias("dom_bp"),
                     F.coalesce("mixed", F.lit(False)).alias("mixed")))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (heavy-hitter token counts in fixed memory) and Zipf fit
+# (token-distribution health) — corpus-statistics sketches that bound state
+# the way a 10^10-document scan requires.
+# ---------------------------------------------------------------------------
+
+CMS_D = 4       # hash rows
+CMS_W = 1024    # buckets per row
+
+
+def _cms_bucket(row: int, token: Column) -> Column:
+    """Row-salted md5-derived bucket — the engine-portable hash family
+    (one independent function per sketch row via the row-index salt)."""
+    return (F.conv(F.substring(
+        F.md5(F.concat(F.lit(str(row)), F.lit("#"), token)), 1, 8),
+        16, 10).cast("long") % CMS_W)
+
+
+def cms_build(refs: DataFrame, *, token_col: str = "token") -> DataFrame:
+    """Count-min sketch cells (row, bucket, n) over a token stream.
+
+    The sketch is d×w = 4×1024 integer cells TOTAL — fixed memory for
+    any stream size. Each occurrence increments one cell per row; the
+    groupBy combines map-side, so the exchange carries at most d·w
+    rows per partition no matter how many tokens flowed. This is the
+    frequency analogue of the HLL register frame, with the same
+    distributed-merge property: cells from independent scans ADD
+    (proved by the build-vs-union test)."""
+    cells = [F.struct(F.lit(i).alias("row"),
+                      _cms_bucket(i, F.col(token_col)).alias("bucket"))
+             for i in range(CMS_D)]
+    return (refs.select(F.explode(F.array(*cells)).alias("c"))
+            .groupBy(F.col("c.row").alias("row"),
+                     F.col("c.bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+
+def cms_probe(cells: DataFrame, probes: DataFrame, *,
+              token_col: str = "token") -> DataFrame:
+    """Point-estimate probe-token frequencies from a sketch: est(t) =
+    min over rows of cell(row, bucket_row(t)) — never an undercount
+    (every cell holds the true count plus non-negative collision mass;
+    the classic ε = e/w, δ = e^−d guarantee caps the overcount at εN
+    with probability 1−δ). Probe side is tiny and broadcast; the
+    sketch side is ≤ d·w rows — the join moves no corpus data."""
+    keyed = probes.select(
+        F.col(token_col).alias("token"),
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("row"),
+                     _cms_bucket(i, F.col(token_col)).alias("bucket"))
+            for i in range(CMS_D)])).alias("c")) \
+        .select("token", "c.row", "c.bucket")
+    return (keyed.join(cells, ["row", "bucket"], "left")
+            .groupBy("token")
+            .agg(F.min(F.coalesce(F.col("n"), F.lit(0)))
+                 .cast("long").alias("n_est")))
+
+
+def zipf_fit(counts: DataFrame, *, group_col: str, count_col: str = "n",
+             top_ranks: int = 300) -> DataFrame:
+    """Per-group Zipf exponent: least-squares slope of ln(freq) on
+    ln(rank) over the top ``top_ranks`` tokens (rank by count desc,
+    token asc — fully deterministic). Natural text sits near slope −1;
+    a corpus segment drifting far off (template spam, keyword stuffing,
+    machine-generated filler) shows up immediately, which is why
+    corpus-health dashboards track this per source/language slice.
+
+    Output per group: n_ranks, slope (4dp), r2 (4dp). The closed-form
+    fit runs over top_ranks-cardinality rows per group — the only wide
+    work is the token-count aggregate the caller already produced."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(count_col).desc(), F.col("token").asc())
+    ranked = (counts.withColumn("_r", F.row_number().over(w))
+              .filter(F.col("_r") <= top_ranks)
+              .select(group_col,
+                      F.log(F.col("_r").cast("double")).alias("x"),
+                      F.log(F.col(count_col).cast("double")).alias("y")))
+    agg = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    # degenerate groups (a single rank ⇒ denx = 0; all-equal counts ⇒
+    # deny = 0) get NULL rather than an engine-dependent div-by-zero
+    return agg.select(
+        group_col, F.col("n").cast("long").alias("n_ranks"),
+        F.when(denx > 0, F.round(num / denx, 4)).alias("slope"),
+        F.when((denx > 0) & (deny > 0),
+               F.round((num * num) / (denx * deny), 4)).alias("r2"))

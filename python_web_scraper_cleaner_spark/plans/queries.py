@@ -7840,6 +7840,109 @@ from s join e using (host) order by host
 """
 
 
+def q_heavyhitters_cms(spark, sf_dir):
+    """Count-min-sketch token frequencies (operators/textstats.py:
+    cms_build/cms_probe) probed at the exact top-20 tokens. The sketch
+    is 4×1024 integer cells TOTAL — token frequency tracking in fixed
+    memory over any stream size, the frequency sibling of the HLL
+    registers (cells of independent scans ADD). The result carries the
+    exact count beside the estimate so the one-sided error guarantee
+    (n_est ≥ n_exact, overcount ≤ εN) is visible in the values; the
+    exact side exists here as the oracle companion, not the production
+    path."""
+    from ..operators.textstats import cms_build, cms_probe
+    toks = (_t(spark, sf_dir, "documents")
+            .select(F.explode(D.tokens(F.col("text"))).alias("token"))
+            .filter(F.col("token") != ""))
+    exact = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"))
+    probes = exact.orderBy(F.col("n_exact").desc(), "token").limit(20)
+    est = cms_probe(cms_build(toks), probes.select("token"))
+    return (probes.join(est, "token")
+            .select("token", "n_exact", "n_est",
+                    (F.col("n_est") - F.col("n_exact")).cast("long")
+                    .alias("overcount"))
+            .orderBy(F.col("n_exact").desc(), "token"))
+
+
+_CMS_BUCKET_SQL = (_hex_int_sql("md5(cast(i as varchar) || '#' || token)", 1)
+                   + " % 1024")
+
+SQL_HEAVYHITTERS_CMS = f"""
+with toks as (
+  select unnest(list_filter(string_split(lower(trim(text)), ' '),
+                            t -> t <> '')) as token
+  from documents),
+exact as (select token, cast(count(*) as bigint) as n_exact
+          from toks group by token),
+probes as (select token, n_exact from exact
+           order by n_exact desc, token limit 20),
+cells as (select i as row, ({_CMS_BUCKET_SQL}) as bucket,
+                 cast(count(*) as bigint) as n
+          from toks, range(0, 4) t(i) group by 1, 2),
+pk as (select p.token, p.n_exact, i as row,
+              ({_CMS_BUCKET_SQL.replace("token", "p.token")}) as bucket
+       from probes p, range(0, 4) t(i)),
+est as (select pk.token, min(coalesce(c.n, 0)) as n_est
+        from pk left join cells c
+          on c.row = pk.row and c.bucket = pk.bucket
+        group by pk.token)
+select p.token, p.n_exact, cast(e.n_est as bigint) as n_est,
+       cast(e.n_est - p.n_exact as bigint) as overcount
+from probes p join est e on e.token = p.token
+order by p.n_exact desc, p.token
+"""
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Per-language Zipf-exponent fit (operators/textstats.py:
+    zipf_fit): least-squares slope of ln(freq) on ln(rank) over each
+    language's top-300 tokens. Natural text sits near −1; template
+    spam, keyword stuffing, and machine-generated filler drift off it,
+    which makes this the corpus-health dial quality dashboards track
+    per source slice. The heavy work is the token-count aggregate; the
+    fit itself runs over 300 rows per language."""
+    from ..operators.textstats import zipf_fit
+    counts = (_t(spark, sf_dir, "documents")
+              .select("lang", F.explode(D.tokens(F.col("text")))
+                      .alias("token"))
+              .filter(F.col("token") != "")
+              .groupBy("lang", "token")
+              .agg(F.count(F.lit(1)).alias("n")))
+    return zipf_fit(counts, group_col="lang", count_col="n",
+                    top_ranks=300).orderBy("lang")
+
+
+SQL_ZIPF_FIT = """
+with toks as (
+  select lang, unnest(list_filter(string_split(lower(trim(text)), ' '),
+                                  t -> t <> '')) as token
+  from documents),
+counts as (select lang, token, count(*) as n
+           from toks group by lang, token),
+ranked as (select lang,
+                  ln(cast(row_number() over
+                     (partition by lang order by n desc, token)
+                     as double)) as x,
+                  ln(cast(n as double)) as y
+           from counts
+           qualify row_number() over
+                   (partition by lang order by n desc, token) <= 300),
+agg as (select lang, cast(count(*) as double) as n,
+               sum(x) as sx, sum(y) as sy, sum(x*y) as sxy,
+               sum(x*x) as sxx, sum(y*y) as syy
+        from ranked group by lang)
+select lang, cast(n as bigint) as n_ranks,
+       case when n*sxx - sx*sx > 0
+            then round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) end as slope,
+       case when n*sxx - sx*sx > 0 and n*syy - sy*sy > 0
+            then round((n*sxy - sx*sy) * (n*sxy - sx*sy)
+                       / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 4)
+       end as r2
+from agg order by lang
+"""
+
+
 def q_distinct_hll(spark, sf_dir):
     """HyperLogLog distinct estimation (operators/frontier.py:
     hll_registers + hll_estimate): the unbounded-cardinality sibling of
@@ -8000,6 +8103,8 @@ def registry():
         "sample_weighted": (q_sample_weighted, SQL_SAMPLE_WEIGHTED),
         "distinct_sketch": (q_distinct_sketch, SQL_DISTINCT_SKETCH),
         "distinct_hll": (q_distinct_hll, _sql_distinct_hll()),
+        "heavyhitters_cms": (q_heavyhitters_cms, SQL_HEAVYHITTERS_CMS),
+        "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
         "frontier_shard": (q_frontier_shard, SQL_FRONTIER_SHARD),
         "feed_seed_extract": (q_feed_seed_extract, SQL_FEED_SEEDS),
         "robots_failure_policy": (q_robots_failure_policy,

@@ -247,3 +247,75 @@ def test_hll_repetition_invariant(spark):
     once = distinct_hll(_refs(spark, 500, 1)).collect()[0]
     many = distinct_hll(_refs(spark, 500, 9)).collect()[0]
     assert once.est_distinct == many.est_distinct
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch + zipf fit
+# ---------------------------------------------------------------------------
+
+
+def _token_stream(spark, spec):
+    # spec: {token: count}
+    rows = [(t,) for t, c in spec.items() for _ in range(c)]
+    return spark.createDataFrame(rows, "token string")
+
+
+def test_cms_never_undercounts(spark):
+    from python_web_scraper_cleaner_spark.operators.textstats import (
+        cms_build, cms_probe)
+    spec = {f"tok{i}": 1 + (i * 7) % 40 for i in range(300)}
+    stream = _token_stream(spark, spec)
+    probes = spark.createDataFrame([(t,) for t in list(spec)[:50]],
+                                   "token string")
+    est = {r.token: r.n_est for r in
+           cms_probe(cms_build(stream), probes).collect()}
+    n_total = sum(spec.values())
+    for t in list(spec)[:50]:
+        assert est[t] >= spec[t]                  # one-sided guarantee
+        assert est[t] - spec[t] <= 0.01 * n_total  # ε = e/1024 ≈ 0.0027
+
+
+def test_cms_unknown_token_estimates_near_zero(spark):
+    from python_web_scraper_cleaner_spark.operators.textstats import (
+        cms_build, cms_probe)
+    stream = _token_stream(spark, {f"tok{i}": 5 for i in range(100)})
+    probes = spark.createDataFrame([("never-seen-token",)], "token string")
+    est = cms_probe(cms_build(stream), probes).collect()[0]
+    # min over 4 rows of a sparse sketch: tiny collision mass at most
+    assert est.n_est <= 10
+
+
+def test_cms_cells_add_like_union(spark):
+    import pyspark.sql.functions as SF
+
+    from python_web_scraper_cleaner_spark.operators.textstats import (
+        cms_build)
+    a = _token_stream(spark, {f"a{i}": 3 for i in range(50)})
+    b = _token_stream(spark, {f"b{i}": 2 for i in range(70)})
+    union = {(r.row, r.bucket): r.n for r in cms_build(a.union(b)).collect()}
+    summed = {(r.row, r.bucket): r.n for r in
+              (cms_build(a).union(cms_build(b))
+               .groupBy("row", "bucket")
+               .agg(SF.sum("n").alias("n")).collect())}
+    assert union == summed
+
+
+def test_zipf_fit_recovers_exponent(spark):
+    from python_web_scraper_cleaner_spark.operators.textstats import (
+        zipf_fit)
+    # exact power law n(r) = floor(100000 / r): slope ≈ −1, r2 ≈ 1
+    rows = [("en", f"t{r:04d}", 100000 // r) for r in range(1, 201)]
+    counts = spark.createDataFrame(rows, "lang string, token string, n long")
+    out = zipf_fit(counts, group_col="lang", count_col="n",
+                   top_ranks=200).collect()[0]
+    assert abs(out.slope - (-1.0)) < 0.02
+    assert out.r2 > 0.999
+
+
+def test_zipf_fit_degenerate_group_is_null(spark):
+    from python_web_scraper_cleaner_spark.operators.textstats import (
+        zipf_fit)
+    counts = spark.createDataFrame([("xx", "only", 5)],
+                                   "lang string, token string, n long")
+    out = zipf_fit(counts, group_col="lang", count_col="n").collect()[0]
+    assert out.n_ranks == 1 and out.slope is None and out.r2 is None

@@ -334,6 +334,20 @@ AUDITED = [
      "both the 8-shard and the after-loss 7-shard assignment are pure "
      "per-row exprs; rollups are host-cardinality aggregates with "
      "map-side partials"),
+    ("distinct_hll",
+     "HyperLogLog: register build is a (key, bucket) max-aggregate "
+     "with map-side partials — ≤256 integer rows per key cross the "
+     "exchange; the estimate is one more key-level aggregate; the "
+     "exact-distinct join exists only as the oracle companion"),
+    ("heavyhitters_cms",
+     "count-min sketch: cell build is a (row, bucket) count-aggregate "
+     "with map-side combine — ≤4096 rows total cross the exchange "
+     "regardless of token volume; the probe side is 20×4 rows joined "
+     "against the tiny cell frame (broadcast-eligible)"),
+    ("zipf_fit",
+     "Zipf exponent: the only wide work is the (lang, token) "
+     "count-aggregate; the rank window and closed-form fit run over "
+     "top-300-per-lang rows; sums feed one tiny per-lang aggregate"),
 ]
 
 KEEP = re.compile(
