@@ -280,17 +280,27 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str, text_col: str, *,
 # ---------------------------------------------------------------------------
 
 
-def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, *,
-                        k: int = 3, threshold: float = 0.5,
-                        max_df: int | None = 1000) -> DataFrame:
-    """All-pairs Jaccard ≥ threshold via shared-shingle inverted index.
+def _inverted_index_inter(df: DataFrame, id_col: str, text_col: str, *,
+                          k: int, max_df: int | None,
+                          tag: str) -> tuple:
+    """Shared candidate-generation core of the inverted-index pair
+    operators (ngram_jaccard_pairs, containment_pairs): per-doc distinct
+    shingles with the hot-shingle ``max_df`` guard, per-doc set sizes,
+    and pairwise intersection counts from the shingle self-join.
+    Returns (sizes, inter). One implementation on purpose — a fix to
+    the guard or the join semantics must reach both measures.
 
-    ``max_df`` drops boilerplate shingles present in more than max_df docs
-    before the self-join — the standard guard that keeps the join linear-ish
-    at corpus scale."""
+    The raw shingle frame is persisted (``tag``-scoped, bounded): the
+    hot-filter aggregate, the left_anti probe, the sizes aggregate and
+    BOTH self-join sides all read it — without the cache each consumer
+    replays the full text-scan+shingle lineage (the same wall
+    minhash_lsh_dedup's persist comment documents)."""
+    from ..caching import bounded_persist
+
     par = df.sparkSession.sparkContext.defaultParallelism
     df = df.repartition(par, F.col(id_col))
-    sh = exploded_shingles(df, id_col, text_col, k)
+    sh = bounded_persist(exploded_shingles(df, id_col, text_col, k),
+                         tag=tag)
     if max_df is not None:
         hot = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
                .filter(F.col("df") > max_df).select("shingle"))
@@ -301,6 +311,20 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, *,
              .filter(F.col("id_a") < F.col("id_b"))
              .groupBy("id_a", "id_b")
              .agg(F.count("*").alias("n_inter")))
+    return sizes, inter
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, *,
+                        k: int = 3, threshold: float = 0.5,
+                        max_df: int | None = 1000) -> DataFrame:
+    """All-pairs Jaccard ≥ threshold via shared-shingle inverted index.
+
+    ``max_df`` drops boilerplate shingles present in more than max_df docs
+    before the self-join — the standard guard that keeps the join linear-ish
+    at corpus scale."""
+    sizes, inter = _inverted_index_inter(df, id_col, text_col, k=k,
+                                         max_df=max_df,
+                                         tag="ngram_shingles")
     return (inter
             .join(sizes.withColumnRenamed("id", "id_a")
                   .withColumnRenamed("n_sh", "n_a"), "id_a")
@@ -333,26 +357,18 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str, *,
     (floor(10000·inter/min)) so the decision is bit-deterministic and
     DuckDB-oracle-checkable; jaccard_bp rides along for contrast.
 
-    Scale shape — identical to ngram_jaccard_pairs and inherits its
-    guards: per-doc distinct shingles (array_distinct before explode, no
+    Scale shape — identical to ngram_jaccard_pairs, with which it
+    SHARES the candidate-generation core (_inverted_index_inter, one
+    implementation of the guard + join semantics for both measures):
+    per-doc distinct shingles (array_distinct before explode, no
     global distinct shuffle), hot-shingle ``max_df`` cap so boilerplate
     shingles can't go quadratic in the inverted-index self-join, and
     candidate generation strictly via shared shingles (a pair with zero
     intersection never materializes). Only (id, shingle-hash) pairs
     shuffle; text never leaves the scan stage."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    df = df.repartition(par, F.col(id_col))
-    sh = exploded_shingles(df, id_col, text_col, k)
-    if max_df is not None:
-        hot = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
-               .filter(F.col("df") > max_df).select("shingle"))
-        sh = sh.join(hot, "shingle", "left_anti")
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    inter = (sh.withColumnRenamed("id", "id_a")
-             .join(sh.withColumnRenamed("id", "id_b"), "shingle")
-             .filter(F.col("id_a") < F.col("id_b"))
-             .groupBy("id_a", "id_b")
-             .agg(F.count("*").alias("n_inter")))
+    sizes, inter = _inverted_index_inter(df, id_col, text_col, k=k,
+                                         max_df=max_df,
+                                         tag="containment_shingles")
     n_min = F.least(F.col("n_a"), F.col("n_b"))
     cont_bp = F.floor(10000 * F.col("n_inter") / n_min).cast("long")
     jac_bp = F.floor(

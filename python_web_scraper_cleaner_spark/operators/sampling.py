@@ -320,8 +320,13 @@ def weighted_sample_keys(df: DataFrame, *, id_col: str,
     only data movement is the final TakeOrderedAndProject for top-k.
     ``max_weight`` bounds per-row hashing cost; weights are clamped into
     [1, max_weight]."""
+    # coalesce BEFORE clamping: least/greatest skip NULL args, so a NULL
+    # weight would otherwise clamp to max_weight — handing a row with
+    # MISSING data the best inclusion odds. Missing weight = 1 ticket.
     w = F.greatest(F.lit(1), F.least(F.lit(max_weight),
-                                     F.col(weight_col).cast("long")))
+                                     F.coalesce(
+                                         F.col(weight_col).cast("long"),
+                                         F.lit(1))))
     idc = F.col(id_col).cast("string")
     tickets = F.transform(
         F.sequence(F.lit(0), (w - 1).cast("int")),

@@ -1042,10 +1042,10 @@ def cms_probe(cells: DataFrame, probes: DataFrame, *,
 
 
 def zipf_fit(counts: DataFrame, *, group_col: str, count_col: str = "n",
-             top_ranks: int = 300) -> DataFrame:
+             token_col: str = "token", top_ranks: int = 300) -> DataFrame:
     """Per-group Zipf exponent: least-squares slope of ln(freq) on
     ln(rank) over the top ``top_ranks`` tokens (rank by count desc,
-    token asc — fully deterministic). Natural text sits near slope −1;
+    ``token_col`` asc — fully deterministic). Natural text sits near −1;
     a corpus segment drifting far off (template spam, keyword stuffing,
     machine-generated filler) shows up immediately, which is why
     corpus-health dashboards track this per source/language slice.
@@ -1055,7 +1055,7 @@ def zipf_fit(counts: DataFrame, *, group_col: str, count_col: str = "n",
     work is the token-count aggregate the caller already produced."""
     from pyspark.sql import Window
     w = Window.partitionBy(group_col).orderBy(
-        F.col(count_col).desc(), F.col("token").asc())
+        F.col(count_col).desc(), F.col(token_col).asc())
     ranked = (counts.withColumn("_r", F.row_number().over(w))
               .filter(F.col("_r") <= top_ranks)
               .select(group_col,

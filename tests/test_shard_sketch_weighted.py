@@ -319,3 +319,22 @@ def test_zipf_fit_degenerate_group_is_null(spark):
                                    "lang string, token string, n long")
     out = zipf_fit(counts, group_col="lang", count_col="n").collect()[0]
     assert out.n_ranks == 1 and out.slope is None and out.r2 is None
+
+
+def test_ticket_null_weight_gets_minimum_not_maximum(spark):
+    # least/greatest skip NULLs — without the coalesce a NULL weight
+    # clamps to max_weight, giving MISSING data the best odds
+    out = {r.doc_id: r.weight for r in weighted_sample_keys(
+        spark.createDataFrame([(1, 3), (2, None)], "doc_id long, w long"),
+        id_col="doc_id", weight_col="w", max_weight=16).collect()}
+    assert out == {1: 3, 2: 1}
+
+
+def test_zipf_fit_custom_token_column(spark):
+    from python_web_scraper_cleaner_spark.operators.textstats import (
+        zipf_fit)
+    rows = [("hostA", f"/path/{r}", 100000 // r) for r in range(1, 101)]
+    counts = spark.createDataFrame(rows, "host string, path string, n long")
+    out = zipf_fit(counts, group_col="host", count_col="n",
+                   token_col="path", top_ranks=100).collect()[0]
+    assert abs(out.slope - (-1.0)) < 0.03
