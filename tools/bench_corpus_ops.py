@@ -259,6 +259,41 @@ def main() -> None:
         "note": ("rank + cluster size share ONE hashpartitioning(cid) "
                  "exchange; ~1.2k rows/cluster sort per task")}
 
+    # -- distinct sketches + weighted sampling, 20M refs / 10M docs -------
+    from python_web_scraper_cleaner_spark.operators.frontier import (
+        distinct_hll, distinct_linear_count)
+    from python_web_scraper_cleaner_spark.operators.sampling import (
+        weighted_sample_keys)
+    d = F.col("id")
+    refs20 = (spark.range(20_000_000)
+              .select(F.concat(F.lit("h"), (d % 64).cast("string"))
+                      .alias("host"),
+                      F.concat(F.lit("u"), ((d * 37) % 500_000)
+                               .cast("string")).alias("url")))
+    lc = best_of(lambda: (
+        distinct_linear_count(refs20, m=4096)
+        .agg(F.sum("buckets_used"), F.count("*")).collect()), n=2)
+    out["linear_count_20m_refs_64_hosts"] = {
+        "sec": lc,
+        "note": ("≤4096 integers per host cross the exchange; the "
+                 "500k-distinct url strings never shuffle")}
+    hll = best_of(lambda: (
+        distinct_hll(refs20)
+        .agg(F.sum("est_distinct"), F.count("*")).collect()), n=2)
+    out["hll_20m_refs_64_hosts"] = {
+        "sec": hll,
+        "note": "≤256 registers per host; same scan, register max-agg"}
+    wdocs = (spark.range(10_000_000)
+             .select(F.col("id").alias("doc_id"),
+                     (1 + F.col("id") % 5).alias("w")))
+    ws = best_of(lambda: (
+        weighted_sample_keys(wdocs, id_col="doc_id", weight_col="w")
+        .orderBy("ticket_key", "doc_id").limit(1000).count()), n=2)
+    out["weighted_sample_10m_docs_top1k"] = {
+        "sec": ws,
+        "note": ("ticket min folded in the projection (≤5 md5/row); "
+                 "plan = scan → TakeOrderedAndProject, no shuffle")}
+
     out["loadavg_1m_end"] = round(os.getloadavg()[0], 2)
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH_CORPUS_OPS.json")
