@@ -664,7 +664,12 @@ class CrawlEngine:
         else:
             allowed = allowed.withColumn("rank_fp", F.lit(0).cast("long"))
         if io.exists("fetch_history"):
-            rev = FR.revisit_schedule(io.read("fetch_history"))
+            # SAME backoff clock as schedule_revisits — a configured
+            # revisit_base_hours must drive the due-ness ordering too,
+            # or the fetch order diverges from the schedule it claims
+            # to compose
+            rev = FR.revisit_schedule(io.read("fetch_history"),
+                                      base_hours=self.revisit_base_hours)
             allowed = allowed.join(
                 rev.select(F.col("page_id").alias("url_hash"),
                            F.col("next_interval_hours").alias("_due_h")),
@@ -681,6 +686,26 @@ class CrawlEngine:
                  F.desc("rank_fp")] + FR.order_exprs(None)
         return allowed, order, ["never_fetched", "due_h", "rank_fp"]
 
+    @staticmethod
+    def _corpus_view(df: DataFrame) -> DataFrame:
+        """THE corpus-membership filter — the single definition of which
+        pages rows are "the corpus": extraction ok, not a near-dup, C4
+        gate passed, not publisher-noindexed. Column-presence-tolerant
+        so it applies both to this round's in-flight batch (which may
+        not carry every flag yet) and to committed stores written before
+        a flag existed. The signature-index state, the probe set, and
+        the per-round band append all call this one implementation —
+        adding the next exclusion flag happens HERE, nowhere else, so
+        the three views can never silently disagree."""
+        out = df.filter(F.col("ok"))
+        if "near_dup" in df.columns:
+            out = out.filter(~F.col("near_dup"))
+        if "c4_kept" in df.columns:
+            out = out.filter(F.col("c4_kept"))
+        if "noindex" in df.columns:
+            out = out.filter(~F.col("noindex"))
+        return out
+
     def _sig_state(self):
         """(index_bands | None, repair_bands | None) for this round's
         near-dup probe. The committed ``sig_index`` table is the fast
@@ -694,13 +719,7 @@ class CrawlEngine:
         if not io.exists("pages"):
             return None, None
         committed = io.read("pages")
-        kept = committed.filter(F.col("ok"))
-        if "near_dup" in committed.columns:
-            kept = kept.filter(~F.col("near_dup"))
-        if "c4_kept" in committed.columns:
-            kept = kept.filter(F.col("c4_kept"))
-        if "noindex" in committed.columns:
-            kept = kept.filter(~F.col("noindex"))
+        kept = self._corpus_view(committed)
         sig_r = io.latest_round("sig_index") if io.exists("sig_index") \
             else None
         index = io.read("sig_index") if sig_r is not None else None
@@ -725,22 +744,11 @@ class CrawlEngine:
         from ..operators import dedup as D
         if index_bands is None:
             return pages.withColumn("near_dup", F.lit(False))
-        new_docs = pages.filter(F.col("ok"))
-        if "c4_kept" in pages.columns:
-            # c4-dropped pages never enter the corpus — skip their probe
-            new_docs = new_docs.filter(F.col("c4_kept"))
-        if "noindex" in pages.columns:
-            # same for noindex pages: never in the corpus, never probed
-            new_docs = new_docs.filter(~F.col("noindex"))
-        new_docs = new_docs.select("url_hash", "text")
-        committed = self.io.read("pages")
-        index_docs = committed.filter(F.col("ok"))
-        if "near_dup" in committed.columns:
-            index_docs = index_docs.filter(~F.col("near_dup"))
-        if "c4_kept" in committed.columns:
-            index_docs = index_docs.filter(F.col("c4_kept"))
-        if "noindex" in committed.columns:
-            index_docs = index_docs.filter(~F.col("noindex"))
+        # corpus-excluded pages (c4-dropped, noindexed) never enter the
+        # corpus — skip their probe; the in-flight batch has no near_dup
+        # column yet, which _corpus_view tolerates
+        new_docs = self._corpus_view(pages).select("url_hash", "text")
+        index_docs = self._corpus_view(self.io.read("pages"))
         pairs = D.minhash_lsh_probe_index(
             index_bands, index_docs.select("url_hash", "text"), new_docs,
             id_col="url_hash", text_col="text", k=self._sig_k,
@@ -1255,13 +1263,7 @@ class CrawlEngine:
                     # q_dedup_incremental's index build,
                     # plans/queries.py)
                     par = self.spark.sparkContext.defaultParallelism
-                    kept_new = pages.filter(F.col("ok")
-                                            & ~F.col("near_dup"))
-                    if self.c4_filter:
-                        kept_new = kept_new.filter(F.col("c4_kept"))
-                    if self.honor_directives:
-                        kept_new = kept_new.filter(~F.col("noindex"))
-                    kept_new = (kept_new
+                    kept_new = (self._corpus_view(pages)
                                 .select("url_hash", "text")
                                 .repartition(par, F.col("url_hash")))
                     new_bands = D.banded_signatures(
@@ -1308,13 +1310,52 @@ class CrawlEngine:
             if not self._committed("url_seen", round_id):
                 io.append_round(new_seen, "url_seen", round_id)
 
+            # frontier advance (computed here, COMMITTED below after the
+            # state tables): only DONE urls leave the pending set (== all
+            # fetched urls outside retry mode) — a retryable failure
+            # stays in the frontier, gated by the retries table at the
+            # next selection
+            remaining = pending.join(done.select("canonical_url"),
+                                     "canonical_url", "left_anti")
+
+            if self.discover_links:
+                # grow the frontier: harvested links − (already seen ∪
+                # already pending). Deterministic: fixed discovery
+                # priority, discovered_ts = this round's id as seconds —
+                # same inputs always yield the same frontier state.
+                discovered = (pages
+                              .select(F.explode("links").alias("url"))
+                              .distinct()
+                              .withColumn("priority",
+                                          F.lit(self.discovery_priority)
+                                          .cast("int"))
+                              .withColumn(
+                                  "discovered_ts",
+                                  F.to_timestamp(F.lit("2026-06-01"))
+                                  + F.make_interval(secs=F.lit(round_id))))
+                fresh = self._ingest_gate(
+                    canonicalize_seeds(self._strip_tracking(discovered)))
+                # read AFTER the url_seen commit above so this round's
+                # done urls are excluded (TableIO.read pins the snapshot)
+                known_seen = io.read("url_seen").select("canonical_url")
+                fresh = (fresh
+                         .join(known_seen, "canonical_url", "left_anti")
+                         .join(remaining.select("canonical_url"),
+                               "canonical_url", "left_anti"))
+                remaining = remaining.unionByName(fresh)
+
             if self.retry_failed:
                 # retries' = (old − urls fetched this round) ∪ next
-                # attempts. Idempotent on replay: next ⊆ this round's
-                # urls, so re-deriving from the post-crash table lands on
-                # the same rows (see WAL notes above). Backoff is
+                # attempts, kept ONLY for urls still in the frontier.
+                # Idempotent on replay: next ⊆ this round's urls, so
+                # re-deriving from the post-crash table lands on the
+                # same rows (see WAL notes above). Backoff is
                 # exponential in attempts consumed: due = round +
-                # backoff·2^attempt.
+                # backoff·2^attempt. The frontier semi-join purges
+                # orphans — a retryable url later dropped from the
+                # frontier (trap-variant cap) would otherwise hold a
+                # retries row forever and pin run()'s idle-forward loop
+                # at max_rounds.
                 failed = (pages.filter(~F.col("fetch_ok"))
                           .select("url_hash", "attempt"))
                 nxt = (failed
@@ -1331,7 +1372,9 @@ class CrawlEngine:
                 merged_retries = (retries
                                   .join(pages.select("url_hash"),
                                         "url_hash", "left_anti")
-                                  .unionByName(nxt))
+                                  .unionByName(nxt)
+                                  .join(remaining.select("url_hash"),
+                                        "url_hash", "left_semi"))
                 io.overwrite(merged_retries, "retries", round_id)
 
             # incremental bloom maintenance: OR in ONLY this round's hashes
@@ -1360,7 +1403,18 @@ class CrawlEngine:
                 io.append_round(self._build_fetch_history(pages, round_id),
                                 "fetch_history", round_id)
 
-            # K3: per-partition lineage/metrics (manifest analog)
+            io.overwrite(remaining, "frontier", round_id)
+
+            # K3: per-partition lineage/metrics (manifest analog).
+            # crawl_log is the RESUME MARKER (last_round() keys on it),
+            # so it commits LAST: every earlier crash window leaves
+            # crawl_log behind and run() re-enters this round's replay
+            # path, which re-derives each outstanding commit from
+            # committed state. Were the marker committed before the
+            # frontier advance (as it once was), a crash in between
+            # would be unreplayable — resume would skip past the round,
+            # permanently losing its discovered links and leaving its
+            # fetched urls in the frontier forever.
             log = (pages.groupBy("round", "partition_id")
                    .agg(F.count("*").alias("n_urls"),
                         F.sum(F.col("ok").cast("int")).alias("n_ok"),
@@ -1369,39 +1423,6 @@ class CrawlEngine:
                    .withColumn("wall_ts", F.lit(time.time()).cast("double")))
             if not self._committed("crawl_log", round_id):
                 io.append_round(log, "crawl_log", round_id)
-
-            # frontier advance: committed batch leaves the pending set
-            # only DONE urls leave the pending set (== all fetched urls
-            # outside retry mode) — a retryable failure stays in the
-            # frontier, gated by the retries table at the next selection
-            remaining = pending.join(done.select("canonical_url"),
-                                     "canonical_url", "left_anti")
-
-            if self.discover_links:
-                # grow the frontier: harvested links − (already seen ∪
-                # already pending). Deterministic: fixed discovery
-                # priority, discovered_ts = this round's id as seconds —
-                # same inputs always yield the same frontier state.
-                discovered = (pages
-                              .select(F.explode("links").alias("url"))
-                              .distinct()
-                              .withColumn("priority",
-                                          F.lit(self.discovery_priority)
-                                          .cast("int"))
-                              .withColumn(
-                                  "discovered_ts",
-                                  F.to_timestamp(F.lit("2026-06-01"))
-                                  + F.make_interval(secs=F.lit(round_id))))
-                fresh = self._ingest_gate(
-                    canonicalize_seeds(self._strip_tracking(discovered)))
-                known_seen = io.read("url_seen").select("canonical_url")
-                fresh = (fresh
-                         .join(known_seen, "canonical_url", "left_anti")
-                         .join(remaining.select("canonical_url"),
-                               "canonical_url", "left_anti"))
-                remaining = remaining.unionByName(fresh)
-
-            io.overwrite(remaining, "frontier", round_id)
 
             # count the COMMITTED frontier (parquet metadata read) instead
             # of re-running the anti-join lineage a second time
@@ -1416,6 +1437,11 @@ class CrawlEngine:
                 stats["n_noindex"] = pages.filter("noindex").count()
                 stats["n_nofollow"] = pages.filter("nofollow").count()
             if trap_dropped is not None:
+                # stat-only action: replays the cap pipeline once more
+                # (frontier scan + count agg + window over hot rows
+                # only). Inherent to lazy eval without persisting round
+                # state; the hot-row window input is trap paths only, so
+                # the recompute is bounded by the frontier scan itself.
                 stats["n_trap_dropped"] = trap_dropped.count()
         finally:
             pages.unpersist()
@@ -1434,9 +1460,15 @@ class CrawlEngine:
         r = self.last_round() + 1
         if self.revisit and self.io.exists("frontier"):
             fr = self.io.latest_round("frontier")
-            if fr is not None and fr >= r:
+            if fr is not None and fr >= r \
+                    and not self._committed("pages", fr):
                 # crash landed inside a revisit transition (its crawl_log
-                # marker — the last commit — is missing): complete it
+                # marker — the last commit — is missing): complete it.
+                # The pages guard disambiguates from a run_round crash in
+                # the frontier→crawl_log window: a crawl round commits
+                # pages FIRST, a transition never writes pages — so
+                # pages@fr present means "replay round fr", absent means
+                # "finish the transition".
                 self.schedule_revisits(fr)
                 r = self.last_round() + 1
         round_id, end, cycles = r, r + max_rounds, refresh_cycles
@@ -1473,7 +1505,8 @@ class CrawlEngine:
         out = {}
         for name in ("frontier", "bloom", "url_seen", "pages", "crawl_log",
                      "robots", "links", "sig_index", "fetch_history",
-                     "warc_segments", "retries"):
+                     "warc_segments", "retries", "archive_digests",
+                     "seed_set"):
             if self.io.exists(name):
                 out[name] = self.io.vacuum(name, keep_last=keep_last)
         return out

@@ -43,8 +43,14 @@ class TableIO:
         td = self._tdir(name)
         if not os.path.isdir(td):
             return []
-        return sorted(f for f in os.listdir(td)
-                      if f.startswith("snap-") and f.endswith(".json"))
+        # NUMERIC order, not lexicographic: zero-padding is 5 digits, so
+        # from snapshot 100000 on a string sort would place 100000 before
+        # 99999 and vacuum would expire the second-newest snapshot
+        return sorted(
+            (f for f in os.listdir(td)
+             if f.startswith("snap-") and f.endswith(".json")
+             and f[5:-5].isdigit()),
+            key=lambda f: int(f[5:-5]))
 
     def _latest_snapshot(self, name: str) -> dict | None:
         td = self._tdir(name)
@@ -131,12 +137,17 @@ class TableIO:
             *[os.path.join(td, d) for d in snap["dirs"]])
 
     def snapshots(self, name: str) -> list[dict]:
-        """All committed snapshot manifests, oldest first."""
+        """All committed snapshot manifests, oldest first. A torn snap
+        file (crash mid-_commit, before LATEST advanced to it) is by the
+        commit protocol UNcommitted — skipped here, not an error."""
         td = self._tdir(name)
         out = []
         for f in self._snapshots(name):
-            with open(os.path.join(td, f)) as fh:
-                out.append(json.load(fh))
+            try:
+                with open(os.path.join(td, f)) as fh:
+                    out.append(json.load(fh))
+            except (json.JSONDecodeError, OSError):
+                continue
         return out
 
     def rollback(self, name: str, snapshot: int) -> None:
@@ -177,8 +188,16 @@ class TableIO:
         expired = []
         for fname in snaps:
             path = os.path.join(td, fname)
-            with open(path) as f:
-                manifest = json.load(f)
+            try:
+                with open(path) as f:
+                    manifest = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                # torn snap from a crash mid-_commit: LATEST never pointed
+                # at it (the pointer advances only after a complete dump),
+                # so it is uncommitted garbage — expire it, never abort
+                # the vacuum on it
+                expired.append(path)
+                continue
             if fname in keep_files:
                 kept_dirs.update(manifest["dirs"])
             else:

@@ -76,12 +76,20 @@ def windowed_crawl_log(pages: DataFrame, *, window: str = "1 hour",
                     "lang", "n_pages", "html_bytes"))
 
 
-def _make_dedup_state_fn(max_hashes_per_bucket: int):
+def _make_dedup_state_fn(max_hashes_per_bucket: int, n_buckets: int):
     """Build the per-bucket stateful dedup function: state holds the
-    sorted array of url hashes seen so far in this bucket; emit only
-    first-seen rows. Vectorized membership via numpy searchsorted — no
-    per-row Python sets. Enforces the state sizing contract: exceeding
-    ``max_hashes_per_bucket`` raises a capacity error naming the fix."""
+    sorted array of url hashes seen so far in this bucket PLUS the
+    bucketing geometry that built it; emit only first-seen rows.
+    Vectorized membership via numpy searchsorted — no per-row Python
+    sets. Enforces the state sizing contract: exceeding
+    ``max_hashes_per_bucket`` raises a capacity error naming the fix.
+
+    The geometry stamp is the streaming twin of CrawlEngine._bloom's
+    guard: resuming an existing checkpoint with a different n_buckets
+    silently remaps every url_hash to a different state bucket whose
+    seen-set doesn't contain it — previously-emitted urls re-emit as
+    first-seen. A stamped bucket whose n_buckets differs from the
+    running query's raises loudly instead of silently duplicating."""
 
     def _dedup_state_fn(
             key: Tuple[int], pdfs: Iterator["Any"], state: GroupState
@@ -89,8 +97,19 @@ def _make_dedup_state_fn(max_hashes_per_bucket: int):
         import numpy as np
         import pandas as pd
 
-        seen = (np.array(state.get[0], dtype="int64")
-                if state.exists else np.empty(0, dtype="int64"))
+        if state.exists:
+            stored = state.get
+            if len(stored) > 1 and stored[1] is not None \
+                    and stored[1] != n_buckets:
+                raise RuntimeError(
+                    f"url-seen checkpoint was built with n_buckets="
+                    f"{stored[1]} but this query runs n_buckets="
+                    f"{n_buckets}: hashes would map to different state "
+                    f"buckets and seen urls would re-emit as first-seen. "
+                    f"Resize ONLY with a fresh checkpoint directory.")
+            seen = np.array(stored[0], dtype="int64")
+        else:
+            seen = np.empty(0, dtype="int64")
         out = []
         for pdf in pdfs:
             if pdf.empty:
@@ -113,8 +132,10 @@ def _make_dedup_state_fn(max_hashes_per_bucket: int):
                 f"url-seen state bucket {key[0]} holds {len(seen)} hashes "
                 f"> cap {max_hashes_per_bucket}; n_buckets is undersized "
                 f"for the observed URL volume — re-run with n_buckets="
-                f"n_buckets_for(expected_urls) (streaming/rounds.py)")
-        state.update((seen.tolist(),))
+                f"n_buckets_for(expected_urls) (streaming/rounds.py) AND "
+                f"a FRESH checkpoint directory (regeometry remaps hashes "
+                f"to different buckets; existing state cannot be reused)")
+        state.update((seen.tolist(), n_buckets))
         if out:
             yield pd.concat(out)
 
@@ -147,9 +168,9 @@ def streaming_url_seen_dedup(urls: DataFrame, *,
     return (hashed.select(bucket, "url", "url_hash", "warc_ts")
             .groupBy("bucket")
             .applyInPandasWithState(
-                _make_dedup_state_fn(max_hashes_per_bucket),
+                _make_dedup_state_fn(max_hashes_per_bucket, n_buckets),
                 outputStructType=URL_EVENTS_SCHEMA,
-                stateStructType="seen array<long>",
+                stateStructType="seen array<long>, n_buckets int",
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
