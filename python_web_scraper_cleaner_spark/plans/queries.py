@@ -7840,6 +7840,65 @@ from s join e using (host) order by host
 """
 
 
+def q_politeness_audit(spark, sf_dir):
+    """Politeness COMPLIANCE audit — the closing loop on the engine's
+    core promise: given a fetch log (host, fetch ts) and each host's
+    declared crawl-delay, did consecutive fetches actually respect it?
+    Per host: fetch count, the minimum observed inter-fetch gap, the
+    declared delay, the violation count, and the verdict. This is the
+    query a crawl operator runs against the committed crawl_log before
+    claiming "we were polite" — and the one a webmaster complaint gets
+    answered with.
+
+    Derived log: events rows as fetches (host keyed user_id mod 50,
+    declared delay varies by host), both sides identical. Plan: one
+    lag() window per host + the per-host aggregate SHARING the same
+    hashpartitioning(host) exchange — at 10^10 fetch rows the only
+    wide work is that single host-keyed exchange; gaps are integer
+    epoch-second arithmetic end-to-end."""
+    ev = _t(spark, sf_dir, "events")
+    host = F.concat(F.lit("h"), (F.col("user_id") % 50).cast("string"))
+    declared_s = (1 + F.col("user_id") % 50 % 7).cast("long")
+    log = ev.select(host.alias("host"), declared_s.alias("declared_s"),
+                    F.unix_timestamp("ts").alias("ets"),
+                    F.col("event_id"))
+    w = Window.partitionBy("host").orderBy("ets", "event_id")
+    gapped = log.withColumn(
+        "gap_s", F.col("ets") - F.lag("ets").over(w))
+    return (gapped.groupBy("host")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_fetches"),
+                 F.min("gap_s").cast("long").alias("min_gap_s"),
+                 F.min("declared_s").cast("long").alias("declared_s"),
+                 F.sum((F.col("gap_s") < F.col("declared_s"))
+                       .cast("long")).cast("long").alias("n_violations"))
+            .withColumn("compliant", F.col("n_violations") == 0)
+            .orderBy("host"))
+
+
+SQL_POLITENESS_AUDIT = """
+with log as (
+  select 'h' || cast(user_id % 50 as varchar) as host,
+         cast(1 + user_id % 50 % 7 as bigint) as declared_s,
+         -- floor to WHOLE seconds: duckdb epoch() keeps the fractional
+         -- part, spark unix_timestamp() truncates — the gap/ordering
+         -- math must run on the same integer grid on both sides
+         cast(floor(epoch(ts)) as bigint) as ets, event_id
+  from events),
+g as (select host, declared_s, ets,
+             ets - lag(ets) over (partition by host
+                                  order by ets, event_id) as gap_s
+      from log)
+select host, cast(count(*) as bigint) as n_fetches,
+       cast(min(gap_s) as bigint) as min_gap_s,
+       cast(min(declared_s) as bigint) as declared_s,
+       cast(sum(case when gap_s < declared_s then 1 else 0 end)
+            as bigint) as n_violations,
+       cast(sum(case when gap_s < declared_s then 1 else 0 end)
+            as bigint) = 0 as compliant
+from g group by host order by host
+"""
+
+
 def q_heavyhitters_cms(spark, sf_dir):
     """Count-min-sketch token frequencies (operators/textstats.py:
     cms_build/cms_probe) probed at the exact top-20 tokens. The sketch
@@ -8105,6 +8164,7 @@ def registry():
         "distinct_hll": (q_distinct_hll, _sql_distinct_hll()),
         "heavyhitters_cms": (q_heavyhitters_cms, SQL_HEAVYHITTERS_CMS),
         "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
+        "politeness_audit": (q_politeness_audit, SQL_POLITENESS_AUDIT),
         "frontier_shard": (q_frontier_shard, SQL_FRONTIER_SHARD),
         "feed_seed_extract": (q_feed_seed_extract, SQL_FEED_SEEDS),
         "robots_failure_policy": (q_robots_failure_policy,

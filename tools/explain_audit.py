@@ -348,6 +348,11 @@ AUDITED = [
      "Zipf exponent: the only wide work is the (lang, token) "
      "count-aggregate; the rank window and closed-form fit run over "
      "top-300-per-lang rows; sums feed one tiny per-lang aggregate"),
+    ("politeness_audit",
+     "compliance audit: the lag() window and the per-host aggregate "
+     "SHARE one hashpartitioning(host) exchange — the only wide work "
+     "at 10^10 fetch rows; gaps are integer epoch-second arithmetic "
+     "in codegen"),
 ]
 
 KEEP = re.compile(
