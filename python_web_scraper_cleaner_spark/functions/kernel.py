@@ -168,8 +168,14 @@ class _TextExtractor(HTMLParser):
         elif tag in ("td", "th"):
             self._flush()
         elif tag in _BLOCK:
-            self._flush()
-            self._heading = _HEADING_PREFIX.get(tag)
+            if self._in_row:
+                # a block element INSIDE a cell must not flush the cell
+                # buffer out to _lines (that would dismember the row's
+                # ' | ' join); it is a soft break within the cell
+                self._buf.append(" ")
+            else:
+                self._flush()
+                self._heading = _HEADING_PREFIX.get(tag)
 
     def handle_endtag(self, tag):
         if tag in _DROP_SUBTREE:
@@ -193,10 +199,16 @@ class _TextExtractor(HTMLParser):
             self._cells = []
         elif tag == "table":
             self._table_depth = max(0, self._table_depth - 1)
+            # malformed page may close the table with a row still open —
+            # the in-row state must not leak past the table
+            self._in_row = False
         elif tag in _BLOCK:
-            self._flush()
-            if tag in _HEADING_PREFIX:
-                self._heading = None
+            if self._in_row:
+                self._buf.append(" ")   # cell-internal block end: soft break
+            else:
+                self._flush()
+                if tag in _HEADING_PREFIX:
+                    self._heading = None
 
     def handle_data(self, data):
         if self._drop_depth:
@@ -342,20 +354,24 @@ METADATA_FIELDS = (
 
 _TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title>", re.I | re.S)
 _H1_RE = re.compile(r"<h1[^>]*>(.*?)</h1>", re.I | re.S)
+# the value captures match up to the SAME quote that opened the
+# attribute (backreference), not [^"'] — an apostrophe inside a
+# double-quoted content value (ubiquitous: "John's page") must not
+# truncate the capture
 _META_RE = re.compile(
-    r"<meta\s+[^>]*?(?:name|property)\s*=\s*[\"']([^\"']+)[\"'][^>]*?"
-    r"content\s*=\s*[\"']([^\"']*)[\"'][^>]*?>", re.I | re.S)
+    r"<meta\s+[^>]*?(?:name|property)\s*=\s*([\"'])(.+?)\1[^>]*?"
+    r"content\s*=\s*([\"'])(.*?)\3[^>]*?>", re.I | re.S)
 _META_RE_REV = re.compile(
-    r"<meta\s+[^>]*?content\s*=\s*[\"']([^\"']*)[\"'][^>]*?"
-    r"(?:name|property)\s*=\s*[\"']([^\"']+)[\"'][^>]*?>", re.I | re.S)
+    r"<meta\s+[^>]*?content\s*=\s*([\"'])(.*?)\1[^>]*?"
+    r"(?:name|property)\s*=\s*([\"'])(.+?)\3[^>]*?>", re.I | re.S)
 _TAG_STRIP_RE = re.compile(r"<[^>]+>")
 
 
 def _meta_map(html_text: str) -> dict[str, str]:
     out: dict[str, str] = {}
-    for k, v in _META_RE.findall(html_text):
+    for _q1, k, _q2, v in _META_RE.findall(html_text):
         out.setdefault(k.strip().lower(), _htmllib.unescape(v).strip())
-    for v, k in _META_RE_REV.findall(html_text):
+    for _q1, v, _q2, k in _META_RE_REV.findall(html_text):
         out.setdefault(k.strip().lower(), _htmllib.unescape(v).strip())
     return out
 
@@ -564,6 +580,26 @@ _URL_RE = re.compile(r"^(?P<scheme>[a-zA-Z][a-zA-Z0-9+.-]*):(?://(?P<netloc>[^/?
                      r"(?P<rest>[^#]*)(?:#.*)?$")
 
 
+def _split_hostport(hostport: str) -> tuple[str, str]:
+    """(host, ':port'|'') — bracket-aware: an IPv6 literal
+    ``[2001:db8::1]:8443`` splits at the colon AFTER the bracket, never
+    inside it (the naive first-colon split returns the garbage '[2001').
+    The bracketed form is kept as the host (self-consistent with the
+    JVM canonicalize twin, whose $-anchored default-port strip leaves
+    brackets intact)."""
+    if hostport.startswith("["):
+        end = hostport.find("]")
+        if end >= 0:
+            tail = hostport[end + 1:]
+            if tail.startswith(":"):
+                return hostport[:end + 1], tail
+            return hostport, ""
+    if ":" in hostport:
+        host, port = hostport.split(":", 1)
+        return host, ":" + port
+    return hostport, ""
+
+
 def url_host(url: str) -> Optional[str]:
     m = _URL_RE.match(url or "")
     if not m or m.group("netloc") is None:
@@ -571,7 +607,7 @@ def url_host(url: str) -> Optional[str]:
     netloc = m.group("netloc")
     if "@" in netloc:
         netloc = netloc.rsplit("@", 1)[1]
-    host = netloc.split(":", 1)[0]
+    host, _port = _split_hostport(netloc)
     return host.lower() or None
 
 
@@ -596,11 +632,7 @@ def canonicalize_url(url: str) -> str:
     if "@" in netloc:
         userinfo, hostport = netloc.rsplit("@", 1)
         userinfo += "@"
-    host = hostport
-    port = ""
-    if ":" in hostport:
-        host, port = hostport.split(":", 1)
-        port = ":" + port
+    host, port = _split_hostport(hostport)
     host = host.lower()
     if (scheme == "http" and port == ":80") or (scheme == "https" and port == ":443"):
         port = ""
@@ -802,6 +834,12 @@ def parse_robots_txt(text: Optional[str], user_agent: str = "*") -> dict:
     def specificity(agents: list[str]) -> int:
         best = -1
         for a in agents:
+            if not a:
+                # malformed bare 'User-agent:' line: an empty token would
+                # substring-match EVERY ua ('' in x is always True) and
+                # beat the '*' group for all crawlers — invalid per RFC
+                # 9309, ignored
+                continue
             if a == ua:
                 best = max(best, 2)
             elif a != "*" and (a in ua or ua in a):
@@ -822,13 +860,40 @@ def parse_robots_txt(text: Optional[str], user_agent: str = "*") -> dict:
     return result
 
 
+def _prefix_form(pattern: str, *, is_allow: bool) -> Optional[str]:
+    """Conservative prefix reduction of a robots path pattern for the
+    PREFIX matcher: rules containing RFC 9309 metacharacters cannot be
+    prefix-matched literally (a literal '/private*' never startswith-
+    matches '/private/x' — the rule would silently never apply, a
+    compliance violation). Disallow rules truncate at the first '*'
+    (with a trailing '$' stripped) — over-blocking, never under-
+    blocking; Allow rules with metacharacters are dropped — never
+    under-blocking either. Full §2.2.3 wildcard semantics live on the
+    wildcard path (robots_wildcard_decision / apply_robots_wildcard,
+    the engine's robots_wildcard=True mode)."""
+    has_meta = "*" in pattern or pattern.endswith("$")
+    if not has_meta:
+        return pattern
+    if is_allow:
+        return None
+    body = pattern[:-1] if pattern.endswith("$") else pattern
+    return body.split("*", 1)[0]
+
+
 def robots_allows(path: str, rules: dict) -> bool:
     """Longest-match allow/disallow decision (RFC 9309 §2.2.2): the most
-    specific matching prefix wins; ties go to Allow; no match → allowed."""
-    best_allow = max((len(p) for p in rules.get("allow_prefixes", ())
-                      if path.startswith(p)), default=-1)
-    best_dis = max((len(p) for p in rules.get("disallow_prefixes", ())
-                    if path.startswith(p)), default=-1)
+    specific matching prefix wins; ties go to Allow; no match → allowed.
+    Metacharacter rules are reduced conservatively (see _prefix_form) —
+    the wildcard twin robots_wildcard_decision carries their exact
+    semantics."""
+    allow = [q for p in rules.get("allow_prefixes", ())
+             if (q := _prefix_form(p, is_allow=True)) is not None]
+    dis = [q for p in rules.get("disallow_prefixes", ())
+           if (q := _prefix_form(p, is_allow=False)) is not None]
+    best_allow = max((len(p) for p in allow if path.startswith(p)),
+                     default=-1)
+    best_dis = max((len(p) for p in dis if path.startswith(p)),
+                   default=-1)
     return best_allow >= best_dis
 
 
@@ -1038,8 +1103,12 @@ C4_POLICY_SUBSTRINGS = (
     "terms of use", "privacy policy", "cookie policy",
     "uses cookies", "use of cookies", "use cookies",
 )
-_C4_EDGE_WS = re.compile(r"^[ \t\r]+|[ \t\r]+$")
-_C4_WORD_SPLIT = re.compile(r"[ \t\x0b\f\r]+")  # Java \s minus \n (in-line)
+# edge-trim and word-split share ONE class (Java \s minus \n): an
+# untrimmed \x0b/\f at a line edge would otherwise inflate the word
+# count (leading empty split element) and fail the terminal-mark gate
+# where the original's line.strip() keeps the line
+_C4_EDGE_WS = re.compile(r"^[ \t\x0b\f\r]+|[ \t\x0b\f\r]+$")
+_C4_WORD_SPLIT = re.compile(r"[ \t\x0b\f\r]+")
 _C4_SENT_MARK = re.compile(r"[.!?]")
 
 

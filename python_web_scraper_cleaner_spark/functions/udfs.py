@@ -13,8 +13,6 @@ live in plans/queries.py (F5/F8/F10/F13/F14) and operators/textstats.py.
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -153,7 +151,9 @@ def extract_links_udf(html: pd.Series, url: pd.Series) -> pd.Series:
 
 @pandas_udf(T.LongType())
 def fingerprint64_udf(s: pd.Series) -> pd.Series:
-    return s.map(lambda x: K.fingerprint64(x) % (1 << 62) if x is not None else None)
+    # kernel.fingerprint64 is already reduced mod (2^61 - 1), so every
+    # value fits a signed long as-is — no further reduction
+    return s.map(lambda x: K.fingerprint64(x) if x is not None else None)
 
 
 @pandas_udf(T.LongType())

@@ -68,6 +68,16 @@ def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
                                    F.array().cast("array<string>"))
     j = frontier.join(F.broadcast(robots), "host", "left")
 
+    # conservative reduction of RFC 9309 metacharacter rules for the
+    # prefix matcher (kernel._prefix_form twin): a literal '/private*'
+    # never startswith-matches, so the rule would silently not apply —
+    # disallow rules truncate at the first '*' ('$' stripped):
+    # over-blocks, never under-blocks; allow rules with metacharacters
+    # drop. Exact wildcard semantics: apply_robots_wildcard.
+    def _dis_form(p):
+        return F.substring_index(
+            F.regexp_replace(p, r"\$$", ""), "*", 1)
+
     def longest_match(col):
         return F.coalesce(
             F.array_max(F.transform(
@@ -76,8 +86,12 @@ def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
                 F.length)),
             F.lit(-1))
 
-    allowed = (longest_match(F.col("allow_prefixes"))
-               >= longest_match(F.col("disallow_prefixes")))
+    allow_pats = F.filter(
+        F.coalesce(F.col("allow_prefixes"), F.array()),
+        lambda p: ~p.contains("*") & ~p.endswith("$"))
+    dis_pats = F.transform(
+        F.coalesce(F.col("disallow_prefixes"), F.array()), _dis_form)
+    allowed = longest_match(allow_pats) >= longest_match(dis_pats)
     return (j.withColumn("crawl_delay_ms",
                          F.coalesce(F.col("crawl_delay_ms"), F.lit(0)))
             .filter(allowed)

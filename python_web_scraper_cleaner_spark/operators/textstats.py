@@ -597,7 +597,8 @@ def ccnet_lang_buckets(scored: DataFrame, *, id_col: str = "id",
 # ---------------------------------------------------------------------------
 
 def _c4_strip(line: Column) -> Column:
-    return F.regexp_replace(line, r"^[ \t\r]+|[ \t\r]+$", "")
+    # edge class == the word-split class below (kernel._C4_EDGE_WS twin)
+    return F.regexp_replace(line, r"^[ \t\x0B\f\r]+|[ \t\x0B\f\r]+$", "")
 
 
 def _c4_candidate(line: Column, min_words: int) -> Column:

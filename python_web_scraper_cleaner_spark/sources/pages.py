@@ -66,18 +66,31 @@ def _paragraph(doc_id: int, p: int, n_sents: int = 4) -> str:
     return " ".join(_sentence(doc_id, p * 100 + s) for s in range(n_sents))
 
 
+def page_host_section(doc_id: int) -> tuple[str, str]:
+    """(host, section) for a page id — THE single definition shared by
+    page_url and the template-8 metadata (article:section/og:site_name),
+    so the metadata can never silently diverge from the URL the page
+    lives at if the host-skew or section scheme changes."""
+    host = f"host{_host_index(doc_id)}.example"
+    section = _SECTIONS[3] if doc_id % 20 == 19 else _SECTIONS[doc_id % 3]
+    return host, section
+
+
 def page_url(doc_id: int) -> str:
     """The canonical URL scheme shared by page generation, seed synthesis,
     and in-page link targets."""
-    host = f"host{_host_index(doc_id)}.example"
-    section = _SECTIONS[3] if doc_id % 20 == 19 else _SECTIONS[doc_id % 3]
+    host, section = page_host_section(doc_id)
     return f"https://{host}/{section}/{doc_id}.html"
 
 
 def out_link_ids(doc_id: int) -> list[int]:
-    """Deterministic out-links: every page links two others. id//2 walks
-    toward the low ids and (id*7+3)%100 lands inside [0,100), so the link
-    closure of ANY seed set is finite — discovery-mode crawls terminate."""
+    """Deterministic out-link TARGETS the body template embeds. id//2
+    walks toward the low ids and (id*7+3)%100 lands inside [0,100), so
+    the link closure of ANY seed set is finite — discovery-mode crawls
+    terminate. NOTE: template-1 pages (~10% of ids) discard the body
+    entirely and emit ZERO links — harvested edges are a SUBSET of
+    {(d, t) : t ∈ out_link_ids(d)}; derive expected discovery from
+    extract_links over the HTML, never from this list alone."""
     return [doc_id // 2, (doc_id * 7 + 3) % 100]
 
 
@@ -87,8 +100,7 @@ def page_record(doc_id: int, *, paragraphs: int = 4) -> dict:
     # mixed so template choice decorrelates from the mod-100 host classes
     tmpl = ((doc_id * 1103515245 + 12345) >> 16) % N_TEMPLATES
     url = page_url(doc_id)
-    host = f"host{_host_index(doc_id)}.example"
-    section = _SECTIONS[3] if doc_id % 20 == 19 else _SECTIONS[doc_id % 3]
+    host, section = page_host_section(doc_id)
     title = f"Article {doc_id}: {_sentence(doc_id, 0)[:-1]}"
     body = "\n".join(f"<p>{_paragraph(doc_id, p)}</p>"
                      for p in range(1, paragraphs + 1))

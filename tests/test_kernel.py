@@ -395,3 +395,80 @@ def test_extract_links_null_or_odd_base_url():
     assert extract_links(html, "https://base.example/dir/") == [
         "https://base.example/rel", "https://x.example/a"]
     assert extract_links(b"", "https://b.example/") == []
+
+
+# ---------------------------------------------------------------------------
+# round-5 extraction-core review regressions
+# ---------------------------------------------------------------------------
+
+
+def test_meta_content_keeps_other_quote_char():
+    from python_web_scraper_cleaner_spark.functions.kernel import _meta_map
+    m = _meta_map('<meta name="description" content="John\'s page of '
+                  '&quot;things&quot;">')
+    assert m["description"] == 'John\'s page of "things"'
+    m2 = _meta_map("<meta content='say \"hi\" now' name='author'>")
+    assert m2["author"] == 'say "hi" now'
+
+
+def test_url_host_ipv6_brackets():
+    from python_web_scraper_cleaner_spark.functions.kernel import (
+        canonicalize_url, url_host)
+    assert url_host("https://[2001:db8::1]:8443/a") == "[2001:db8::1]"
+    assert url_host("https://[::1]/a") == "[::1]"
+    assert canonicalize_url("HTTP://[::1]:80/x") == "http://[::1]/x"
+    assert canonicalize_url("https://[2001:DB8::1]:443/y") \
+        == "https://[2001:db8::1]/y"
+    # non-default port survives
+    assert canonicalize_url("https://[::1]:8443/y") == "https://[::1]:8443/y"
+
+
+def test_robots_prefix_path_handles_metacharacter_rules():
+    from python_web_scraper_cleaner_spark.functions.kernel import (
+        parse_robots_txt, robots_allows)
+    r = parse_robots_txt("User-agent: *\nDisallow: /private*", "*")
+    # raw pattern preserved for the wildcard path…
+    assert r["disallow_prefixes"] == ["/private*"]
+    # …but the prefix matcher must still BLOCK (conservative truncation)
+    assert robots_allows("/private/x", r) is False
+    assert robots_allows("/public/x", r) is True
+    # $-anchored disallow over-blocks (conservative), never under-blocks
+    r2 = parse_robots_txt("User-agent: *\nDisallow: /exact$", "*")
+    assert robots_allows("/exact", r2) is False
+    # allow rules with metacharacters drop (never under-block)
+    r3 = parse_robots_txt(
+        "User-agent: *\nDisallow: /p\nAllow: /p/ok*", "*")
+    assert robots_allows("/p/ok-page", r3) is False
+
+
+def test_robots_empty_user_agent_token_is_ignored():
+    from python_web_scraper_cleaner_spark.functions.kernel import (
+        parse_robots_txt)
+    r = parse_robots_txt(
+        "User-agent:\nDisallow: /\n\nUser-agent: *\nDisallow: /tmp",
+        "mybot")
+    assert r["disallow_prefixes"] == ["/tmp"]
+
+
+def test_table_cell_with_block_elements_stays_in_row():
+    from python_web_scraper_cleaner_spark.functions.kernel import (
+        _stdlib_extract)
+    out = _stdlib_extract(
+        "<table><tr><td><p>cell text</p></td><td>b2</td></tr></table>")
+    assert out == "cell text | b2"
+    # unclosed row must not leak in-row state past the table
+    out2 = _stdlib_extract(
+        "<table><tr><td>a</table><p>after paragraph</p>")
+    assert "after paragraph" in out2.split("\n")
+
+
+def test_c4_edge_trim_matches_word_split_class():
+    from python_web_scraper_cleaner_spark.functions.kernel import c4_clean
+    base = ("Valid sentence number one here.\nValid sentence number two "
+            "here.\nValid sentence number three here.")
+    # leading \x0b must not inflate the word count of a 4-word line
+    r = c4_clean(base + "\n\x0bone two three four.")
+    assert r["n_cand"] == 3
+    # trailing \x0b must not hide the terminal mark
+    r2 = c4_clean(base + "\nValid sentence number four here.\x0b")
+    assert r2["n_cand"] == 4
