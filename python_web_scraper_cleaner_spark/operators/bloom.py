@@ -127,7 +127,19 @@ def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
     url_seen rescan per round. ``n_items`` adds (an upper bound under
     re-inserts; FPR monitoring only — correctness never depends on it).
     Mismatched geometry raises: OR-ing bitmaps of different m/k silently
-    corrupts membership."""
+    corrupts membership. The check is GLOBAL (one tiny distinct over the
+    stamp columns), not only per-bucket: two builds whose non-empty
+    buckets happen to be disjoint would otherwise merge silently and
+    bloom_geometry's first() would misreport the mixed table as
+    uniform."""
+    stamps = (a.select("n_buckets", "m_bits", "n_hashes")
+              .unionByName(b.select("n_buckets", "m_bits", "n_hashes"))
+              .distinct().limit(2).collect())
+    if len(stamps) > 1:
+        raise ValueError(
+            "bloom geometry drift between merge inputs: "
+            + ", ".join(str(tuple(r)) for r in stamps)
+            + " — filters built with different sizing cannot be OR-merged")
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         if (pdf["m_bits"].nunique() > 1 or pdf["n_hashes"].nunique() > 1
@@ -160,6 +172,8 @@ def bloom_geometry(bloom: DataFrame) -> tuple[int, int, int] | None:
     different n_buckets remaps hashes to the wrong bucket and yields
     silent FALSE NEGATIVES, so mismatched geometry must trigger a full
     rebuild, never a probe."""
+    if not {"n_buckets", "m_bits", "n_hashes"}.issubset(bloom.columns):
+        return None      # pre-stamp table: geometry unknowable
     row = bloom.select("n_buckets", "m_bits", "n_hashes").first()
     if row is None:
         return None
@@ -179,11 +193,20 @@ def bloom_probe(candidates: DataFrame, bloom: DataFrame,
     broadcast budget) both sides are co-partitioned on ``bucket`` and the
     join shuffles only the candidate rows, never ships every bitmap to
     every executor. The filter is persisted (bounded) so the size probe
-    does not recompute the build."""
+    does not recompute the build.
+
+    Candidate bucketing uses the geometry STAMPED ON THE FILTER, not the
+    caller's ``n_buckets`` (which is only the fallback for an empty
+    filter): probing with a different bucket count would look up each
+    hash in a bucket whose bitmap never saw it — silent false negatives,
+    i.e. already-seen URLs re-crawled as new."""
     from ..caching import bounded_persist
 
-    cand = with_bucket(candidates, hash_col, n_buckets)
     bloom = bounded_persist(bloom, tag="bloom_filter")
+    geo = bloom_geometry(bloom)
+    if geo is not None:
+        n_buckets = geo[0]
+    cand = with_bucket(candidates, hash_col, n_buckets)
     total_bytes = bloom.agg(
         F.sum(F.octet_length("bitmap"))).first()[0] or 0
     if total_bytes <= broadcast_bytes:
@@ -232,8 +255,15 @@ def bloom_dedup(candidates: DataFrame, seen: DataFrame, bloom: DataFrame,
     definitely-new rows (maybe_seen = false) pass straight through; only the
     maybe-seen minority pays the exact left_anti join against the seen
     table."""
-    probed = bloom_probe(candidates, bloom, hash_col, n_buckets=n_buckets,
-                         broadcast_bytes=broadcast_bytes)
+    from ..caching import bounded_persist
+
+    # persist: definitely_new and suspects are two filters over this
+    # frame — without the cache the bucket join + vectorized bitmap
+    # probe over every candidate row would execute twice
+    probed = bounded_persist(
+        bloom_probe(candidates, bloom, hash_col, n_buckets=n_buckets,
+                    broadcast_bytes=broadcast_bytes),
+        tag="bloom_probed")
     definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen",
                                                               "bucket")
     suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen", "bucket")

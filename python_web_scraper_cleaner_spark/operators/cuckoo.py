@@ -37,6 +37,11 @@ from pyspark.storagelevel import StorageLevel
 
 CUCKOO_SCHEMA = T.StructType([
     T.StructField("bucket", T.IntegerType(), nullable=False),
+    # geometry stamp (bloom-parity): probes/revokes derive the bucket
+    # count from the FILTER, never from a caller parameter — a mismatch
+    # would look keys up in buckets that never saw them (silent false
+    # negatives ⇒ seen URLs re-crawled as new)
+    T.StructField("n_buckets", T.IntegerType(), nullable=False),
     T.StructField("m_buckets", T.LongType(), nullable=False),
     T.StructField("n_items", T.LongType(), nullable=False),
     T.StructField("n_failed", T.LongType(), nullable=False),
@@ -179,6 +184,7 @@ def build_cuckoo(df: DataFrame, hash_col: str = "url_hash", *,
         yield pd.DataFrame({
             "bucket": np.fromiter(tables, dtype=np.int32,
                                   count=len(tables)),
+            "n_buckets": np.full(len(tables), n_buckets, dtype=np.int32),
             "m_buckets": np.full(len(tables), m, dtype=np.int64),
             "n_items": np.fromiter((counts[b] for b in tables),
                                    dtype=np.int64, count=len(tables)),
@@ -199,6 +205,16 @@ def _probe_table(t: np.ndarray, h: np.ndarray, m: int) -> np.ndarray:
     return ((t[i1] == f16).any(axis=1)) | ((t[i2] == f16).any(axis=1))
 
 
+def cuckoo_geometry(cuckoo: DataFrame) -> int | None:
+    """The n_buckets stamped on a CUCKOO_SCHEMA table (None for an empty
+    or pre-stamp table) — the authoritative bucketing geometry for
+    probes/revokes; bloom_geometry's cuckoo sibling."""
+    if "n_buckets" not in cuckoo.columns:
+        return None
+    row = cuckoo.select("n_buckets").first()
+    return None if row is None else int(row["n_buckets"])
+
+
 def cuckoo_probe(candidates: DataFrame, cuckoo: DataFrame,
                  hash_col: str = "url_hash", *,
                  n_buckets: int = 64,
@@ -209,14 +225,17 @@ def cuckoo_probe(candidates: DataFrame, cuckoo: DataFrame,
     ``broadcast_bytes``, else bucket-co-partitioned shuffle join (at the
     10^10-URL point per-bucket tables are ~512 MB × 64 buckets — tens of GB,
     unbroadcastable)."""
-    cand = candidates.withColumn(
-        "bucket", F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int"))
     if cuckoo.storageLevel == StorageLevel.NONE:
         # the size-gate aggregate below materializes the build; pin it so
         # the join doesn't pay (and possibly recompute) the expensive
         # mapInPandas construction a second time
         from ..caching import bounded_persist
         cuckoo = bounded_persist(cuckoo, tag="cuckoo_filter_probe")
+    geo = cuckoo_geometry(cuckoo)
+    if geo is not None:
+        n_buckets = geo
+    cand = candidates.withColumn(
+        "bucket", F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int"))
     total_bytes = cuckoo.agg(
         F.sum(F.octet_length("table"))).first()[0] or 0
     if total_bytes <= broadcast_bytes:
@@ -276,7 +295,11 @@ def cuckoo_dedup(candidates: DataFrame, seen: DataFrame, cuckoo: DataFrame,
     n_failed = cuckoo.agg(F.sum("n_failed")).first()[0] or 0
     if n_failed > 0:
         return candidates.join(seen.select(hash_col), hash_col, "left_anti")
-    probed = cuckoo_probe(candidates, cuckoo, hash_col, n_buckets=n_buckets)
+    # persist: two filters read the probed frame — without the cache the
+    # bucket join + vectorized table probe would execute twice
+    probed = bounded_persist(
+        cuckoo_probe(candidates, cuckoo, hash_col, n_buckets=n_buckets),
+        tag="cuckoo_probed")
     definitely_new = probed.filter(~F.col("maybe_seen")).drop(
         "maybe_seen", "bucket")
     suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen", "bucket")
@@ -296,6 +319,9 @@ def cuckoo_revoke(cuckoo: DataFrame, revoked: DataFrame,
     never inserted, or 16-bit fingerprint+bucket-pair collisions, can
     remove another key's copy — callers keep the exact url_seen table as
     ground truth and use the filter strictly as a prefilter)."""
+    geo = cuckoo_geometry(cuckoo)
+    if geo is not None:
+        n_buckets = geo      # stamped geometry wins (see cuckoo_probe)
     rev = (revoked.select(F.col(hash_col).alias("_h"))
            .withColumn("bucket",
                        F.pmod(F.col("_h"), F.lit(n_buckets)).cast("int")))

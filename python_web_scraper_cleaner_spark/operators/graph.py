@@ -226,11 +226,17 @@ def resolve_redirect_chains(redirects: DataFrame, *, src_col: str = "src",
                           (F.col("hops") + F.col("_hops2")).alias("hops"),
                           F.col("_done2").alias("done")))
         p = p.filter(F.col("done")).unionByName(jumped)
+    # doubling rounds cover up to 2^ceil(log2(max_hops)) hops — enforce
+    # the EXACT budget here: a chain that terminated but needed more
+    # than max_hops is over-budget and reports unresolved (the
+    # documented contract; the oracle's recursive walk stops at
+    # max_hops exactly)
+    done_ok = F.col("done") & (F.col("hops") <= max_hops)
     return p.select(
         "src",
-        F.when(F.col("done"), F.col("cur")).alias("final_url"),
-        F.when(F.col("done"), F.col("hops")).alias("hops"),
-        (~F.col("done")).alias("unresolved"))
+        F.when(done_ok, F.col("cur")).alias("final_url"),
+        F.when(done_ok, F.col("hops")).alias("hops"),
+        (~done_ok).alias("unresolved"))
 
 
 def host_link_rollup(edges: DataFrame, *, src_host_col: str = "src_host",
@@ -507,8 +513,10 @@ def focused_priority(anchors: DataFrame, source_scores: DataFrame,
     # when a term starts/ends on a non-word char (where \b inverts)
     hits = F.lit(0)
     for t in topic:
+        # the anchor is lowercased, so the term must be too — an
+        # uppercase topic ('Medicare') could otherwise never match
         h = F.when(F.lower(F.col(anchor_col))
-                   .rlike(rf"(?<!\w){_re.escape(t)}(?!\w)"),
+                   .rlike(rf"(?<!\w){_re.escape(t.lower())}(?!\w)"),
                    F.lit(1)).otherwise(F.lit(0))
         hits = hits + h
     scored = (anchors.select(

@@ -77,10 +77,12 @@ def best_doc(df: DataFrame, query: str, *, id_col: str = "doc_id",
     max score wins, score must be > 0, ties → lowest id (the reference's
     'first file wins' under its sorted scan order)."""
     scored = score_docs(df, query, id_col=id_col, text_col=text_col)
-    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    # orderBy+limit(1), NOT a global row_number window: an empty
+    # partition spec funnels every scored row through ONE task, while
+    # this shape runs as TakeOrderedAndProject (same argmax+tiebreak)
     return (scored.filter(F.col("score") > 0)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+            .orderBy(F.desc("score"), F.asc("id"))
+            .limit(1)
             .select("id", "score"))
 
 

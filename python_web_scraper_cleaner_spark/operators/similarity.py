@@ -32,7 +32,12 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity with a zero-norm guard: a zero vector scores
+    0.0, NOT NaN — Spark sorts NaN as the LARGEST double, so an
+    unguarded 0/0 would rank a zero-norm row FIRST for every query and
+    pass every >= threshold filter (near-dup, decontamination)."""
+    den = _norm(a) * _norm(b)
+    return F.when(den > 0, _dot(a, b) / den).otherwise(F.lit(0.0))
 
 
 def brute_force_topk(queries: DataFrame, corpus: DataFrame, *, k: int = 3,
@@ -70,7 +75,19 @@ def projection_bucket(vec: Column, *, n_planes: int = 4, dims: int = 64) -> Colu
 
     Plane p weight for dim d (1-based) = +1 if
     (d*2654435761 + (p+1)*40503) % 97 < 48 else -1 — integer arithmetic
-    reproducible in any SQL engine (and non-degenerate, unlike parity)."""
+    reproducible in any SQL engine (and non-degenerate, unlike parity).
+
+    Vectors whose length differs from ``dims`` fail LOUDLY: zip_with
+    would null-pad, every projection would aggregate to NULL, and every
+    row would silently land in bucket 0 — turning the bucketed join
+    into an unbucketed quadratic scan (and collapsing recall to ~zero
+    for mixed-width query/corpus pairs) with no error raised."""
+    vec = F.when(
+        F.size(vec) == dims, vec).otherwise(F.raise_error(F.concat(
+            F.lit("projection_bucket: vector length "),
+            F.size(vec).cast("string"),
+            F.lit(f" != dims={dims} — pass dims= matching the "
+                  f"embedding width"))))
     bucket = F.lit(0)
     for p in range(n_planes):
         proj = F.aggregate(
@@ -239,8 +256,11 @@ def kmeans_centroids(corpus: DataFrame, *, k: int = 16, iters: int = 2,
     for training, the join shape is unchanged."""
     fx = corpus.select(F.col(id_col).alias("id"),
                        _fixed_vec(F.col(vec_col), scale).alias("fv"))
+    # cid keeps the id's own type (long): a cast("int") would overflow
+    # under ANSI for 64-bit hash ids (url_hash — this repo's standard
+    # doc id), or silently collide two centroids with ANSI off
     cent = (fx.orderBy("id").limit(k)
-            .select(F.col("id").cast("int").alias("cid"),
+            .select(F.col("id").alias("cid"),
                     F.col("fv").alias("cv")))
     for _ in range(iters):
         sim = (fx.crossJoin(F.broadcast(cent))
@@ -390,6 +410,17 @@ def semantic_decontaminate(corpus: DataFrame, probes: DataFrame, *,
                       F.col(vec_col).alias("_cv"))
     p = probes.select(F.col(id_col).alias("_pid"),
                       F.col(vec_col).alias("_pv"))
+    if p.isEmpty():
+        # the contract is one row PER CORPUS DOC; an empty probe set
+        # (wrong path, over-filtered benchmark) must yield "nothing
+        # contaminated", not an empty frame a keep-filter would read as
+        # "drop the whole corpus". One cheap limit-1 action; the normal
+        # path's plan is untouched.
+        pid_type = p.schema["_pid"].dataType
+        return (c.select(F.col("_cid").alias(id_col),
+                         F.lit(0.0).alias("max_cos"),
+                         F.lit(None).cast(pid_type).alias("nearest_probe"),
+                         F.lit(False).alias("contaminated")))
     sim = (c.crossJoin(F.broadcast(p))
            .withColumn("_cos", F.round(cosine(F.col("_cv"), F.col("_pv")),
                                        round_digits)))
